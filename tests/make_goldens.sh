@@ -1,0 +1,83 @@
+#!/usr/bin/env bash
+# Generate golden outputs for the parity tests by running the *reference*
+# CPU binary (muellan/metacache) over the synthetic fixture.
+#
+# Usage:  METACACHE_BIN=/path/to/metacache tests/make_goldens.sh
+#
+# The goldens are committed; this script only needs to be re-run when the
+# fixture generator changes.
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+DATA="$HERE/data"
+GOLD="$DATA/golden"
+BIN="${METACACHE_BIN:?set METACACHE_BIN to the reference metacache binary}"
+TAXDIR="${TAXONOMY_DIR:-$DATA/taxonomy}"
+WORK="$(mktemp -d)"
+trap 'rm -rf "$WORK"' EXIT
+
+mkdir -p "$GOLD"
+
+DB="$WORK/testdb"
+
+# --- build the database (single part, defaults: k16 s16 w127) -------------
+"$BIN" build "$DB" "$DATA/genomes.fa" -taxonomy "$TAXDIR" -parts 1 \
+    > "$WORK/build.log" 2>&1
+
+# db info for parity of metadata reporting
+"$BIN" info "$DB" > "$GOLD/info_basic.txt" 2>/dev/null || true
+
+strip_variable_lines() {
+    # drop timing/speed/threads lines and absolute paths, like test/run_tests
+    grep -v -e "# time:" -e "# speed:" -e "threads" -e "$DATA" -e "$WORK"
+}
+
+run_query() {  # args: outfile, then query args...
+    local out="$1"; shift
+    "$BIN" query "$DB" "$@" 2>/dev/null | strip_variable_lines > "$GOLD/$out"
+}
+
+# --- classification goldens ----------------------------------------------
+COMMON=(-mapped-only)
+
+run_query classified_single_fa.txt "$DATA/reads_single.fa" \
+    -precision -ground-truth -tophits -allhits -hits-per-ref \
+    -abundances -abundance-per species
+run_query classified_single_fq.txt "$DATA/reads_single.fq" \
+    -precision -ground-truth -tophits
+run_query classified_long_fa.txt "$DATA/reads_long.fa" \
+    -precision -ground-truth -tophits
+run_query classified_pairfiles.txt \
+    "$DATA/reads_pair1.fa" "$DATA/reads_pair2.fa" -pairfiles \
+    -precision -ground-truth -tophits
+run_query classified_pairseq.txt "$DATA/reads_pairseq.fa" -pairseq \
+    -precision -ground-truth -tophits
+
+# --- formatting matrix (subset of reference test/run_tests fmt matrix) ----
+i=0
+while read -r fmt; do
+    run_query "fmt_$i.txt" "$DATA/reads_single.fa" $fmt
+    i=$((i+1))
+done <<'EOF'
+
+-lineage
+-taxids
+-taxids-only
+-taxids-only -omit-ranks
+-omit-ranks
+-taxids -omit-ranks
+-separate-cols
+-taxids -separate-cols
+-taxids-only -separate-cols -omit-ranks
+-queryids
+-queryids -lineage
+-mapped-only
+-separator :::
+-lowest species
+-lowest genus -taxids
+-hitmin 8
+-hitdiff 50
+-maxcand 4 -tophits
+EOF
+
+echo "goldens written to $GOLD"
