@@ -1,0 +1,418 @@
+"""Query execution: stream reads, classify on device, produce output.
+
+The TPU-native counterpart of the reference's query driver stack
+(query_database / query_batched, src/database_query.hpp:126-366 and
+map_queries_to_targets_default, src/classification.cpp:747-860):
+
+- reads stream from FASTA/FASTQ files in one of 3 pairing modes;
+- queries accumulate into fixed-shape window batches (the reference's
+  batch_executor measures batch size in windows too,
+  src/database_query.hpp:214-231);
+- one jitted device step per batch does sketch -> probe -> sort ->
+  candidates -> LCA (ops.pipeline.query_step);
+- host post-processing: ground truth, statistics, output formatting,
+  hits-per-target accumulation, optional coverage-percentile
+  re-classification, abundance tables, summary.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import (ClassificationOptions, SketchingOptions,
+                      max_windows_in_range)
+from ..db.database import Database
+from ..ops import windows as win_ops
+from ..ops.pipeline import query_step
+from ..ops.table import unpack_locations
+from ..seqio.reader import PairingMode, QueryRecord, read_queries
+from ..taxonomy.model import NUM_RANKS, Rank, Taxon
+from . import abundance as abd
+from . import classification as cls_mod
+from . import output as out_mod
+from .output import MapViewMode, OutputFormatting, cpp_num
+from .stats import ClassificationStatistics
+
+
+@dataclasses.dataclass
+class AnalysisOptions:
+    """Reference: classification_analysis_options (src/options.hpp)."""
+    show_top_hits: bool = False
+    show_all_hits: bool = False
+    show_locations: bool = False
+    show_hits_per_target: bool = False
+    target_mappings_file: str = ""
+    show_tax_abundances: bool = False
+    abundance_file: str = ""
+    abundance_per: Rank = Rank.NONE
+
+
+@dataclasses.dataclass
+class EvaluationOptions:
+    precision: bool = False
+    taxon_coverage: bool = False
+    determine_ground_truth: bool = False
+
+
+@dataclasses.dataclass
+class OutputOptions:
+    format: OutputFormatting = dataclasses.field(
+        default_factory=OutputFormatting)
+    analysis: AnalysisOptions = dataclasses.field(
+        default_factory=AnalysisOptions)
+    evaluate: EvaluationOptions = dataclasses.field(
+        default_factory=EvaluationOptions)
+
+    # convenience accessors used by the formatting layer
+    @property
+    def show_ground_truth(self):
+        return self.evaluate.determine_ground_truth
+
+    @property
+    def show_all_hits(self):
+        return self.analysis.show_all_hits
+
+    @property
+    def show_top_hits(self):
+        return self.analysis.show_top_hits
+
+    @property
+    def show_locations(self):
+        return self.analysis.show_locations
+
+
+@dataclasses.dataclass
+class QueryOptions:
+    sketching: SketchingOptions | None = None    # None -> use database's
+    classify: ClassificationOptions = dataclasses.field(
+        default_factory=ClassificationOptions)
+    pairing: PairingMode = PairingMode.NONE
+    output: OutputOptions = dataclasses.field(default_factory=OutputOptions)
+    batch_windows: int = 4096
+    query_limit: int = -1
+    min_read_length: int = 0
+    max_read_length: int = 0   # 0 = unlimited
+    num_threads: int = 1
+    show_summary: bool = True
+    show_query_params: bool = True
+
+
+def rank_from_string(s: str) -> Rank:
+    from ..taxonomy.model import rank_from_name
+    return rank_from_name(s)
+
+
+class QueryRunner:
+    """Holds device-resident database state across query runs."""
+
+    def __init__(self, db: Database, opt: QueryOptions):
+        import jax.numpy as jnp
+        self.db = db
+        self.opt = opt
+        self.sketching = self._adapt_sketching()
+        self.hits_min = opt.classify.resolve_hits_min(
+            db.sketching.sketchlen)
+
+        db.taxa.update()
+        lin64 = db.taxa.target_lineages_array()  # (num_targets, R) int64
+        self.lineages = np.clip(
+            lin64, -2**31 + 1, 2**31 - 1).astype(np.int32)
+        lowest = rank_from_string(opt.classify.lowest_rank)
+        self.merge_rank = int(lowest)
+        merge_tax = np.zeros(max(db.target_count, 1), dtype=np.int32)
+        for r in range(self.merge_rank, NUM_RANKS):
+            fill = (merge_tax == 0) & (self.lineages[:, r] != 0) \
+                if db.target_count else np.zeros(1, bool)
+            merge_tax[fill] = self.lineages[:, r][fill]
+        self.merge_tax = merge_tax
+        self.highest_rank = int(rank_from_string(opt.classify.highest_rank))
+
+        # device table arrays (all parts merged into one probe sequence —
+        # single-part fast path; multi-part probes loop over parts)
+        self._tables = []
+        for p in db.parts:
+            ltgt, lwin = unpack_locations(p.locations)
+            self._tables.append((
+                jnp.asarray(p.unique_features),
+                jnp.asarray(p.offsets.astype(np.int32)),
+                jnp.asarray(ltgt.astype(np.int32)),
+                jnp.asarray(lwin.astype(np.int32)),
+                min(p.max_bucket_size, db.max_locations_per_feature) or 1,
+            ))
+        self._lineages_dev = jnp.asarray(
+            self.lineages if db.target_count else
+            np.zeros((1, NUM_RANKS), np.int32))
+        self._merge_tax_dev = jnp.asarray(merge_tax)
+
+    def _adapt_sketching(self) -> SketchingOptions:
+        """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
+        dbs = self.db.sketching
+        qs = self.opt.sketching
+        if qs is None:
+            return dbs
+        kmerlen = dbs.kmerlen
+        sketchlen = qs.sketchlen if qs.sketchlen >= 1 else dbs.sketchlen
+        winlen = qs.winlen if qs.winlen >= 1 else dbs.winlen
+        winstride = qs.winstride if qs.winstride >= 1 else \
+            winlen - kmerlen + 1
+        return SketchingOptions(kmerlen, sketchlen, winlen, winstride)
+
+    # ------------------------------------------------------------------
+    def run_queries(self, queries, results: "ClassificationResults"):
+        """Classify an iterable of QueryRecord into `results`."""
+        batch: List[QueryRecord] = []
+        nwin_total = 0
+        opt = self.opt
+        for q in queries:
+            ln = len(q.seq1) + len(q.seq2)
+            if ln < opt.min_read_length:
+                continue
+            if opt.max_read_length and ln > opt.max_read_length:
+                continue
+            nw = (win_ops.num_windows(len(q.seq1), self.sketching) +
+                  win_ops.num_windows(len(q.seq2), self.sketching))
+            batch.append(q)
+            nwin_total += max(nw, 1)
+            if nwin_total >= opt.batch_windows:
+                self._process_batch(batch, results)
+                batch, nwin_total = [], 0
+        if batch:
+            self._process_batch(batch, results)
+
+    # ------------------------------------------------------------------
+    def _process_batch(self, batch: List[QueryRecord],
+                       results: "ClassificationResults"):
+        import jax.numpy as jnp
+        opt = self.opt
+        sk = self.sketching
+        seqs: List[bytes] = []
+        owner: List[int] = []
+        for i, q in enumerate(batch):
+            seqs.append(q.seq1)
+            owner.append(i)
+            if q.seq2:
+                seqs.append(q.seq2)
+                owner.append(i)
+        wins, valid, qid_seq = win_ops.batch_windows(seqs, sk, pad_to=None)
+        # remap window owner: sequence index -> query index
+        owner_arr = np.asarray(owner + [len(batch)], dtype=np.int32)
+        qid = owner_arr[np.minimum(qid_seq, len(owner))]
+
+        t_static = _round_up_pow2(max(len(wins), 1))
+        pad = t_static - len(wins)
+        if pad:
+            wins = np.concatenate(
+                [wins, np.full((pad, sk.winlen), win_ops.PAD_CODE,
+                               np.uint8)])
+            valid = np.concatenate([valid, np.zeros(pad, np.int32)])
+            qid = np.concatenate([qid, np.full(pad, len(batch), np.int32)])
+        b_static = _round_up_pow2(max(len(batch), 1))
+
+        mwir = np.full(b_static, 2, dtype=np.int32)
+        for i, q in enumerate(batch):
+            mwir[i] = max_windows_in_range(
+                len(q.seq1) + len(q.seq2),
+                opt.classify.insert_size_max, self.db.sketching.winstride)
+
+        # multi-part: probe each part, merge matches (reference probes
+        # every part and merge-sorts, src/host_hashmap.hpp:695-723).
+        # v0 fast path: parts were merged at load; use part 0.
+        tf, to, lt, lw, spf = self._tables[0]
+        res = query_step(
+            jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
+            jnp.asarray(mwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+            k=sk.kmerlen, sketchlen=sk.sketchlen, slots_per_feature=spf,
+            num_queries=b_static,
+            max_candidates=opt.classify.max_candidates)
+
+        self._postprocess(batch, res, results)
+
+    # ------------------------------------------------------------------
+    def _postprocess(self, batch, res, results):
+        db = self.db
+        opt = self.opt
+        oopt = opt.output
+        need_allhits = oopt.analysis.show_all_hits
+        cand_tgt = np.asarray(res.cand_tgt)
+        cand_tax = np.asarray(res.cand_tax)
+        cand_hits = np.asarray(res.cand_hits)
+        cand_beg = np.asarray(res.cand_beg)
+        cand_end = np.asarray(res.cand_end)
+        cls_tax = np.asarray(res.cls_tax)
+        if need_allhits:
+            hq = np.asarray(res.hit_qid)
+            ht = np.asarray(res.hit_tgt)
+            hw = np.asarray(res.hit_win)
+            bounds = np.searchsorted(hq, np.arange(len(batch) + 1))
+
+        make_truth = oopt.evaluate.precision or \
+            oopt.evaluate.determine_ground_truth
+
+        for i, q in enumerate(batch):
+            results.query_count += 1
+            qid_out = results.query_count
+            cands = []
+            for j in range(cand_tgt.shape[1]):
+                if cand_tgt[i, j] < 0:
+                    break
+                tax = db.taxa.taxon_with_id(int(cand_tax[i, j]))
+                cands.append((tax, int(cand_tgt[i, j]),
+                              int(cand_hits[i, j]), int(cand_beg[i, j]),
+                              int(cand_end[i, j])))
+            best = db.taxa.taxon_with_id(int(cls_tax[i])) \
+                if cls_tax[i] != 0 else None
+            truth = cls_mod.ground_truth(db.taxa, q.header) \
+                if make_truth else None
+
+            if (best is not None) and (oopt.analysis.show_hits_per_target or
+                                       opt.classify.cov_percentile > 0):
+                pass  # handled below (insert regardless of best)
+            if oopt.analysis.show_hits_per_target or \
+                    opt.classify.cov_percentile > 0:
+                for (tax, tgt, hits, beg, end) in cands:
+                    if tax is not None and hits >= self.hits_min:
+                        results.tgt_matches.setdefault(tgt, []).append(
+                            (qid_out, beg, end, hits))
+
+            if opt.classify.cov_percentile > 0:
+                results.saved_mappings.append(
+                    (qid_out, q.header, cands))
+                continue
+
+            if best is not None:
+                results.tax_counts[best] = \
+                    results.tax_counts.get(best, 0) + 1
+            cls_mod.evaluate_classification(
+                best, truth, db.taxa, oopt.evaluate.precision,
+                oopt.evaluate.taxon_coverage, results.statistics)
+
+            allhits = []
+            if need_allhits:
+                lo, hi = bounds[i], bounds[i + 1]
+                allhits = list(zip(ht[lo:hi].tolist(), hw[lo:hi].tolist()))
+            results.per_read_out.write(out_mod.show_query_mapping(
+                db.taxa, oopt, db.sketching, qid_out, q.header, best,
+                truth, cands, allhits))
+
+    # ------------------------------------------------------------------
+    def redo_saved_classification(self, results: "ClassificationResults"):
+        """Coverage-percentile second pass (reference:
+        filter_targets_by_coverage + redo_classification_batched,
+        src/classification.cpp:591-721)."""
+        db = self.db
+        opt = self.opt
+        oopt = opt.output
+        filter_targets_by_coverage(db.taxa, results.tgt_matches,
+                                   opt.classify.cov_percentile)
+        for (qid_out, header, cands) in results.saved_mappings:
+            cands = [c for c in cands if c[1] in results.tgt_matches]
+            host_cands = [cls_mod.HostCandidate(tax, tgt, hits, beg, end)
+                          for (tax, tgt, hits, beg, end) in cands]
+            best = cls_mod.classify(
+                db.taxa, opt.classify, self.hits_min, host_cands,
+                Rank(self.merge_rank), Rank(self.highest_rank))
+            truth = (cls_mod.ground_truth(db.taxa, header)
+                     if (oopt.evaluate.precision or
+                         oopt.evaluate.determine_ground_truth) else None)
+            if best is not None:
+                results.tax_counts[best] = \
+                    results.tax_counts.get(best, 0) + 1
+            cls_mod.evaluate_classification(
+                best, truth, db.taxa, oopt.evaluate.precision,
+                oopt.evaluate.taxon_coverage, results.statistics)
+            results.per_read_out.write(out_mod.show_query_mapping(
+                db.taxa, oopt, db.sketching, qid_out, header, best, truth,
+                cands, []))
+        results.saved_mappings = []
+
+
+def filter_targets_by_coverage(taxonomy, tgt_matches: Dict[int, list],
+                               percentile: float):
+    """Reference: filter_targets_by_coverage
+    (src/classification.cpp:591-634)."""
+    cov = []
+    total = 0.0
+    for tgt, cands in tgt_matches.items():
+        tax = taxonomy.cached_taxon_of_target(tgt)
+        nwin = tax.source.windows if tax and tax.source else 1
+        hit_windows = set()
+        for (_qid, beg, end, _hits) in cands:
+            hit_windows.update(range(beg, end + 1))
+        p = len(hit_windows) / nwin
+        total += p
+        cov.append((tgt, p))
+    cov.sort(key=lambda tp: tp[1])
+    part = 0.0
+    for tgt, p in cov:
+        part += p
+        if part > percentile * total:
+            break
+        del tgt_matches[tgt]
+
+
+def _round_up_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
+class ClassificationResults:
+    def __init__(self, per_read_out=None, per_target_out=None,
+                 per_taxon_out=None, status=None):
+        self.per_read_out = per_read_out or sys.stdout
+        self.per_target_out = per_target_out or self.per_read_out
+        self.per_taxon_out = per_taxon_out or self.per_read_out
+        self.status = status or sys.stderr
+        self.statistics = ClassificationStatistics()
+        self.tax_counts: Dict[Taxon, float] = {}
+        self.tgt_matches: Dict[int, list] = {}
+        self.saved_mappings: list = []
+        self.query_count = 0
+        self.time_ms = 0.0
+
+
+def map_queries_to_targets(infiles: List[str], db: Database,
+                           opt: QueryOptions,
+                           results: ClassificationResults):
+    """Reference: map_queries_to_targets (src/classification.cpp:870-881)."""
+    runner = QueryRunner(db, opt)
+    oopt = opt.output
+    if oopt.format.map_view_mode != MapViewMode.NONE:
+        results.per_read_out.write(
+            out_mod.show_query_mapping_header(oopt))
+
+    t0 = time.monotonic()
+    queries = read_queries(infiles, opt.pairing)
+    if opt.query_limit >= 0:
+        import itertools
+        queries = itertools.islice(queries, opt.query_limit)
+    runner.run_queries(queries, results)
+
+    if opt.classify.cov_percentile > 0:
+        runner.redo_saved_classification(results)
+    results.time_ms = (time.monotonic() - t0) * 1000.0
+
+    if oopt.analysis.show_hits_per_target:
+        ordered = {t: sorted(v, key=lambda c: (c[1], c[2], c[0]))
+                   for t, v in results.tgt_matches.items()}
+        results.per_target_out.write(out_mod.show_matches_per_targets(
+            db.taxa, db.sketching, ordered, oopt.format))
+
+    if oopt.analysis.show_tax_abundances:
+        results.per_taxon_out.write(out_mod.show_abundances(
+            abd.sort_tax_counts(results.tax_counts), results.statistics,
+            oopt.format))
+
+    if oopt.analysis.abundance_per != Rank.NONE:
+        est = abd.estimate_abundance(db.taxa, results.tax_counts,
+                                     oopt.analysis.abundance_per)
+        results.per_taxon_out.write(out_mod.show_abundance_estimates(
+            oopt.analysis.abundance_per, abd.sort_tax_counts(est),
+            results.statistics, oopt.format))
+    return results

@@ -1,0 +1,181 @@
+"""Database build orchestration.
+
+Mirrors the reference build pipeline (src/building.cpp:231-667 and
+src/mode_build.cpp:42-107): stream reference sequence files, extract
+sequence ids and parent taxids (file-accession -> mapping file -> header
+taxid chain, src/building.cpp:281-328), insert targets, apply the NCBI
+taxonomy, rank unranked targets via post-mapping files, and post-process
+features (overpopulated / ambiguous culls).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterable, Optional
+
+from ..config import SketchingOptions
+from ..seqio import reader as seqio
+from ..seqio.ids import (SequenceIdType, extract_accession_string,
+                         extract_taxon_id)
+from ..taxonomy import ncbi
+from ..taxonomy.model import FileSource, Rank, Taxonomy
+from .database import Database
+
+#: default per-directory taxonomic mapping file names
+#: (reference: build_options defaults, src/options.hpp:95-100)
+LOCAL_MAPPING_FILENAMES = ["assembly_summary.txt"]
+GLOBAL_MAPPING_FILENAMES: list[str] = []
+
+
+@dataclasses.dataclass
+class BuildOptions:
+    infiles: list[str] = dataclasses.field(default_factory=list)
+    dbfile: str = ""
+    taxonomy_dir: str = ""
+    taxpostmap: list[str] = dataclasses.field(default_factory=list)
+    sketching: SketchingOptions = dataclasses.field(
+        default_factory=SketchingOptions)
+    max_locations_per_feature: int = -1
+    remove_overpopulated_features: bool = False
+    max_ambig_per_feature: int = -1
+    ambig_rank: Rank = Rank.SEQUENCE
+    parts: int = 1
+    reset_parents: bool = False
+    seq_id_type: SequenceIdType = SequenceIdType.SMART
+
+
+def find_taxon_id(name2tax: Dict[str, int], name: str) -> int:
+    """Exact then prefix match (reference: find_taxon_id,
+    src/building.cpp:236-258)."""
+    if not name2tax or not name:
+        return 0
+    if name in name2tax:
+        return name2tax[name]
+    import bisect
+    keys = sorted(name2tax)  # cached by caller for hot paths
+    i = bisect.bisect_right(keys, name)
+    if i < len(keys) and keys[i].startswith(name):
+        return name2tax[keys[i]]
+    return 0
+
+
+class _PrefixMap:
+    """Sorted-key accession map with prefix fallback."""
+
+    def __init__(self, mapping: Dict[str, int]):
+        self.map = mapping
+        self.keys = sorted(mapping)
+
+    def find(self, name: str) -> int:
+        if not name or not self.map:
+            return 0
+        v = self.map.get(name)
+        if v is not None:
+            return v
+        import bisect
+        i = bisect.bisect_right(self.keys, name)
+        if i < len(self.keys) and self.keys[i].startswith(name):
+            return self.map[self.keys[i]]
+        return 0
+
+
+def expand_input_paths(paths: Iterable[str]) -> list[str]:
+    """Directories expand to their (sorted) sequence files
+    (reference: filesys_utility dir expansion)."""
+    out = []
+    exts = (".fa", ".fna", ".fasta", ".fq", ".fastq", ".gz")
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(exts):
+                    out.append(os.path.join(p, f))
+        else:
+            out.append(p)
+    return out
+
+
+def add_targets_to_database(db: Database, infiles: list[str],
+                            sequ2taxid: Dict[str, int],
+                            seq_id_type: SequenceIdType = SequenceIdType.SMART,
+                            show_progress=None):
+    """Reference: add_targets_to_database (src/building.cpp:337-461)."""
+    smap = _PrefixMap(sequ2taxid)
+    for fi, path in enumerate(infiles):
+        # taxid from the file name's accession
+        file_acc = extract_accession_string(os.path.basename(path),
+                                            SequenceIdType.SMART)
+        file_taxid = smap.find(file_acc) if file_acc else 0
+        for rec in seqio.read_sequences(path):
+            if not rec.seq:
+                continue
+            seqid = extract_accession_string(rec.header, seq_id_type)
+            if not seqid:
+                seqid = rec.header
+            parent = file_taxid
+            if parent == 0:
+                parent = smap.find(seqid)
+            if parent == 0:
+                parent = extract_taxon_id(rec.header)
+            db.add_target(rec.seq, seqid, parent,
+                          FileSource(path, rec.index))
+        if show_progress:
+            show_progress(fi + 1, len(infiles))
+
+
+def try_to_rank_unranked_targets(db: Database, opt: BuildOptions):
+    """Attach still-unranked targets via -taxpostmap accession files
+    (reference: src/building.cpp:85-229)."""
+    unranked = [t for t in db.taxa.target_taxa
+                if t is not None and t.parent_id == 0]
+    if not unranked:
+        return
+    mapping: Dict[str, int] = {}
+    for f in opt.taxpostmap:
+        ncbi.read_sequence_to_taxon_id_mapping(f, mapping)
+    if not mapping:
+        return
+    smap = _PrefixMap(mapping)
+    for t in unranked:
+        taxid = smap.find(t.name)
+        if taxid > 0:
+            db.taxa.reset_target_parent(t, taxid)
+
+
+def build_database(opt: BuildOptions,
+                   db: Optional[Database] = None) -> Database:
+    """End-to-end build (reference: add_to_database, building.cpp:603-667)."""
+    if db is None:
+        db = Database(opt.sketching)
+    if opt.max_locations_per_feature > 0:
+        db.max_locations_per_feature = min(
+            opt.max_locations_per_feature,
+            db.max_locations_per_feature)
+    infiles = expand_input_paths(opt.infiles)
+
+    # taxonomy
+    if opt.taxonomy_dir:
+        tax = ncbi.make_taxonomic_hierarchy(
+            os.path.join(opt.taxonomy_dir, "nodes.dmp"),
+            os.path.join(opt.taxonomy_dir, "names.dmp"),
+            os.path.join(opt.taxonomy_dir, "merged.dmp"))
+        db.apply_taxonomy(tax)
+
+    sequ2taxid = ncbi.make_sequence_to_taxon_id_map(
+        LOCAL_MAPPING_FILENAMES, opt.taxpostmap, infiles)
+
+    db.initialize_parts(opt.parts)
+    add_targets_to_database(db, infiles, sequ2taxid, opt.seq_id_type)
+    db.finalize()
+    db.merge_parts(opt.parts)
+
+    try_to_rank_unranked_targets(db, opt)
+
+    # post-process features (reference: post_process_features,
+    # building.cpp:527-569)
+    if opt.remove_overpopulated_features:
+        maxloc = db.max_locations_per_feature
+        db.remove_features_with_more_locations_than(maxloc - 1)
+    if opt.max_ambig_per_feature > 0:
+        db.remove_ambiguous_features(opt.ambig_rank,
+                                     opt.max_ambig_per_feature)
+    return db

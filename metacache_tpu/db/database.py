@@ -1,0 +1,249 @@
+"""The database: feature store + taxonomy + sketching metadata.
+
+Re-design of the reference `database` class (src/database.hpp:119-532,
+src/database.cpp:36-375) around the TPU-native CSR feature table:
+
+- add_target sketches all windows of a reference sequence (on device, in
+  batches) and accumulates (feature, location) pairs;
+- finalize() sort-builds the CSR table (the XLA-natural equivalent of the
+  hash-multimap insert path) honoring max_locations_per_feature;
+- on-disk format: `<db>.meta` (JSON header mirroring the reference's .meta
+  version/type-width/sketching gates), `<db>.tax.npz` (taxonomy + target
+  metadata), `<db>.cache<p>.npz` (table arrays per part);
+- partitioned databases keep one FeatureTable per part (reference: "parts",
+  database.hpp:274-314); queries probe every part and merge matches.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import (DB_FORMAT_VERSION, FEATURE_SENTINEL,
+                      MAX_SUPPORTED_LOCATIONS_PER_FEATURE, SketchingOptions)
+from ..ops import windows as win_ops
+from ..ops.table import FeatureTable, pack_locations
+from ..taxonomy.model import (FileSource, Rank, Taxon, TaxonomyCache,
+                              Taxonomy, NUM_RANKS)
+
+MAX_TARGETS = 2**32 - 2
+MAX_WINDOWS_PER_TARGET = 2**32 - 1
+
+
+class TargetLimitExceeded(RuntimeError):
+    pass
+
+
+class Database:
+    def __init__(self, sketching: SketchingOptions | None = None):
+        self.sketching = (sketching or SketchingOptions()).resolved()
+        self.taxa = TaxonomyCache()
+        self.parts: list[FeatureTable] = []
+        self.max_locations_per_feature = MAX_SUPPORTED_LOCATIONS_PER_FEATURE
+        # build-time accumulators, one per part
+        self._pending: list[list[tuple[np.ndarray, np.ndarray]]] = [[]]
+        self._use_device_sketcher = True
+
+    # -- properties ------------------------------------------------------
+    @property
+    def target_count(self) -> int:
+        return self.taxa.target_count
+
+    @property
+    def part_count(self) -> int:
+        return max(len(self.parts), len(self._pending))
+
+    @property
+    def feature_count(self) -> int:
+        return sum(p.num_features for p in self.parts)
+
+    @property
+    def location_count(self) -> int:
+        return sum(p.num_locations for p in self.parts)
+
+    def initialize_parts(self, n: int):
+        self._pending = [[] for _ in range(max(1, n))]
+
+    # -- building --------------------------------------------------------
+    def add_target(self, seq: bytes, seqid: str, parent_taxid: int,
+                   source: FileSource, part: int = 0) -> Optional[Taxon]:
+        """Sketch + insert one reference sequence
+        (reference: database::add_target, src/database.cpp:36-82)."""
+        if self.target_count >= MAX_TARGETS:
+            raise TargetLimitExceeded()
+        if len(seq) == 0:
+            return None
+        tid = self.target_count
+        feats, wins = self._sketch_target(seq)
+        locs = pack_locations(np.full(len(feats), tid, np.uint32), wins)
+        self._pending[part].append((feats, locs))
+        nwin = win_ops.num_windows(len(seq), self.sketching)
+        source.windows = nwin
+        if parent_taxid < 0:
+            parent_taxid = 0
+        return self.taxa.emplace_target_taxon(tid, parent_taxid, seqid,
+                                              source)
+
+    def _sketch_target(self, seq: bytes):
+        """All (feature, window_id) pairs of one sequence."""
+        codes = win_ops.encode_ascii(seq)
+        wm, vl = win_ops.sequence_windows(codes, self.sketching)
+        if len(wm) == 0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+        s = self.sketching
+        if self._use_device_sketcher:
+            from .sketch_exec import sketch_windows_batched
+            feats = sketch_windows_batched(wm, vl, s.kmerlen, s.sketchlen)
+        else:
+            from ..core import sketch as osk
+            feats = np.full((len(wm), s.sketchlen), FEATURE_SENTINEL,
+                            np.uint32)
+            for i in range(len(wm)):
+                sk = osk.sketch_codes(wm[i][:vl[i]], s)
+                feats[i, :len(sk)] = sk
+        wid = np.broadcast_to(
+            np.arange(len(wm), dtype=np.uint32)[:, None], feats.shape)
+        mask = feats != np.uint32(FEATURE_SENTINEL)
+        return feats[mask], wid[mask]
+
+    def finalize(self):
+        """Build CSR tables from accumulated pairs."""
+        self.parts = []
+        for pending in self._pending:
+            if pending:
+                feats = np.concatenate([f for f, _ in pending])
+                locs = np.concatenate([l for _, l in pending])
+            else:
+                feats = np.zeros(0, np.uint32)
+                locs = np.zeros(0, np.uint64)
+            self.parts.append(FeatureTable.build(
+                feats, locs, self.max_locations_per_feature))
+        self._pending = [[] for _ in self._pending]
+
+    def merge_parts(self, max_parts: int):
+        """Merge down to at most `max_parts` tables (reference:
+        merge_reduce_max_parts_max_bytes, src/host_hashmap.hpp:260-372)."""
+        while len(self.parts) > max(1, max_parts):
+            a = self.parts.pop()
+            b = self.parts.pop()
+            self.parts.append(b.merge(a))
+
+    # -- feature culls (reference: host_hashmap.hpp:480-541) -------------
+    def remove_features_with_more_locations_than(self, n: int) -> int:
+        return sum(p.remove_features_with_more_locations_than(n)
+                   for p in self.parts)
+
+    def remove_ambiguous_features(self, rank: Rank, max_taxa: int) -> int:
+        lin = self.taxa.target_lineages_array()
+        # taxon of each target at `rank` (or first above)
+        tax_at = np.zeros(self.target_count, dtype=np.int64)
+        for r in range(int(rank), NUM_RANKS):
+            fill = (tax_at == 0) & (lin[:self.target_count, r] != 0)
+            tax_at[fill] = lin[:self.target_count, r][fill]
+        return sum(p.remove_ambiguous_features(max_taxa, tax_at)
+                   for p in self.parts)
+
+    # -- persistence -----------------------------------------------------
+    def save(self, path: str):
+        meta = {
+            "format": "metacache_tpu",
+            "db_version": DB_FORMAT_VERSION,
+            "kmer_bits": 32,
+            "target_id_bits": 32,
+            "window_id_bits": 32,
+            "bucket_size_bits": 8,
+            "sketching": {
+                "kmerlen": self.sketching.kmerlen,
+                "sketchlen": self.sketching.sketchlen,
+                "winlen": self.sketching.winlen,
+                "winstride": self.sketching.winstride,
+            },
+            "max_locations_per_feature": self.max_locations_per_feature,
+            "target_count": self.target_count,
+            "part_count": len(self.parts),
+        }
+        with open(path + ".meta", "w") as f:
+            json.dump(meta, f, indent=1)
+        self._save_taxonomy(path + ".tax.npz")
+        for i, p in enumerate(self.parts):
+            np.savez(path + f".cache{i}.npz",
+                     features=p.unique_features, offsets=p.offsets,
+                     locations=p.locations)
+
+    def _save_taxonomy(self, path: str):
+        tx = self.taxa.taxonomy
+        taxa = sorted(tx.taxa.values(), key=lambda t: t.id)
+        np.savez(
+            path,
+            tax_ids=np.array([t.id for t in taxa], np.int64),
+            tax_parents=np.array([t.parent_id for t in taxa], np.int64),
+            tax_ranks=np.array([int(t.rank) for t in taxa], np.uint8),
+            tax_names=np.array(
+                json.dumps([t.name for t in taxa]).encode()),
+            tgt_parents=np.array(
+                [t.parent_id if t else 0 for t in self.taxa.target_taxa],
+                np.int64),
+            tgt_names=np.array(json.dumps(
+                [t.name if t else "" for t in self.taxa.target_taxa]
+            ).encode()),
+            tgt_sources=np.array(json.dumps(
+                [[t.source.filename, t.source.index, t.source.windows]
+                 if t and t.source else ["", 0, 0]
+                 for t in self.taxa.target_taxa]).encode()),
+        )
+
+    @staticmethod
+    def load(path: str, metadata_only: bool = False,
+             part: int | None = None) -> "Database":
+        with open(path + ".meta") as f:
+            meta = json.load(f)
+        if meta.get("db_version") != DB_FORMAT_VERSION:
+            raise IOError(
+                f"incompatible database version {meta.get('db_version')}")
+        sk = meta["sketching"]
+        db = Database(SketchingOptions(**sk))
+        db.max_locations_per_feature = meta["max_locations_per_feature"]
+        db._load_taxonomy(path + ".tax.npz")
+        if not metadata_only:
+            nparts = meta["part_count"]
+            idxs = range(nparts) if part is None else [part]
+            for i in idxs:
+                z = np.load(path + f".cache{i}.npz")
+                db.parts.append(FeatureTable(
+                    z["features"], z["offsets"], z["locations"],
+                    db.max_locations_per_feature))
+        return db
+
+    def _load_taxonomy(self, path: str):
+        z = np.load(path)
+        tx = Taxonomy()
+        names = json.loads(bytes(z["tax_names"]).decode())
+        for i, n in zip(
+                range(len(z["tax_ids"])), names):
+            tx.emplace(int(z["tax_ids"][i]), int(z["tax_parents"][i]), n,
+                       Rank(int(z["tax_ranks"][i])))
+        self.taxa = TaxonomyCache(tx)
+        tnames = json.loads(bytes(z["tgt_names"]).decode())
+        tsources = json.loads(bytes(z["tgt_sources"]).decode())
+        for tid, (name, parent, src) in enumerate(
+                zip(tnames, z["tgt_parents"], tsources)):
+            t = self.taxa.taxonomy.emplace(
+                -tid - 1, int(parent), name, Rank.SEQUENCE,
+                FileSource(src[0], int(src[1]), int(src[2])))
+            self.taxa.name2tax[name] = t
+            self.taxa.target_taxa.append(t)
+        self.taxa._outdated = True
+
+    # -- taxonomy application (reference: building.cpp:470-518) ----------
+    def apply_taxonomy(self, taxonomy: Taxonomy):
+        cache = TaxonomyCache(taxonomy)
+        # re-attach existing targets
+        for t in self.taxa.target_taxa:
+            if t is not None:
+                taxonomy.emplace(t.id, t.parent_id, t.name, t.rank, t.source)
+                cache.name2tax[t.name] = t
+        cache.target_taxa = self.taxa.target_taxa
+        self.taxa = cache
+        self.taxa._outdated = True

@@ -1,0 +1,166 @@
+"""Feature -> location store, TPU-native layout.
+
+The reference uses a pointer-chasing open-addressing multimap on CPU
+(src/hash_multimap.hpp) and warpcore tables on GPU (src/gpu_hashmap.cu).
+The TPU-native equivalent is two flat HBM arrays in CSR form — a
+generalization of the reference's own GPU *query* table layout
+(feature -> packed offset|size into one flat locations array,
+src/gpu_hashmap.cu:647-661, 757-764):
+
+  unique_features : (F,)   u32, ascending
+  offsets         : (F+1,) i64
+  locations       : (L,)   u64 packed (target_id << 32) | window_id
+
+Locations within a bucket are ascending — the (tgt, win) sort invariant the
+query path requires (location::operator<, src/database.hpp:151-156; the
+post-merge per-bucket sort, src/host_hashmap.hpp:347-352).
+
+Construction is sort-based (sort all (feature, location) pairs, then
+run-length segment) — deterministic, TPU/XLA-friendly, and it yields the
+sorted-bucket invariant for free. Probing is a vectorized branchless binary
+search (device) instead of open-addressing pointer chases.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import MAX_SUPPORTED_LOCATIONS_PER_FEATURE
+
+LOC_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def pack_locations(targets: np.ndarray, wins: np.ndarray) -> np.ndarray:
+    return (targets.astype(np.uint64) << np.uint64(32)) | \
+        wins.astype(np.uint64)
+
+
+def unpack_locations(locs: np.ndarray):
+    return (locs >> np.uint64(32)).astype(np.uint32), \
+        (locs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+@dataclasses.dataclass
+class FeatureTable:
+    unique_features: np.ndarray   # (F,) u32 ascending
+    offsets: np.ndarray           # (F+1,) i64
+    locations: np.ndarray         # (L,) u64, ascending within each bucket
+    max_locations_per_feature: int = MAX_SUPPORTED_LOCATIONS_PER_FEATURE
+
+    @property
+    def num_features(self) -> int:
+        return len(self.unique_features)
+
+    @property
+    def num_locations(self) -> int:
+        return len(self.locations)
+
+    @property
+    def max_bucket_size(self) -> int:
+        if self.num_features == 0:
+            return 0
+        return int(np.max(np.diff(self.offsets)))
+
+    def bucket_sizes(self) -> np.ndarray:
+        return np.diff(self.offsets).astype(np.int64)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build(features: np.ndarray, locations: np.ndarray,
+              max_locations_per_feature: int =
+              MAX_SUPPORTED_LOCATIONS_PER_FEATURE) -> "FeatureTable":
+        """Sort-based construction from parallel (feature, location) arrays.
+
+        Per-bucket truncation keeps the `max_locations_per_feature` smallest
+        locations, i.e. the lowest (tgt, win). For a sequential build this
+        equals the reference's insertion-order cap (targets are inserted in
+        ascending id order; hash_multimap::shrink keeps the first entries,
+        src/host_hashmap.hpp:598-603).
+        """
+        features = np.ascontiguousarray(features, dtype=np.uint32)
+        locations = np.ascontiguousarray(locations, dtype=np.uint64)
+        order = np.lexsort((locations, features))
+        features = features[order]
+        locations = locations[order]
+
+        uniq, starts, counts = np.unique(features, return_index=True,
+                                         return_counts=True)
+        cap = int(max_locations_per_feature)
+        if len(counts) and counts.max() > cap:
+            keep = np.ones(len(features), dtype=bool)
+            over = np.nonzero(counts > cap)[0]
+            for i in over:
+                keep[starts[i] + cap: starts[i] + counts[i]] = False
+            features = features[keep]
+            locations = locations[keep]
+            uniq, starts, counts = np.unique(features, return_index=True,
+                                             return_counts=True)
+        offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return FeatureTable(uniq, offsets, locations, cap)
+
+    # ------------------------------------------------------------------
+    def merge(self, other: "FeatureTable") -> "FeatureTable":
+        """Merge two tables (reference: hash_multimap bulk insert + per-
+        bucket location sort, src/hash_multimap.hpp:636-680 +
+        src/host_hashmap.hpp:347-352)."""
+        f = np.concatenate([
+            np.repeat(self.unique_features, np.diff(self.offsets)),
+            np.repeat(other.unique_features, np.diff(other.offsets))])
+        l = np.concatenate([self.locations, other.locations])
+        return FeatureTable.build(f, l, self.max_locations_per_feature)
+
+    # ------------------------------------------------------------------
+    def remove_features_with_more_locations_than(self, n: int) -> int:
+        """Reference: remove over-populated features
+        (host_hashmap.hpp:480-502). Returns number of removed features."""
+        sizes = np.diff(self.offsets)
+        kill = sizes > n
+        removed = int(np.count_nonzero(kill))
+        if removed:
+            self._remove_buckets(kill)
+        return removed
+
+    def remove_ambiguous_features(self, max_taxa: int,
+                                  target_taxa_at_rank: np.ndarray) -> int:
+        """Remove features whose locations span more than `max_taxa`
+        distinct taxa at a rank (reference: host_hashmap.hpp:505-541).
+
+        `target_taxa_at_rank` maps target_id -> taxon id at the chosen rank
+        (0 = none).
+        """
+        tgts, _ = unpack_locations(self.locations)
+        taxa = target_taxa_at_rank[tgts]
+        sizes = np.diff(self.offsets)
+        bucket_ids = np.repeat(np.arange(self.num_features), sizes)
+        # count distinct taxa per bucket
+        order = np.lexsort((taxa, bucket_ids))
+        b = bucket_ids[order]
+        t = taxa[order]
+        newpair = np.ones(len(b), dtype=bool)
+        newpair[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1])
+        distinct = np.bincount(b[newpair], minlength=self.num_features)
+        kill = distinct > max_taxa
+        removed = int(np.count_nonzero(kill))
+        if removed:
+            self._remove_buckets(kill)
+        return removed
+
+    def _remove_buckets(self, kill: np.ndarray):
+        sizes = np.diff(self.offsets)
+        keep_loc = np.repeat(~kill, sizes)
+        self.locations = self.locations[keep_loc]
+        self.unique_features = self.unique_features[~kill]
+        sizes = sizes[~kill]
+        self.offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=self.offsets[1:])
+
+    # ------------------------------------------------------------------
+    def location_list_size_statistics(self):
+        """(mean, stddev, max) of bucket sizes (reference:
+        host_hashmap.hpp:376-409)."""
+        s = np.diff(self.offsets)
+        if len(s) == 0:
+            return 0.0, 0.0, 0
+        return float(s.mean()), float(s.std()), int(s.max())

@@ -145,7 +145,7 @@ class FileSource:
     windows: int = 0
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity semantics, like taxon pointers
 class Taxon:
     id: int
     parent_id: int = NONE_ID

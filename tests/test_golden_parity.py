@@ -1,0 +1,127 @@
+"""End-to-end parity vs the reference CPU binary's golden outputs.
+
+Builds the database once from the synthetic fixture, then runs the query
+CLI with the exact flag sets used by tests/make_goldens.sh and diffs the
+output line-by-line (timing/thread/path lines stripped, as in the
+reference's own test/run_tests).
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(HERE, "data")
+GOLD = os.path.join(DATA, "golden")
+REPO = os.path.dirname(HERE)
+
+
+@pytest.fixture(scope="module")
+def dbfile(tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("db") / "testdb")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy", "-parts", "1"])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return db
+
+
+def _run(args):
+    env = dict(os.environ, MC_JAX_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    return subprocess.run([sys.executable, "-m", "metacache_tpu"] + args,
+                          capture_output=True, env=env, cwd=REPO,
+                          timeout=600)
+
+
+def _strip(text: str):
+    drop = ("# time:", "# speed:", "threads", DATA, "/tmp")
+    return [l for l in text.splitlines()
+            if not any(d in l for d in drop)]
+
+
+def _golden(name: str):
+    with open(os.path.join(GOLD, name)) as f:
+        return _strip(f.read())
+
+
+def _query(dbfile, args):
+    r = _run(["query", dbfile] + args)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return _strip(r.stdout.decode())
+
+
+HITS_PER_REF_HDR = "# TABLE_LAYOUT:  sequence"
+
+
+def _canon(lines):
+    """Sort the hits-per-ref block (reference iterates an unordered_map)."""
+    out, block, in_block = [], [], False
+    for l in lines:
+        if l.startswith("sequence:") and "\t|\t" in l:
+            in_block = True
+            block.append(l)
+        else:
+            if in_block and block:
+                out.extend(sorted(block))
+                block = []
+                in_block = False
+            out.append(l)
+    if block:
+        out.extend(sorted(block))
+    return out
+
+
+CASES = [
+    ("classified_single_fa.txt", ["reads_single.fa", "-precision",
+     "-ground-truth", "-tophits", "-allhits", "-hits-per-ref",
+     "-abundances", "-abundance-per", "species"]),
+    ("classified_single_fq.txt", ["reads_single.fq", "-precision",
+     "-ground-truth", "-tophits"]),
+    ("classified_long_fa.txt", ["reads_long.fa", "-precision",
+     "-ground-truth", "-tophits"]),
+    ("classified_pairfiles.txt", ["reads_pair1.fa", "reads_pair2.fa",
+     "-pairfiles", "-precision", "-ground-truth", "-tophits"]),
+    ("classified_pairseq.txt", ["reads_pairseq.fa", "-pairseq",
+     "-precision", "-ground-truth", "-tophits"]),
+]
+
+FMT_FLAGS = [
+    [],
+    ["-lineage"],
+    ["-taxids"],
+    ["-taxids-only"],
+    ["-taxids-only", "-omit-ranks"],
+    ["-omit-ranks"],
+    ["-taxids", "-omit-ranks"],
+    ["-separate-cols"],
+    ["-taxids", "-separate-cols"],
+    ["-taxids-only", "-separate-cols", "-omit-ranks"],
+    ["-queryids"],
+    ["-queryids", "-lineage"],
+    ["-mapped-only"],
+    ["-separator", ":::"],
+    ["-lowest", "species"],
+    ["-lowest", "genus", "-taxids"],
+    ["-hitmin", "8"],
+    ["-hitdiff", "50"],
+    ["-maxcand", "4", "-tophits"],
+]
+
+
+@pytest.mark.parametrize("golden,args", CASES,
+                         ids=[c[0].split(".")[0] for c in CASES])
+def test_classification_parity(dbfile, golden, args):
+    args = [f"{DATA}/{a}" if a.startswith("reads_") else a for a in args]
+    ours = _canon(_query(dbfile, args))
+    want = _canon(_golden(golden))
+    assert ours == want
+
+
+@pytest.mark.parametrize("i", range(len(FMT_FLAGS)))
+def test_formatting_matrix_parity(dbfile, i):
+    ours = _query(dbfile, [f"{DATA}/reads_single.fa"] + FMT_FLAGS[i])
+    want = _golden(f"fmt_{i}.txt")
+    assert ours == want, f"flags: {FMT_FLAGS[i]}"
