@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark: short-read classification throughput on one TPU chip.
+
+Builds a synthetic strain-redundant reference database (16 base genomes x 4
+mutated strains x 1 Mbp = 64 Mbp, mimicking RefSeq strain redundancy so
+feature buckets have realistic depth), then measures steady-state device
+classification throughput for 100 bp reads (sketch -> probe -> gather ->
+sort -> candidate sweep -> LCA), reads/min.
+
+Baseline: reference MetaCache-GPU ~300 M reads/min on 4x V100
+(README.md:7). vs_baseline = ours / 300e6 (single chip vs 4 GPUs).
+
+Prints ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NUM_BASE = 16
+STRAINS = 4
+GENOME_LEN = 1_000_000
+READ_LEN = 100
+BATCH_READS = 8192
+WARMUP = 3
+ITERS = 20
+
+
+def make_genomes(rng):
+    genomes = []
+    for b in range(NUM_BASE):
+        base = rng.integers(0, 4, GENOME_LEN, dtype=np.uint8)
+        for s in range(STRAINS):
+            g = base.copy()
+            if s:
+                nmut = GENOME_LEN // 100
+                pos = rng.integers(0, GENOME_LEN, nmut)
+                g[pos] = rng.integers(0, 4, nmut, dtype=np.uint8)
+            genomes.append(g)
+    return genomes
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from metacache_tpu.config import SketchingOptions
+    from metacache_tpu.db.sketch_exec import sketch_windows_batched
+    from metacache_tpu.ops import windows as W
+    from metacache_tpu.ops.pipeline import query_step
+    from metacache_tpu.ops.table import (FeatureTable, pack_locations,
+                                         unpack_locations)
+
+    rng = np.random.default_rng(42)
+    opt = SketchingOptions().resolved()
+    t_start = time.time()
+
+    genomes = make_genomes(rng)
+
+    # --- build DB on device (sketch) + sort-based table construction ----
+    feats_all, locs_all = [], []
+    for tid, g in enumerate(genomes):
+        wm, vl = W.sequence_windows(g, opt)
+        feats = sketch_windows_batched(wm, vl, opt.kmerlen, opt.sketchlen)
+        wid = np.broadcast_to(
+            np.arange(len(wm), dtype=np.uint32)[:, None], feats.shape)
+        mask = feats != np.uint32(0xFFFFFFFF)
+        feats_all.append(feats[mask])
+        locs_all.append(pack_locations(
+            np.full(mask.sum(), tid, np.uint32), wid[mask]))
+    ft = FeatureTable.build(np.concatenate(feats_all),
+                            np.concatenate(locs_all))
+    build_s = time.time() - t_start
+
+    ltgt, lwin = unpack_locations(ft.locations)
+    spf = min(ft.max_bucket_size, 255)
+    ntgt = len(genomes)
+    num_ranks = 21
+    lineages = np.zeros((ntgt, num_ranks), np.int32)
+    lineages[:, 0] = -np.arange(ntgt) - 1
+    lineages[:, 4] = np.arange(ntgt) // STRAINS + 100   # species per base
+    lineages[:, 20] = 1
+    merge_tax = lineages[:, 0].copy()
+
+    # --- sample reads, pre-stage batches --------------------------------
+    T = B = BATCH_READS
+    gsel = rng.integers(0, ntgt, T)
+    pos = rng.integers(0, GENOME_LEN - READ_LEN, T)
+    wins = np.full((T, opt.winlen), 255, np.uint8)
+    for i in range(T):
+        wins[i, :READ_LEN] = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
+    valid = np.full(T, READ_LEN, np.int32)
+    qid = np.arange(T, dtype=np.int32)
+    mwir = np.full(B, 2, np.int32)
+
+    args = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
+            jnp.asarray(mwir),
+            jnp.asarray(ft.unique_features),
+            jnp.asarray(ft.offsets.astype(np.int32)),
+            jnp.asarray(ltgt.astype(np.int32)),
+            jnp.asarray(lwin.astype(np.int32)),
+            jnp.asarray(merge_tax), jnp.asarray(lineages),
+            jnp.int32(5), jnp.float32(1.0), jnp.int32(19), jnp.int32(0))
+    kw = dict(k=opt.kmerlen, sketchlen=opt.sketchlen,
+              slots_per_feature=spf, num_queries=B, max_candidates=2)
+
+    res = query_step(*args, **kw)
+    res.cls_tax.block_until_ready()
+    for _ in range(WARMUP):
+        res = query_step(*args, **kw)
+    res.cls_tax.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        res = query_step(*args, **kw)
+    res.cls_tax.block_until_ready()
+    dt = (time.time() - t0) / ITERS
+
+    # sanity: most reads should classify to their source species
+    cls = np.asarray(res.cls_tax)
+    correct = np.mean(cls == lineages[gsel, np.where(
+        np.arange(ntgt)[gsel] % STRAINS == 0, 0, 4)])
+    # strains share species-level features; accept either level
+    ok_any = np.mean(cls != 0)
+
+    reads_per_min = B / dt * 60
+    out = {
+        "metric": "100bp read classification throughput (1 chip, "
+                  f"64x1Mbp strain-redundant DB, max bucket {spf})",
+        "value": round(reads_per_min),
+        "unit": "reads/min",
+        "vs_baseline": round(reads_per_min / 300e6, 4),
+        "detail": {
+            "ms_per_batch": round(dt * 1000, 3),
+            "batch_reads": B,
+            "db_features": int(ft.num_features),
+            "db_locations": int(ft.num_locations),
+            "build_seconds": round(build_s, 1),
+            "classified_fraction": round(float(ok_any), 4),
+            "devices": [str(d) for d in jax.devices()],
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,17 +131,34 @@ def query_step(windows, valid, qid_w, max_win_in_range,
         parameters (traced scalars).
     """
     b = num_queries
-    kk = max_candidates
-    num_ranks = lineages.shape[1]
 
     feats = sketch_windows(windows, valid, k=k, sketchlen=sketchlen)
     qk, tgt, win, is_match = probe_and_gather(
         feats, qid_w, table_feats, table_offsets, loc_tgt, loc_win,
         slots_per_feature)
+    qk = jnp.where(is_match, qk, jnp.int32(b))
+    return matches_to_result(
+        qk, tgt, win, max_win_in_range, merge_tax_of_target, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank,
+        num_queries=b, max_candidates=max_candidates)
+
+
+def matches_to_result(qk, tgt, win, max_win_in_range,
+                      merge_tax_of_target, lineages,
+                      hits_min, hits_diff_frac, highest_rank, merge_rank,
+                      *, num_queries: int,
+                      max_candidates: int) -> QueryResult:
+    """Sort flat matches, sweep ranges, rank candidates, classify.
+
+    Factored out of query_step so the sharded multi-chip path can feed it
+    collectively-merged match arrays (qk entries >= num_queries are
+    padding and sort to the end).
+    """
+    b = num_queries
+    kk = max_candidates
     m = qk.shape[0]
 
     # ---- sort all matches by (query, target, window) -------------------
-    qk = jnp.where(is_match, qk, jnp.int32(b))
     qk, tgt, win = jax.lax.sort((qk, tgt, win), num_keys=3)
     is_match = qk < b
     pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).reshape(-1)

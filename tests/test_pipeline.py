@@ -1,0 +1,179 @@
+"""Device pipeline vs NumPy oracle: randomized candidate/classification
+parity, plus FeatureTable semantics."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metacache_tpu.config import SketchingOptions, max_windows_in_range
+from metacache_tpu.core import sketch as osketch
+from metacache_tpu.core.candidates import (CandidateGenerationRules,
+                                           generate_candidates)
+from metacache_tpu.ops import windows as W
+from metacache_tpu.ops.pipeline import query_step
+from metacache_tpu.ops.table import (FeatureTable, pack_locations,
+                                     unpack_locations)
+
+OPT = SketchingOptions().resolved()
+NR = 21
+
+
+def _random_genomes(rng, n, length):
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return [alpha[rng.integers(0, 4, length)].tobytes() for _ in range(n)]
+
+
+def _build_table(genomes):
+    feats, locs = [], []
+    for tid, g in enumerate(genomes):
+        for win, sk in osketch.for_each_sketch(g, OPT):
+            feats.append(np.asarray(sk, np.uint32))
+            locs.append(pack_locations(np.full(len(sk), tid, np.uint32),
+                                       np.full(len(sk), win, np.uint32)))
+    return FeatureTable.build(np.concatenate(feats), np.concatenate(locs))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    genomes = _random_genomes(rng, 8, 12000)
+    ft = _build_table(genomes)
+    lineages = np.zeros((8, NR), np.int32)
+    lineages[:, 0] = -np.arange(8) - 1
+    lineages[:, 4] = np.arange(8) // 2 + 100  # two targets per species
+    lineages[:, 6] = np.arange(8) // 4 + 200
+    lineages[:, 20] = 1
+    return rng, genomes, ft, lineages
+
+
+def _run_device(reads, ft, lineages, merge_rank=0, hits_min=5,
+                max_candidates=2, hits_diff=1.0):
+    ltgt, lwin = unpack_locations(ft.locations)
+    merge_tax = np.zeros(lineages.shape[0], np.int32)
+    for r in range(merge_rank, NR):
+        fill = (merge_tax == 0) & (lineages[:, r] != 0)
+        merge_tax[fill] = lineages[:, r][fill]
+    wins, valid, qid = W.batch_windows(reads, OPT, pad_to=None)
+    t = len(wins)
+    b = len(reads)
+    mwir = np.array([max_windows_in_range(len(r), 0, OPT.winstride)
+                     for r in reads], np.int32)
+    return query_step(
+        jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
+        jnp.asarray(mwir),
+        jnp.asarray(ft.unique_features),
+        jnp.asarray(ft.offsets.astype(np.int32)),
+        jnp.asarray(ltgt.astype(np.int32)),
+        jnp.asarray(lwin.astype(np.int32)),
+        jnp.asarray(merge_tax), jnp.asarray(lineages),
+        jnp.int32(hits_min), jnp.float32(hits_diff), jnp.int32(19),
+        jnp.int32(merge_rank),
+        k=OPT.kmerlen, sketchlen=OPT.sketchlen,
+        slots_per_feature=max(ft.max_bucket_size, 1),
+        num_queries=b, max_candidates=max_candidates)
+
+
+def _oracle_candidates(read, ft, lineages, merge_rank, max_candidates):
+    feats = osketch.all_query_features(read, None, OPT)
+    matches = []
+    fl = ft.unique_features
+    for f in feats:
+        i = np.searchsorted(fl, f)
+        if i < len(fl) and fl[i] == f:
+            for l in ft.locations[ft.offsets[i]:ft.offsets[i + 1]]:
+                matches.append((int(l >> np.uint64(32)),
+                                int(l & np.uint64(0xFFFFFFFF))))
+    matches.sort()
+
+    def tax_of(tgt):
+        for r in range(merge_rank, NR):
+            if lineages[tgt, r] != 0:
+                return int(lineages[tgt, r])
+        return None
+
+    rules = CandidateGenerationRules(
+        max_windows_in_range=max_windows_in_range(len(read), 0,
+                                                  OPT.winstride),
+        max_candidates=max_candidates,
+        merge_below_is_sequence=(merge_rank == 0),
+        taxon_of_target=tax_of,
+        lowest_ranked_ancestor=tax_of)
+    return generate_candidates(matches, rules)
+
+
+@pytest.mark.parametrize("merge_rank", [0, 4, 6])
+@pytest.mark.parametrize("maxcand", [2, 4])
+def test_candidates_match_oracle(setup, merge_rank, maxcand):
+    rng, genomes, ft, lineages = setup
+    reads = []
+    for _ in range(40):
+        g = genomes[rng.integers(0, len(genomes))]
+        ln = int(rng.choice([100, 150, 300, 500]))
+        p = int(rng.integers(0, len(g) - ln))
+        reads.append(g[p:p + ln])
+    res = _run_device(reads, ft, lineages, merge_rank=merge_rank,
+                      max_candidates=maxcand)
+    cand_tax = np.asarray(res.cand_tax)
+    cand_hits = np.asarray(res.cand_hits)
+    for i, read in enumerate(reads):
+        oc = _oracle_candidates(read, ft, lineages, merge_rank, maxcand)
+        dev = [(int(cand_tax[i, j]), int(cand_hits[i, j]))
+               for j in range(maxcand) if cand_tax[i, j] != 0]
+        want = [(int(c.tax), int(c.hits)) for c in oc]
+        assert dev == want, f"read {i}: {dev} != {want}"
+
+
+def test_window_ranges_match_oracle(setup):
+    rng, genomes, ft, lineages = setup
+    reads = []
+    for _ in range(20):
+        g = genomes[rng.integers(0, len(genomes))]
+        ln = int(rng.choice([300, 800, 2000]))
+        p = int(rng.integers(0, len(g) - ln))
+        reads.append(g[p:p + ln])
+    res = _run_device(reads, ft, lineages)
+    for i, read in enumerate(reads):
+        oc = _oracle_candidates(read, ft, lineages, 0, 2)
+        for j, c in enumerate(oc):
+            assert int(res.cand_beg[i, j]) == c.pos.beg
+            assert int(res.cand_end[i, j]) == c.pos.end
+
+
+def test_table_cap_and_culls():
+    rng = np.random.default_rng(1)
+    feats = rng.integers(0, 100, 5000).astype(np.uint32)
+    locs = pack_locations(rng.integers(0, 10, 5000).astype(np.uint32),
+                          rng.integers(0, 1000, 5000).astype(np.uint32))
+    ft = FeatureTable.build(feats, locs, max_locations_per_feature=30)
+    assert ft.max_bucket_size <= 30
+    # per-bucket locations ascending
+    for i in range(ft.num_features):
+        seg = ft.locations[ft.offsets[i]:ft.offsets[i + 1]]
+        assert np.all(seg[:-1] <= seg[1:])
+    n0 = ft.num_features
+    removed = ft.remove_features_with_more_locations_than(25)
+    assert ft.num_features == n0 - removed
+    assert ft.max_bucket_size <= 25
+
+    taxa = np.arange(10, dtype=np.int64) % 3 + 1
+    removed2 = ft.remove_ambiguous_features(2, taxa)
+    sizes = ft.bucket_sizes()
+    assert np.all(sizes > 0)
+    assert removed2 >= 0
+
+
+def test_table_merge_matches_combined_build():
+    rng = np.random.default_rng(3)
+    f1 = rng.integers(0, 500, 2000).astype(np.uint32)
+    l1 = pack_locations(rng.integers(0, 5, 2000).astype(np.uint32),
+                        rng.integers(0, 100, 2000).astype(np.uint32))
+    f2 = rng.integers(0, 500, 2000).astype(np.uint32)
+    l2 = pack_locations(rng.integers(5, 9, 2000).astype(np.uint32),
+                        rng.integers(0, 100, 2000).astype(np.uint32))
+    a = FeatureTable.build(f1, l1)
+    b = FeatureTable.build(f2, l2)
+    m = a.merge(b)
+    c = FeatureTable.build(np.concatenate([f1, f2]),
+                           np.concatenate([l1, l2]))
+    np.testing.assert_array_equal(m.unique_features, c.unique_features)
+    np.testing.assert_array_equal(m.locations, c.locations)
