@@ -85,19 +85,18 @@ def main():
     lineages[:, 20] = 1
     merge_tax = lineages[:, 0].copy()
 
-    # --- sample reads, pre-stage batches --------------------------------
-    T = B = BATCH_READS
-    gsel = rng.integers(0, ntgt, T)
-    pos = rng.integers(0, GENOME_LEN - READ_LEN, T)
-    wins = np.full((T, opt.winlen), 255, np.uint8)
-    for i in range(T):
-        wins[i, :READ_LEN] = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
-    valid = np.full(T, READ_LEN, np.int32)
-    qid = np.arange(T, dtype=np.int32)
+    # --- sample reads, pre-stage batches (row layout: 1 window/read) ----
+    from metacache_tpu.ops.rows import query_step_rows as query_step
+    B = BATCH_READS
+    gsel = rng.integers(0, ntgt, B)
+    pos = rng.integers(0, GENOME_LEN - READ_LEN, B)
+    wins = np.full((B, 1, opt.winlen), 4, np.uint8)
+    for i in range(B):
+        wins[i, 0, :READ_LEN] = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
+    valid = np.full((B, 1), READ_LEN, np.int32)
     mwir = np.full(B, 2, np.int32)
 
-    args = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
-            jnp.asarray(mwir),
+    args = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(mwir),
             jnp.asarray(ft.unique_features),
             jnp.asarray(ft.offsets.astype(np.int32)),
             jnp.asarray(ltgt.astype(np.int32)),
@@ -105,7 +104,8 @@ def main():
             jnp.asarray(merge_tax), jnp.asarray(lineages),
             jnp.int32(5), jnp.float32(1.0), jnp.int32(19), jnp.int32(0))
     kw = dict(k=opt.kmerlen, sketchlen=opt.sketchlen,
-              slots_per_feature=spf, num_queries=B, max_candidates=2)
+              slots_per_feature=spf, windows_per_query=1,
+              max_candidates=2)
 
     res = query_step(*args, **kw)
     res.cls_tax.block_until_ready()

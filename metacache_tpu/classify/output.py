@@ -267,7 +267,7 @@ def show_query_mapping_header(opt) -> str:
 def show_query_mapping(taxonomy: TaxonomyCache, opt, sketching,
                        query_id: int, header: str,
                        best: Optional[Taxon], ground_truth: Optional[Taxon],
-                       candidates, allhits) -> str:
+                       candidates, allhits, align_text: str = "") -> str:
     """One mapping row (reference: show_query_mapping,
     src/classification.cpp:470-533). Returns "" when suppressed."""
     fmt = opt.format
@@ -289,6 +289,8 @@ def show_query_mapping(taxonomy: TaxonomyCache, opt, sketching,
     if opt.show_locations:
         out.append(show_candidate_ranges(sketching, candidates) + colsep)
     out.append(show_taxon(taxonomy, fmt, best))
+    if align_text and best is not None:
+        out.append(align_text)
     return "".join(out) + "\n"
 
 

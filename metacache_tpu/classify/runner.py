@@ -49,6 +49,7 @@ class AnalysisOptions:
     show_tax_abundances: bool = False
     abundance_file: str = ""
     abundance_per: Rank = Rank.NONE
+    show_alignment: bool = False
 
 
 @dataclasses.dataclass
@@ -186,6 +187,110 @@ class QueryRunner:
     # ------------------------------------------------------------------
     def _process_batch(self, batch: List[QueryRecord],
                        results: "ClassificationResults"):
+        """Classify one accumulated batch on the device.
+
+        Single-part databases use the row-layout fast path: queries are
+        bucketed by (padded) window count so each bucket is a dense
+        (rows, Wq) matrix processed with per-row sorts
+        (ops.rows.query_step_rows). Multi-part databases fall back to the
+        flat pipeline with part-merged matches.
+        """
+        if len(self._tables) == 1:
+            self._process_batch_rows(batch, results)
+        else:
+            self._process_batch_flat(batch, results)
+
+    def _query_windows(self, q: QueryRecord):
+        """All windows of one query (seq1 then seq2)."""
+        sk = self.sketching
+        w1, v1 = win_ops.sequence_windows(
+            win_ops.encode_ascii(q.seq1), sk)
+        if q.seq2:
+            w2, v2 = win_ops.sequence_windows(
+                win_ops.encode_ascii(q.seq2), sk)
+            if len(w1) and len(w2):
+                return np.concatenate([w1, w2]), np.concatenate([v1, v2])
+            if len(w2):
+                return w2, v2
+        return w1, v1
+
+    def _mwir(self, q: QueryRecord) -> int:
+        return max_windows_in_range(
+            len(q.seq1) + len(q.seq2),
+            self.opt.classify.insert_size_max, self.db.sketching.winstride)
+
+    def _process_batch_rows(self, batch, results):
+        import jax.numpy as jnp
+        opt = self.opt
+        sk = self.sketching
+        k = opt.classify.max_candidates
+
+        # bucket queries by padded window count (pow2)
+        buckets: Dict[int, list] = {}
+        wins_of = []
+        for i, q in enumerate(batch):
+            w, v = self._query_windows(q)
+            wins_of.append((w, v))
+            wq = _round_up_pow2(max(len(w), 1))
+            buckets.setdefault(wq, []).append(i)
+
+        n = len(batch)
+        cand_tgt = np.full((n, k), -1, np.int32)
+        cand_tax = np.zeros((n, k), np.int32)
+        cand_hits = np.zeros((n, k), np.int32)
+        cand_beg = np.zeros((n, k), np.int32)
+        cand_end = np.zeros((n, k), np.int32)
+        cls_tax = np.zeros(n, np.int32)
+        allhits_of: Dict[int, tuple] = {}
+        need_allhits = opt.output.analysis.show_all_hits
+
+        tf, to, lt, lw, spf = self._tables[0]
+        tail = (self._merge_tax_dev, self._lineages_dev,
+                jnp.int32(self.hits_min),
+                jnp.float32(opt.classify.hits_diff_fraction),
+                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
+
+        for wq, idxs in sorted(buckets.items()):
+            rows = _round_up_pow2(len(idxs))
+            wmat = np.full((rows, wq, sk.winlen), win_ops.PAD_CODE,
+                           np.uint8)
+            vmat = np.zeros((rows, wq), np.int32)
+            mwir = np.full(rows, 2, np.int32)
+            for r, i in enumerate(idxs):
+                w, v = wins_of[i]
+                wmat[r, :len(w)] = w
+                vmat[r, :len(v)] = v
+                mwir[r] = self._mwir(batch[i])
+            from ..ops.rows import query_step_rows
+            res = query_step_rows(
+                jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+                tf, to, lt, lw, *tail,
+                k=sk.kmerlen, sketchlen=sk.sketchlen,
+                slots_per_feature=spf, windows_per_query=wq,
+                max_candidates=k)
+            sel = np.asarray(idxs)
+            cand_tgt[sel] = np.asarray(res.cand_tgt)[:len(idxs)]
+            cand_tax[sel] = np.asarray(res.cand_tax)[:len(idxs)]
+            cand_hits[sel] = np.asarray(res.cand_hits)[:len(idxs)]
+            cand_beg[sel] = np.asarray(res.cand_beg)[:len(idxs)]
+            cand_end[sel] = np.asarray(res.cand_end)[:len(idxs)]
+            cls_tax[sel] = np.asarray(res.cls_tax)[:len(idxs)]
+            if need_allhits:
+                hq = np.asarray(res.hit_qid)
+                ht = np.asarray(res.hit_tgt)
+                hw = np.asarray(res.hit_win)
+                order = np.argsort(hq, kind="stable")
+                hq, ht, hw = hq[order], ht[order], hw[order]
+                bounds = np.searchsorted(hq, np.arange(rows + 1))
+                for r, i in enumerate(idxs):
+                    lo, hi = bounds[r], bounds[r + 1]
+                    allhits_of[i] = (ht[lo:hi], hw[lo:hi])
+
+        self._postprocess_arrays(batch, cand_tgt, cand_tax, cand_hits,
+                                 cand_beg, cand_end, cls_tax, allhits_of,
+                                 results)
+
+    def _process_batch_flat(self, batch, results):
         import jax.numpy as jnp
         opt = self.opt
         sk = self.sketching
@@ -214,45 +319,54 @@ class QueryRunner:
 
         mwir = np.full(b_static, 2, dtype=np.int32)
         for i, q in enumerate(batch):
-            mwir[i] = max_windows_in_range(
-                len(q.seq1) + len(q.seq2),
-                opt.classify.insert_size_max, self.db.sketching.winstride)
+            mwir[i] = self._mwir(q)
 
-        # multi-part: probe each part, merge matches (reference probes
-        # every part and merge-sorts, src/host_hashmap.hpp:695-723).
-        # v0 fast path: parts were merged at load; use part 0.
-        tf, to, lt, lw, spf = self._tables[0]
-        res = query_step(
-            jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
-            jnp.asarray(mwir),
-            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
-            jnp.int32(self.hits_min),
-            jnp.float32(opt.classify.hits_diff_fraction),
-            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
-            k=sk.kmerlen, sketchlen=sk.sketchlen, slots_per_feature=spf,
+        common = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
+                  jnp.asarray(mwir))
+        tail = (self._merge_tax_dev, self._lineages_dev,
+                jnp.int32(self.hits_min),
+                jnp.float32(opt.classify.hits_diff_fraction),
+                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
+        # probe every DB part and merge matches (reference:
+        # src/host_hashmap.hpp:695-723)
+        from ..ops.pipeline import query_step_multipart
+        res = query_step_multipart(
+            *common,
+            tuple(t[0] for t in self._tables),
+            tuple(t[1] for t in self._tables),
+            tuple(t[2] for t in self._tables),
+            tuple(t[3] for t in self._tables),
+            *tail,
+            k=sk.kmerlen, sketchlen=sk.sketchlen,
+            slots_per_feature=tuple(t[4] for t in self._tables),
             num_queries=b_static,
-            max_candidates=opt.classify.max_candidates)
+            max_candidates=opt.classify.max_candidates,
+            num_parts=len(self._tables))
 
-        self._postprocess(batch, res, results)
+        n = len(batch)
+        allhits_of: Dict[int, tuple] = {}
+        if opt.output.analysis.show_all_hits:
+            hq = np.asarray(res.hit_qid)
+            ht = np.asarray(res.hit_tgt)
+            hw = np.asarray(res.hit_win)
+            bounds = np.searchsorted(hq, np.arange(n + 1))
+            for i in range(n):
+                lo, hi = bounds[i], bounds[i + 1]
+                allhits_of[i] = (ht[lo:hi], hw[lo:hi])
+        self._postprocess_arrays(
+            batch, np.asarray(res.cand_tgt)[:n],
+            np.asarray(res.cand_tax)[:n], np.asarray(res.cand_hits)[:n],
+            np.asarray(res.cand_beg)[:n], np.asarray(res.cand_end)[:n],
+            np.asarray(res.cls_tax)[:n], allhits_of, results)
 
     # ------------------------------------------------------------------
-    def _postprocess(self, batch, res, results):
+    def _postprocess_arrays(self, batch, cand_tgt, cand_tax, cand_hits,
+                            cand_beg, cand_end, cls_tax, allhits_of,
+                            results):
         db = self.db
         opt = self.opt
         oopt = opt.output
         need_allhits = oopt.analysis.show_all_hits
-        cand_tgt = np.asarray(res.cand_tgt)
-        cand_tax = np.asarray(res.cand_tax)
-        cand_hits = np.asarray(res.cand_hits)
-        cand_beg = np.asarray(res.cand_beg)
-        cand_end = np.asarray(res.cand_end)
-        cls_tax = np.asarray(res.cls_tax)
-        if need_allhits:
-            hq = np.asarray(res.hit_qid)
-            ht = np.asarray(res.hit_tgt)
-            hw = np.asarray(res.hit_win)
-            bounds = np.searchsorted(hq, np.arange(len(batch) + 1))
-
         make_truth = oopt.evaluate.precision or \
             oopt.evaluate.determine_ground_truth
 
@@ -295,12 +409,47 @@ class QueryRunner:
                 oopt.evaluate.taxon_coverage, results.statistics)
 
             allhits = []
-            if need_allhits:
-                lo, hi = bounds[i], bounds[i + 1]
-                allhits = list(zip(ht[lo:hi].tolist(), hw[lo:hi].tolist()))
+            if need_allhits and i in allhits_of:
+                ht, hw = allhits_of[i]
+                allhits = list(zip(ht.tolist(), hw.tolist()))
+            align_text = ""
+            if oopt.analysis.show_alignment and best is not None and cands:
+                align_text = self._make_alignment_text(q, cands[0])
             results.per_read_out.write(out_mod.show_query_mapping(
                 db.taxa, oopt, db.sketching, qid_out, q.header, best,
-                truth, cands, allhits))
+                truth, cands, allhits, align_text))
+
+    # ------------------------------------------------------------------
+    def _make_alignment_text(self, q, cand) -> str:
+        """Align the query to the top candidate's window range
+        (reference: show_alignment, src/classification.cpp:384-427)."""
+        from .alignment import make_semi_global_alignment
+        from ..seqio.reader import read_sequences
+        (tax, _tgt, _hits, beg, end) = cand
+        if tax is None or tax.rank != Rank.SEQUENCE or tax.source is None:
+            return ""
+        sk = self.db.sketching
+        try:
+            it = read_sequences(tax.source.filename)
+            rec = None
+            for r in it:
+                if r.index == tax.source.index:
+                    rec = r
+                    break
+            if rec is None:
+                return ""
+            w = sk.winstride
+            subject = rec.seq[w * beg: w * end + sk.winlen]
+            (score, aq, asub), best_score = make_semi_global_alignment(
+                q.seq1, q.seq2, subject)
+            c = self.opt.output.format.tokens.comment
+            return (f"\n{c}  score  {best_score}"
+                    f"  aligned to {tax.source.filename} #{tax.source.index}"
+                    f" in range [{w * beg},{w * end + w}]\n"
+                    f"{c}  query  {aq.decode()}\n"
+                    f"{c}  target {asub.decode()}")
+        except Exception:
+            return ""
 
     # ------------------------------------------------------------------
     def redo_saved_classification(self, results: "ClassificationResults"):

@@ -152,14 +152,14 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
 
     db = None
     if modify:
+        # incremental build resume (reference: mode_build.cpp:74-87)
         db = Database.load(opt.dbfile)
+        opt.sketching = db.sketching  # sketching is fixed by the database
         if opt.reset_parents:
             for t in db.taxa.target_taxa:
                 if t is not None:
                     t.parent_id = 0
-        # re-open pending accumulators seeded with the existing table
-        raise CliError("modify mode: incremental insert not yet supported; "
-                       "rebuild with 'build'")
+            db.taxa._outdated = True
     db = build_database(opt, db)
     db.save(opt.dbfile)
     print(f"Database saved to {opt.dbfile}", file=sys.stderr)
@@ -238,6 +238,8 @@ def parse_query_options(a: Args):
     if a.take_flag("-locations"):
         ana.show_locations = True
         ana.show_top_hits = True
+    if a.take_flag("-align", "-alignment"):
+        ana.show_alignment = True
     v = a.take_optional_value("-hits-per-ref", "-hits-per-seq",
                               "-hits-per-tgt", missing="")
     if v is not None:

@@ -116,8 +116,12 @@ def add_targets_to_database(db: Database, infiles: list[str],
                 parent = smap.find(seqid)
             if parent == 0:
                 parent = extract_taxon_id(rec.header)
+            # distribute targets across build parts round-robin
+            # (reference: one inserter consumer per part,
+            # src/building.cpp:344-356)
+            part = db.target_count % max(len(db._pending), 1)
             db.add_target(rec.seq, seqid, parent,
-                          FileSource(path, rec.index))
+                          FileSource(path, rec.index), part=part)
         if show_progress:
             show_progress(fi + 1, len(infiles))
 

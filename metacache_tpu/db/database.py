@@ -109,17 +109,28 @@ class Database:
         return feats[mask], wid[mask]
 
     def finalize(self):
-        """Build CSR tables from accumulated pairs."""
-        self.parts = []
+        """Build CSR tables from accumulated pairs.
+
+        Existing parts (a loaded database being modified) are kept; newly
+        built tables are appended, to be merged down by merge_parts()
+        (reference: modify mode = incremental build resume,
+        src/mode_build.cpp:74-87).
+        """
+        new_parts = []
         for pending in self._pending:
             if pending:
                 feats = np.concatenate([f for f, _ in pending])
                 locs = np.concatenate([l for _, l in pending])
-            else:
-                feats = np.zeros(0, np.uint32)
-                locs = np.zeros(0, np.uint64)
-            self.parts.append(FeatureTable.build(
-                feats, locs, self.max_locations_per_feature))
+                new_parts.append(FeatureTable.build(
+                    feats, locs, self.max_locations_per_feature))
+        if self.parts and new_parts:
+            self.parts = self.parts + new_parts
+        elif new_parts:
+            self.parts = new_parts
+        elif not self.parts:
+            self.parts = [FeatureTable.build(
+                np.zeros(0, np.uint32), np.zeros(0, np.uint64),
+                self.max_locations_per_feature)]
         self._pending = [[] for _ in self._pending]
 
     def merge_parts(self, max_parts: int):

@@ -1,0 +1,137 @@
+"""Native (C++) host runtime: fast FASTA/FASTQ parsing, encoding,
+windowing. Compiled on demand with g++; the Python readers in
+metacache_tpu.seqio remain as the portable fallback."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastx.cpp")
+_SO = os.path.join(_HERE, "libfastx.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+               "-o", _SO + ".tmp", "-lz"]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain issues
+        print(f"metacache_tpu: native build failed ({e}); "
+              "using Python fallback", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or \
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.fastx_open.restype = ctypes.c_void_p
+    lib.fastx_open.argtypes = [ctypes.c_char_p]
+    lib.fastx_close.argtypes = [ctypes.c_void_p]
+    lib.fastx_read_batch.restype = ctypes.c_int64
+    lib.fastx_read_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.encode_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_void_p]
+    lib.extract_windows.restype = ctypes.c_int64
+    lib.extract_windows.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def decode_header(row: np.ndarray) -> str:
+    b = row.tobytes()
+    end = b.find(b"\0")
+    return (b[:end] if end >= 0 else b).decode(errors="replace")
+
+
+class NativeFastxReader:
+    """Batch reader over one FASTA/FASTQ(.gz) file using the C++ parser."""
+
+    def __init__(self, path: str, max_len: int = 1024,
+                 header_cap: int = 256):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib = lib
+        self.h = lib.fastx_open(path.encode())
+        if not self.h:
+            raise FileNotFoundError(path)
+        self.max_len = max_len
+        self.header_cap = header_cap
+
+    def read_batch_raw(self, max_reads: int):
+        """-> (codes (n, max_len) u8, lens (n,) i32,
+               raw_headers (n, header_cap) u8 NUL-terminated).
+
+        Headers stay as raw bytes — decode lazily with decode_header()
+        only when a read's header is actually printed.
+        """
+        codes = np.empty((max_reads, self.max_len), np.uint8)
+        lens = np.empty(max_reads, np.int32)
+        headers = np.empty((max_reads, self.header_cap), np.uint8)
+        n = self.lib.fastx_read_batch(
+            self.h, max_reads, self.max_len,
+            codes.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            headers.ctypes.data_as(ctypes.c_void_p), self.header_cap)
+        n = int(n)
+        return codes[:n], lens[:n], headers[:n]
+
+    def read_batch(self, max_reads: int):
+        """-> (codes, lens, headers list[str])."""
+        codes, lens, headers = self.read_batch_raw(max_reads)
+        return codes, lens, [decode_header(h) for h in headers]
+
+    def close(self):
+        if self.h:
+            self.lib.fastx_close(self.h)
+            self.h = None
+
+    def __del__(self):
+        self.close()
+
+
+def extract_windows_batch(codes: np.ndarray, lens: np.ndarray,
+                          winlen: int, stride: int, kmerlen: int,
+                          cap_windows: int):
+    """Native window extraction -> (windows, valid, qid, count)."""
+    lib = get_lib()
+    n, max_len = codes.shape
+    windows = np.empty((cap_windows, winlen), np.uint8)
+    valid = np.empty(cap_windows, np.int32)
+    qid = np.empty(cap_windows, np.int32)
+    codes = np.ascontiguousarray(codes)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    cnt = lib.extract_windows(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p), n, max_len,
+        winlen, stride, kmerlen,
+        windows.ctypes.data_as(ctypes.c_void_p),
+        valid.ctypes.data_as(ctypes.c_void_p),
+        qid.ctypes.data_as(ctypes.c_void_p), cap_windows)
+    return windows, valid, qid, int(cnt)

@@ -1,0 +1,224 @@
+// Native FASTA/FASTQ reader + 2-bit encoder + window extractor.
+//
+// TPU-native counterpart of the reference's C++ I/O stack
+// (sequence_iostream.hpp / sequence_io.cpp: buffered gzip-capable record
+// parser; query_batch.cuh:85-209: host-side read windowing). The Python
+// layer calls these via ctypes; batches land in preallocated NumPy buffers
+// ready for jax.device_put, so the host pipeline keeps up with the chip.
+//
+// Build: g++ -O3 -march=native -shared -fPIC fastx.cpp -o libfastx.so -lz
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <zlib.h>
+
+namespace {
+
+// ASCII -> 2-bit code; 4 = ambiguous (reference: src/dna_encoding.hpp:297-303)
+struct CodeTable {
+    uint8_t t[256];
+    CodeTable() {
+        memset(t, 4, sizeof(t));
+        t['A'] = t['a'] = 0;
+        t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2;
+        t['T'] = t['t'] = 3;
+        t['U'] = t['u'] = 3;
+    }
+};
+const CodeTable kCodes;
+
+struct Reader {
+    gzFile gz = nullptr;
+    std::string buf;      // current line buffer
+    size_t pos = 0;       // read position in chunk
+    std::string chunk;    // raw chunk buffer
+    bool eof = false;
+    int peeked = -1;
+
+    bool fill() {
+        if (eof) return false;
+        char tmp[1 << 16];
+        int n = gzread(gz, tmp, sizeof(tmp));
+        if (n <= 0) { eof = true; return false; }
+        chunk.append(tmp, n);
+        return true;
+    }
+
+    // read one line (without newline) into out; returns false at EOF
+    bool getline(std::string& out) {
+        out.clear();
+        for (;;) {
+            size_t nl = chunk.find('\n', pos);
+            if (nl != std::string::npos) {
+                out.append(chunk, pos, nl - pos);
+                pos = nl + 1;
+                if (pos > (1 << 20)) { chunk.erase(0, pos); pos = 0; }
+                if (!out.empty() && out.back() == '\r') out.pop_back();
+                return true;
+            }
+            out.append(chunk, pos, chunk.size() - pos);
+            chunk.clear();
+            pos = 0;
+            if (!fill()) return !out.empty();
+        }
+    }
+
+    int peekc() {
+        while (pos >= chunk.size()) {
+            chunk.clear(); pos = 0;
+            if (!fill()) return -1;
+        }
+        return (unsigned char)chunk[pos];
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fastx_open(const char* path) {
+    gzFile gz = gzopen(path, "rb");
+    if (!gz) return nullptr;
+    gzbuffer(gz, 1 << 20);
+    Reader* r = new Reader();
+    r->gz = gz;
+    return r;
+}
+
+void fastx_close(void* h) {
+    Reader* r = (Reader*)h;
+    if (r) {
+        gzclose(r->gz);
+        delete r;
+    }
+}
+
+// Reads up to max_reads records.
+//   codes:   (max_reads, max_len) u8 — 2-bit codes, 4 = ambiguous
+//   lens:    (max_reads,) i32 — true length (clamped to max_len in codes)
+//   headers: (max_reads, header_cap) char — NUL-terminated, truncated
+// Returns number of records read (0 = EOF). Records longer than max_len
+// are truncated in `codes` but `lens` holds the full length.
+int64_t fastx_read_batch(void* h, int64_t max_reads, int64_t max_len,
+                         uint8_t* codes, int32_t* lens,
+                         char* headers, int64_t header_cap) {
+    Reader* r = (Reader*)h;
+    std::string line;
+    int64_t n = 0;
+    while (n < max_reads) {
+        int c = r->peekc();
+        if (c < 0) break;
+        if (c != '>' && c != '@') {  // malformed line: resync
+            r->getline(line);
+            continue;
+        }
+        bool fastq = (c == '@');
+        r->getline(line);
+        // header (skip marker char)
+        size_t hl = line.size() > 1 ? line.size() - 1 : 0;
+        if ((int64_t)hl >= header_cap) hl = header_cap - 1;
+        memcpy(headers + n * header_cap, line.data() + 1, hl);
+        headers[n * header_cap + hl] = '\0';
+
+        uint8_t* out = codes + n * max_len;
+        int64_t len = 0;
+        if (!fastq) {
+            for (;;) {
+                int p = r->peekc();
+                if (p < 0 || p == '>' || p == '@') break;
+                r->getline(line);
+                for (char ch : line) {
+                    if ((unsigned char)ch <= ' ') continue;
+                    if (len < max_len) out[len] = kCodes.t[(uint8_t)ch];
+                    ++len;
+                }
+            }
+        } else {
+            int64_t seqlen = 0;
+            for (;;) {
+                int p = r->peekc();
+                if (p < 0 || p == '+') break;
+                r->getline(line);
+                for (char ch : line) {
+                    if ((unsigned char)ch <= ' ') continue;
+                    if (len < max_len) out[len] = kCodes.t[(uint8_t)ch];
+                    ++len;
+                }
+            }
+            seqlen = len;
+            if (r->peekc() == '+') {
+                r->getline(line);  // '+' separator
+                int64_t q = 0;
+                while (q < seqlen) {  // quality spans lines too
+                    if (!r->getline(line)) break;
+                    q += (int64_t)line.size();
+                }
+            }
+        }
+        // pad the rest of the row with ambiguous
+        for (int64_t i = len < max_len ? len : max_len; i < max_len; ++i)
+            out[i] = 4;
+        lens[n] = (int32_t)len;
+        ++n;
+    }
+    return n;
+}
+
+// Encode a raw ASCII buffer to 2-bit codes (vector path for target
+// genomes loaded via Python).
+void encode_ascii(const uint8_t* in, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = kCodes.t[in[i]];
+}
+
+// Extract windows from a batch of coded reads.
+//   codes (num_reads, max_len), lens (num_reads,)
+//   windows (cap_windows, winlen) u8 pre-filled by caller or padded here
+//   valid (cap_windows,) i32, qid (cap_windows,) i32
+// Window semantics mirror for_each_window (src/hash_dna.hpp:54-90):
+// offsets 0, stride, ... while off+winlen <= len, plus a trailing partial;
+// windows shorter than kmerlen are skipped. Returns total windows written
+// (stops early at cap_windows; check return < cap).
+int64_t extract_windows(const uint8_t* codes, const int32_t* lens,
+                        int64_t num_reads, int64_t max_len,
+                        int32_t winlen, int32_t stride, int32_t kmerlen,
+                        uint8_t* windows, int32_t* valid, int32_t* qid,
+                        int64_t cap_windows) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < num_reads; ++i) {
+        int64_t len = lens[i];
+        if (len > max_len) len = max_len;
+        const uint8_t* src = codes + i * max_len;
+        int64_t off = 0;
+        if (len <= winlen) {
+            if (len >= kmerlen && w < cap_windows) {
+                memcpy(windows + w * winlen, src, len);
+                memset(windows + w * winlen + len, 4, winlen - len);
+                valid[w] = (int32_t)len;
+                qid[w] = (int32_t)i;
+                ++w;
+            }
+            continue;
+        }
+        for (off = 0; off + winlen <= len; off += stride) {
+            if (w >= cap_windows) return w;
+            memcpy(windows + w * winlen, src + off, winlen);
+            valid[w] = winlen;
+            qid[w] = (int32_t)i;
+            ++w;
+        }
+        if (off < len && len - off >= kmerlen) {
+            if (w >= cap_windows) return w;
+            int64_t rem = len - off;
+            memcpy(windows + w * winlen, src + off, rem);
+            memset(windows + w * winlen + rem, 4, winlen - rem);
+            valid[w] = (int32_t)rem;
+            qid[w] = (int32_t)i;
+            ++w;
+        }
+    }
+    return w;
+}
+
+}  // extern "C"

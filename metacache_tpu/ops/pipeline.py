@@ -143,6 +143,60 @@ def query_step(windows, valid, qid_w, max_win_in_range,
         num_queries=b, max_candidates=max_candidates)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature", "num_queries",
+                     "max_candidates", "num_parts"))
+def query_step_multipart(windows, valid, qid_w, max_win_in_range,
+                         part_feats, part_offsets, part_ltgt, part_lwin,
+                         merge_tax_of_target, lineages,
+                         hits_min, hits_diff_frac, highest_rank, merge_rank,
+                         *, k: int, sketchlen: int,
+                         slots_per_feature: tuple, num_queries: int,
+                         max_candidates: int, num_parts: int) -> QueryResult:
+    """Multi-part database query: sketch once, probe every part, merge the
+    match lists before candidate generation — the single-device analog of
+    the reference probing every DB part sequentially and merge-sorting
+    matches (src/host_hashmap.hpp:695-723).
+
+    part_* are tuples (length num_parts) of per-part CSR arrays;
+    slots_per_feature is a per-part tuple.
+    """
+    b = num_queries
+    feats = sketch_windows(windows, valid, k=k, sketchlen=sketchlen)
+    qks, tgts, wins_ = [], [], []
+    for p in range(num_parts):
+        qk, tgt, win, is_match = probe_and_gather(
+            feats, qid_w, part_feats[p], part_offsets[p], part_ltgt[p],
+            part_lwin[p], slots_per_feature[p])
+        qks.append(jnp.where(is_match, qk, jnp.int32(b)))
+        tgts.append(tgt)
+        wins_.append(win)
+    qk = jnp.concatenate(qks)
+    tgt = jnp.concatenate(tgts)
+    win = jnp.concatenate(wins_)
+    return matches_to_result(
+        qk, tgt, win, max_win_in_range, merge_tax_of_target, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank,
+        num_queries=b, max_candidates=max_candidates)
+
+
+def _segmented_fill_first(values, is_start):
+    """For each element, the `values` entry at the start of its segment.
+
+    Segments are delimited by `is_start` flags along the array. Uses a
+    log-depth associative scan — no scatters/gathers (TPU-friendly).
+    """
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    filled, _ = jax.lax.associative_scan(
+        combine, (values, is_start))
+    return filled
+
+
 def matches_to_result(qk, tgt, win, max_win_in_range,
                       merge_tax_of_target, lineages,
                       hits_min, hits_diff_frac, highest_rank, merge_rank,
@@ -153,6 +207,13 @@ def matches_to_result(qk, tgt, win, max_win_in_range,
     Factored out of query_step so the sharded multi-chip path can feed it
     collectively-merged match arrays (qk entries >= num_queries are
     padding and sort to the end).
+
+    TPU note: large data-dependent gathers are near-serial on TPU, so the
+    two-pointer sweep's lower bound is computed by a *rank join* — sort
+    the M match keys together with M probe keys (win - range + 1) and
+    count originals by prefix sum — and all per-segment reductions use
+    sorts + neighbor compares + log-depth scans instead of segment
+    scatters. The only remaining gathers are O(B*K) at the very end.
     """
     b = num_queries
     kk = max_candidates
@@ -163,50 +224,72 @@ def matches_to_result(qk, tgt, win, max_win_in_range,
     is_match = qk < b
     pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).reshape(-1)
 
-    # ---- contiguous-window-range hit counts (vectorized two-pointer) ---
+    # ---- contiguous-window-range hit counts via rank join --------------
+    # lo_i = left insertion point of (qk_i, tgt_i, win_i - (nw-1)) in the
+    # sorted match list == the reference sweep's left pointer
+    # (for_all_contiguous_window_ranges, src/candidate_generation.hpp:71-91).
     nwin = max_win_in_range[jnp.minimum(qk, b - 1)]
     win_lo = jnp.maximum(win - (nwin - 1), 0)
-    lo = searchsorted_3key(qk, tgt, win, qk, tgt, win_lo)
+    cq = jnp.concatenate([qk, qk])
+    ct = jnp.concatenate([tgt, tgt])
+    cw = jnp.concatenate([win, win_lo])
+    cf = jnp.concatenate([jnp.ones(m, jnp.int32),
+                          jnp.zeros(m, jnp.int32)])  # 1 = original
+    cidx = jnp.concatenate([pos, pos])
+    # probes sort before originals with an equal key (left insertion)
+    cq, ct, cw, cf, cidx = jax.lax.sort((cq, ct, cw, cf, cidx),
+                                        num_keys=4)
+    orig_before = jnp.cumsum(cf) - cf  # originals strictly before
+    # route probe ranks back to original positions: probes first, by pos
+    sf, sidx, lo = jax.lax.sort((cf, cidx, orig_before.astype(jnp.int32)),
+                                num_keys=2)
+    lo = lo[:m]  # probes occupy the first m rows (flag 0), ordered by pos
     hits = pos + 1 - lo
-    beg = win[jnp.minimum(lo, m - 1)]
+    end_w = win
 
     # ---- best range per (query, target): first position of max hits ----
-    prev_q = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qk[:-1]])
-    prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tgt[:-1]])
-    new_seg = is_match & ((qk != prev_q) | (tgt != prev_t))
-    gid = jnp.maximum(jnp.cumsum(new_seg.astype(jnp.int32)) - 1, 0)
-    seg_max = jax.ops.segment_max(jnp.where(is_match, hits, -1), gid,
-                                  num_segments=m)
-    at_max = is_match & (hits == seg_max[gid])
-    first_best = jax.ops.segment_min(jnp.where(at_max, pos, I32_MAX), gid,
-                                     num_segments=m)
-    is_cand = at_max & (pos == first_best[gid])
+    # sort candidates-to-be by (query, target, hits desc, pos asc):
+    # the first row of each (query, target) group is the reference's
+    # curBest (max hits, earliest position among ties).
+    neg_hits0 = jnp.where(is_match, -hits, I32_MAX)
+    (qk1, tgt1, neg_hits1, pos1, end1, lo1) = jax.lax.sort(
+        (qk, tgt, neg_hits0, pos, end_w, lo), num_keys=4)
+    prev_q1 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qk1[:-1]])
+    prev_t1 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tgt1[:-1]])
+    is_cand = (qk1 < b) & ((qk1 != prev_q1) | (tgt1 != prev_t1))
 
     # taxon each candidate merges into (mergeBelow semantics)
     tax = merge_tax_of_target[
-        jnp.clip(tgt, 0, merge_tax_of_target.shape[0] - 1)]
+        jnp.clip(tgt1, 0, merge_tax_of_target.shape[0] - 1)]
     is_cand = is_cand & (tax != 0)
 
     # ---- merge candidates of the same taxon: keep first max-hits -------
-    qk2 = jnp.where(is_cand, qk, jnp.int32(b))
+    qk2 = jnp.where(is_cand, qk1, jnp.int32(b))
     taxkey = jnp.where(is_cand, tax, I32_MAX)
-    neg_hits = jnp.where(is_cand, -hits, I32_MAX)
-    (qk2, taxkey, neg_hits, pos2, tgt2, beg2, end2) = jax.lax.sort(
-        (qk2, taxkey, neg_hits, pos, tgt, beg, win), num_keys=4)
+    neg_hits2 = jnp.where(is_cand, neg_hits1, I32_MAX)
+    (qk2, taxkey, neg_hits2, pos2, tgt2, end2, lo2) = jax.lax.sort(
+        (qk2, taxkey, neg_hits2, pos1, tgt1, end1, lo1), num_keys=4)
     prev_q2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), qk2[:-1]])
     prev_x2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), taxkey[:-1]])
-    grp = (qk2 < b) & ((qk2 != prev_q2) | (taxkey != prev_x2))
-    gid2 = jnp.maximum(jnp.cumsum(grp.astype(jnp.int32)) - 1, 0)
-    first_pos = jax.ops.segment_min(jnp.where(qk2 < b, pos2, I32_MAX), gid2,
-                                    num_segments=m)
-    is_rep = grp  # first row of each (query, taxon) group = merged candidate
+    is_rep = (qk2 < b) & ((qk2 != prev_q2) | (taxkey != prev_x2))
+    # first insertion position of the taxon = min pos over its whole
+    # (query, taxon) group: forward segmented-min scan (reset at group
+    # starts), then propagate each group's final value backward
+    def min_comb(a, bv):
+        (av, af) = a
+        (bvv, bf) = bv
+        return jnp.where(bf, bvv, jnp.minimum(av, bvv)), af | bf
+    pos_or_max = jnp.where(qk2 < b, pos2, I32_MAX)
+    run_min, _ = jax.lax.associative_scan(min_comb, (pos_or_max, is_rep))
+    grp_end = jnp.concatenate([is_rep[1:], jnp.ones((1,), bool)])
+    first_pos = _segmented_fill_first(run_min[::-1], grp_end[::-1])[::-1]
 
     # ---- final candidate ranking: hits desc, insertion (pos) asc -------
     qk3 = jnp.where(is_rep, qk2, jnp.int32(b))
-    neg_hits3 = jnp.where(is_rep, neg_hits, I32_MAX)
-    fp3 = jnp.where(is_rep, first_pos[gid2], I32_MAX)
-    (qk3, neg_hits3, fp3, tgt3, tax3, beg3, end3) = jax.lax.sort(
-        (qk3, neg_hits3, fp3, tgt2, taxkey, beg2, end2), num_keys=3)
+    neg_hits3 = jnp.where(is_rep, neg_hits2, I32_MAX)
+    fp3 = jnp.where(is_rep, first_pos, I32_MAX)
+    (qk3, neg_hits3, fp3, tgt3, tax3, end3, lo3) = jax.lax.sort(
+        (qk3, neg_hits3, fp3, tgt2, taxkey, end2, lo2), num_keys=3)
 
     qstart = jnp.searchsorted(qk3, jnp.arange(b, dtype=jnp.int32)
                               ).astype(jnp.int32)
@@ -216,7 +299,10 @@ def matches_to_result(qk, tgt, win, max_win_in_range,
     cand_tgt = jnp.where(okc, tgt3[sel_c], -1)
     cand_tax = jnp.where(okc, tax3[sel_c], 0)
     cand_hits = jnp.where(okc, -neg_hits3[sel_c], 0)
-    cand_beg = jnp.where(okc, beg3[sel_c], 0)
+    # range begin = window at the sweep's left pointer; only O(B*K)
+    # gathers from the (query,target,window)-sorted array
+    lo_sel = jnp.clip(lo3[sel_c], 0, m - 1)
+    cand_beg = jnp.where(okc, win[lo_sel], 0)
     cand_end = jnp.where(okc, end3[sel_c], 0)
 
     # ---- classification: threshold + iterated ranked LCA ---------------

@@ -1,0 +1,184 @@
+"""Row-layout query pipeline: one row per query, sorts along lanes.
+
+The flat pipeline (ops.pipeline) sorts one giant (query, target, window)
+array — O(M log^2 M) bitonic passes for M ~ millions. When every query in
+a batch has the same (padded) window count Wq, the match slots form a
+dense (B, L) matrix with L = Wq * sketchlen * slots_per_feature, and every
+stage becomes a *per-row* sort of a few hundred lanes — bitonic depth
+log^2(L) instead of log^2(B*L), fully lane-parallel on the VPU. This is
+the TPU analog of the reference GPU's per-query segmented sort
+(bb_segsort, src/query_batch.cu:34-61).
+
+Semantics are identical to ops.pipeline.matches_to_result (verified by the
+shared oracle tests); the runner picks this path for window-count-bucketed
+batches.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sketch_jax import sketch_windows
+from .pipeline import QueryResult, classify_candidates
+
+I32_MAX = np.int32(2**31 - 1)
+
+
+def _row_segmented_fill_first(values, is_start):
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+    filled, _ = jax.lax.associative_scan(combine, (values, is_start),
+                                         axis=1)
+    return filled
+
+
+def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
+                   hits_min, hits_diff_frac, highest_rank, merge_rank,
+                   *, max_candidates: int) -> QueryResult:
+    """(B, L) per-query match slots -> candidates + classification.
+
+    `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
+    """
+    b, l = tgt.shape
+    kk = max_candidates
+
+    # ---- per-row sort by (target, window) ------------------------------
+    tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
+    is_match = tgt != I32_MAX
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+
+    # ---- rank join for the two-pointer left bound ----------------------
+    win_lo = jnp.maximum(win - (mwir[:, None] - 1), 0)
+    ct = jnp.concatenate([tgt, tgt], axis=1)
+    cw = jnp.concatenate([win, win_lo], axis=1)
+    cf = jnp.concatenate([jnp.ones((b, l), jnp.int32),
+                          jnp.zeros((b, l), jnp.int32)], axis=1)
+    cidx = jnp.concatenate([pos, pos], axis=1)
+    ct, cw, cf, cidx = jax.lax.sort((ct, cw, cf, cidx), dimension=1,
+                                    num_keys=3)
+    orig_before = jnp.cumsum(cf, axis=1) - cf
+    _, _, lo = jax.lax.sort((cf, cidx, orig_before.astype(jnp.int32)),
+                            dimension=1, num_keys=2)
+    lo = lo[:, :l]
+    hits = pos + 1 - lo
+
+    # ---- best range per target: sort by (tgt, hits desc, pos) ----------
+    neg_hits0 = jnp.where(is_match, -hits, I32_MAX)
+    (tgt1, neg1, pos1, end1, lo1) = jax.lax.sort(
+        (tgt, neg_hits0, pos, win, lo), dimension=1, num_keys=3)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    prev_t = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), tgt1[:, :-1]], axis=1)
+    is_cand = (tgt1 != I32_MAX) & ((col == 0) | (tgt1 != prev_t))
+
+    tax = merge_tax_of_target[
+        jnp.clip(tgt1, 0, merge_tax_of_target.shape[0] - 1)]
+    is_cand = is_cand & (tax != 0)
+
+    # ---- merge by taxon: sort by (tax, hits desc, pos) -----------------
+    taxkey = jnp.where(is_cand, tax, I32_MAX)
+    neg2 = jnp.where(is_cand, neg1, I32_MAX)
+    (taxkey2, neg2, pos2, tgt2, end2, lo2) = jax.lax.sort(
+        (taxkey, neg2, pos1, tgt1, end1, lo1), dimension=1, num_keys=3)
+    prev_x = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), taxkey2[:, :-1]], axis=1)
+    # taxon ids can be negative (sequence-level) — a -1 sentinel would
+    # collide, so column 0 is always a group start
+    is_rep = (taxkey2 != I32_MAX) & ((col == 0) | (taxkey2 != prev_x))
+
+    def min_comb(a, c):
+        av, af = a
+        cv, cfl = c
+        return jnp.where(cfl, cv, jnp.minimum(av, cv)), af | cfl
+    pos_or_max = jnp.where(taxkey2 != I32_MAX, pos2, I32_MAX)
+    run_min, _ = jax.lax.associative_scan(min_comb, (pos_or_max, is_rep),
+                                          axis=1)
+    grp_end = jnp.concatenate([is_rep[:, 1:], jnp.ones((b, 1), bool)],
+                              axis=1)
+    first_pos = _row_segmented_fill_first(
+        run_min[:, ::-1], grp_end[:, ::-1])[:, ::-1]
+
+    # ---- final ranking: hits desc, first insertion asc -----------------
+    neg3 = jnp.where(is_rep, neg2, I32_MAX)
+    fp3 = jnp.where(is_rep, first_pos, I32_MAX)
+    (neg3, fp3, tgt3, tax3, end3, lo3) = jax.lax.sort(
+        (neg3, fp3, tgt2, taxkey2, end2, lo2), dimension=1, num_keys=2)
+
+    okc = neg3[:, :kk] != I32_MAX
+    cand_tgt = jnp.where(okc, tgt3[:, :kk], -1)
+    cand_tax = jnp.where(okc, tax3[:, :kk], 0)
+    cand_hits = jnp.where(okc, -neg3[:, :kk], 0)
+    lo_sel = jnp.clip(lo3[:, :kk], 0, l - 1)
+    cand_beg = jnp.where(okc, jnp.take_along_axis(win, lo_sel, axis=1), 0)
+    cand_end = jnp.where(okc, end3[:, :kk], 0)
+
+    cls_tax = classify_candidates(
+        cand_tgt, cand_tax, cand_hits, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank)
+
+    # flat hit arrays for -allhits (row-major: qid = row index)
+    hit_qid = jnp.where(is_match,
+                        jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
+                        jnp.int32(b)).reshape(-1)
+    return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg, cand_end,
+                       cls_tax, hit_qid, tgt.reshape(-1), win.reshape(-1))
+
+
+def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
+               slots_per_feature: int):
+    """(B, F) features -> (B, F*C) match slots (tgt, win)."""
+    b, f = feats.shape
+    c = slots_per_feature
+    flat = feats.reshape(-1)
+    nf = table_feats.shape[0]
+    idx = jnp.searchsorted(table_feats, flat).astype(jnp.int32)
+    idx_c = jnp.minimum(idx, max(nf - 1, 0))
+    found = (table_feats[idx_c] == flat) & \
+        (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
+        jnp.zeros_like(flat, dtype=bool)
+    off = jnp.where(found, table_offsets[idx_c], 0).astype(jnp.int32)
+    cnt = jnp.where(
+        found,
+        (table_offsets[idx_c + 1] - table_offsets[idx_c]).astype(jnp.int32),
+        0)
+    cnt = jnp.minimum(cnt, c)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
+    li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
+    hit = j < cnt[:, None]
+    tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
+    wins = jnp.where(hit, loc_win[li], I32_MAX)
+    return tgts.reshape(b, f * c), wins.reshape(b, f * c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature",
+                     "windows_per_query", "max_candidates"))
+def query_step_rows(windows, valid, mwir,
+                    table_feats, table_offsets, loc_tgt, loc_win,
+                    merge_tax_of_target, lineages,
+                    hits_min, hits_diff_frac, highest_rank, merge_rank,
+                    *, k: int, sketchlen: int, slots_per_feature: int,
+                    windows_per_query: int,
+                    max_candidates: int) -> QueryResult:
+    """Row-layout classification step.
+
+    windows: (B, Wq, W) u8 — every query padded to Wq windows;
+    valid: (B, Wq) i32 chars per window (0 = padding window);
+    mwir: (B,) i32 contiguous-range length per query.
+    """
+    b, wq, w = windows.shape
+    feats = sketch_windows(windows.reshape(b * wq, w),
+                           valid.reshape(b * wq), k=k, sketchlen=sketchlen)
+    feats = feats.reshape(b, wq * sketchlen)
+    tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
+                          loc_win, slots_per_feature)
+    return rows_to_result(
+        tgt, win, mwir, merge_tax_of_target, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank,
+        max_candidates=max_candidates)

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import SketchingOptions
 from ..core.encoding import encode_ascii
 
-PAD_CODE = np.uint8(255)  # padding char: always "ambiguous"
+PAD_CODE = np.uint8(4)  # padding char: "ambiguous" (>= 4)
 
 
 def window_starts(length: int, winlen: int, stride: int) -> np.ndarray:
@@ -45,8 +45,18 @@ def sequence_windows(codes: np.ndarray, opt: SketchingOptions):
     starts, lens = starts[keep], lens[keep]
     nw = len(starts)
     out = np.full((nw, opt.winlen), PAD_CODE, dtype=np.uint8)
-    for i, (s, ln) in enumerate(zip(starts, lens)):
-        out[i, :ln] = codes[s:s + ln]
+    if nw == 0:
+        return out, lens
+    # full windows in one strided copy; at most one trailing partial
+    nfull = nw - (1 if lens[-1] < opt.winlen else 0)
+    if nfull > 0:
+        strided = np.lib.stride_tricks.as_strided(
+            codes, shape=(nfull, opt.winlen),
+            strides=(codes.strides[0] * opt.winstride, codes.strides[0]))
+        out[:nfull] = strided
+    if nfull < nw:
+        s, ln = starts[-1], lens[-1]
+        out[-1, :ln] = codes[s:s + ln]
     return out, lens
 
 

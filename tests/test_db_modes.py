@@ -1,0 +1,117 @@
+"""Database build modes: multi-part, modify (incremental), save/load,
+and the native I/O layer."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from metacache_tpu.classify.runner import (ClassificationResults,
+                                           QueryOptions,
+                                           map_queries_to_targets)
+from metacache_tpu.db.build import BuildOptions, build_database
+from metacache_tpu.db.database import Database
+from metacache_tpu.seqio.reader import read_sequences
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(HERE, "data")
+
+
+def _query_output(db) -> str:
+    out = io.StringIO()
+    map_queries_to_targets([f"{DATA}/reads_single.fa"], db, QueryOptions(),
+                           ClassificationResults(out))
+    return out.getvalue()
+
+
+@pytest.fixture(scope="module")
+def full_db():
+    return build_database(BuildOptions(
+        infiles=[f"{DATA}/genomes.fa"],
+        taxonomy_dir=f"{DATA}/taxonomy"))
+
+
+def test_multipart_build_query_equivalence(full_db):
+    db2 = build_database(BuildOptions(
+        infiles=[f"{DATA}/genomes.fa"],
+        taxonomy_dir=f"{DATA}/taxonomy", parts=2))
+    assert len(db2.parts) == 2
+    assert _query_output(db2) == _query_output(full_db)
+
+
+def test_save_load_roundtrip(full_db, tmp_path):
+    path = str(tmp_path / "db")
+    full_db.save(path)
+    loaded = Database.load(path)
+    assert loaded.target_count == full_db.target_count
+    np.testing.assert_array_equal(loaded.parts[0].unique_features,
+                                  full_db.parts[0].unique_features)
+    np.testing.assert_array_equal(loaded.parts[0].locations,
+                                  full_db.parts[0].locations)
+    assert _query_output(loaded) == _query_output(full_db)
+
+
+def test_modify_equivalence(full_db, tmp_path):
+    recs = list(read_sequences(f"{DATA}/genomes.fa"))
+
+    def write(path, rs):
+        with open(path, "w") as f:
+            for r in rs:
+                f.write(f">{r.header}\n{r.seq.decode()}\n")
+
+    a, b = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+    write(a, recs[:3])
+    write(b, recs[3:])
+    half = build_database(BuildOptions(
+        infiles=[a], taxonomy_dir=f"{DATA}/taxonomy"))
+    half.save(str(tmp_path / "half"))
+    loaded = Database.load(str(tmp_path / "half"))
+    mod = build_database(BuildOptions(
+        infiles=[b], taxonomy_dir=f"{DATA}/taxonomy",
+        sketching=loaded.sketching), loaded)
+    assert np.array_equal(mod.parts[0].unique_features,
+                          full_db.parts[0].unique_features)
+    assert np.array_equal(mod.parts[0].locations,
+                          full_db.parts[0].locations)
+    assert _query_output(mod) == _query_output(full_db)
+
+
+def test_native_reader_parity():
+    native = pytest.importorskip("metacache_tpu.native")
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    from metacache_tpu.core.encoding import encode_ascii
+    py = list(read_sequences(f"{DATA}/reads_single.fa"))
+    r = native.NativeFastxReader(f"{DATA}/reads_single.fa", max_len=256)
+    codes, lens, hdrs = r.read_batch(1000)
+    assert len(hdrs) == len(py)
+    for i, rec in enumerate(py):
+        assert hdrs[i] == rec.header
+        np.testing.assert_array_equal(codes[i, :lens[i]],
+                                      encode_ascii(rec.seq))
+    # fastq with same content
+    r2 = native.NativeFastxReader(f"{DATA}/reads_single.fq", max_len=256)
+    c2, l2, h2 = r2.read_batch(1000)
+    assert h2 == hdrs
+    np.testing.assert_array_equal(c2, codes)
+
+
+def test_native_window_extraction_matches_python():
+    native = pytest.importorskip("metacache_tpu.native")
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    from metacache_tpu.config import SketchingOptions
+    from metacache_tpu.ops import windows as W
+    rng = np.random.default_rng(5)
+    opt = SketchingOptions().resolved()
+    lens = rng.integers(10, 900, 50).astype(np.int32)
+    codes = rng.integers(0, 5, (50, 900)).astype(np.uint8)
+    w, v, q, n = native.extract_windows_batch(
+        codes, lens, opt.winlen, opt.winstride, opt.kmerlen, 4096)
+    # python reference
+    seqs = [codes[i, :lens[i]] for i in range(50)]
+    pw, pv, pq = W.batch_windows(seqs, opt)
+    assert n == len(pw)
+    np.testing.assert_array_equal(w[:n], pw)
+    np.testing.assert_array_equal(v[:n], pv)
+    np.testing.assert_array_equal(q[:n], pq)
