@@ -134,7 +134,10 @@ class QueryRunner:
 
         # device table arrays (all parts merged into one probe sequence —
         # single-part fast path; multi-part probes loop over parts)
+        from ..ops.probe import DEFAULT_BITS
+        self._prefix_bits = DEFAULT_BITS
         self._tables = []
+        self._prefix = []
         for p in db.parts:
             ltgt, lwin = unpack_locations(p.locations)
             self._tables.append((
@@ -144,6 +147,8 @@ class QueryRunner:
                 jnp.asarray(lwin.astype(np.int32)),
                 min(p.max_bucket_size, db.max_locations_per_feature) or 1,
             ))
+            ps, steps = p.prefix_index(self._prefix_bits)
+            self._prefix.append((jnp.asarray(ps), steps))
         self._lineages_dev = jnp.asarray(
             self.lineages if db.target_count else
             np.zeros((1, NUM_RANKS), np.int32))
@@ -262,12 +267,14 @@ class QueryRunner:
                 vmat[r, :len(v)] = v
                 mwir[r] = self._mwir(batch[i])
             from ..ops.rows import query_step_rows
+            ps, steps = self._prefix[0]
             res = query_step_rows(
                 jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
-                tf, to, lt, lw, *tail,
+                tf, to, lt, lw, *tail, ps,
                 k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
-                max_candidates=k)
+                max_candidates=k, prefix_bits=self._prefix_bits,
+                prefix_steps=steps)
             sel = np.asarray(idxs)
             cand_tgt[sel] = np.asarray(res.cand_tgt)[:len(idxs)]
             cand_tax[sel] = np.asarray(res.cand_tax)[:len(idxs)]
@@ -537,11 +544,28 @@ def map_queries_to_targets(infiles: List[str], db: Database,
             out_mod.show_query_mapping_header(oopt))
 
     t0 = time.monotonic()
-    queries = read_queries(infiles, opt.pairing)
-    if opt.query_limit >= 0:
-        import itertools
-        queries = itertools.islice(queries, opt.query_limit)
-    runner.run_queries(queries, results)
+    # announce + stream each input file (pair) in order
+    # (reference: query_database, src/database_query.hpp:345-360)
+    comment = oopt.format.tokens.comment
+    stride = 2 if opt.pairing == PairingMode.FILES else 1
+    import itertools
+    remaining = opt.query_limit if opt.query_limit >= 0 else None
+    for i in range(0, len(infiles), stride):
+        group = infiles[i:i + stride]
+        if opt.pairing == PairingMode.FILES and len(group) == 2:
+            results.per_read_out.write(
+                f"{comment}{group[0]} + {group[1]}\n")
+        else:
+            results.per_read_out.write(f"{comment}{group[0]}\n")
+        queries = read_queries(group, opt.pairing)
+        if remaining is not None:
+            queries = itertools.islice(queries, remaining)
+        before = results.query_count
+        runner.run_queries(queries, results)
+        if remaining is not None:
+            remaining -= results.query_count - before
+            if remaining <= 0:
+                break
 
     if opt.classify.cov_percentile > 0:
         runner.redo_saved_classification(results)

@@ -140,10 +140,24 @@ def main_mode_merge(argv: List[str]) -> int:
     stream = open(out_file, "w") if out_file else sys.stdout
     results = ClassificationResults(stream)
     oopt = opt.output
-    if oopt.format.map_view_mode != out_mod.MapViewMode.NONE:
-        stream.write(out_mod.show_query_mapping_header(oopt))
     hits_min = opt.classify.hits_min if opt.classify.hits_min >= 1 else 5
     highest = rank_from_name(opt.classify.highest_rank)
+    if opt.show_query_params:
+        class _P:
+            format = oopt.format
+            analysis = oopt.analysis
+            evaluate = oopt.evaluate
+            classify_resolved = (lowest, highest, hits_min,
+                                 opt.classify.max_candidates,
+                                 opt.classify.insert_size_max)
+        stream.write(out_mod.show_query_parameters(
+            _P, opt.pairing, opt.num_threads))
+    stream.write(f"{oopt.format.tokens.comment}Merging {len(files)} "
+                 "files:\n")
+    for path in files:
+        stream.write(f"{oopt.format.tokens.comment}{path}\n")
+    if oopt.format.map_view_mode != out_mod.MapViewMode.NONE:
+        stream.write(out_mod.show_query_mapping_header(oopt))
 
     tax_counts = {}
     for qid in sorted(candidates):

@@ -55,11 +55,12 @@ class SketchingOptions:
         return self
 
     def __post_init__(self):
-        if not (1 <= self.kmerlen <= 32):
+        # 0/negative values are "inherit from database" sentinels
+        # (reference: query-side sketching_opt{0,0,0,0}, options.hpp:414)
+        if self.kmerlen >= 1 and not (1 <= self.kmerlen <= 32):
             raise ValueError(f"kmerlen must be in [1,32], got {self.kmerlen}")
-        if self.sketchlen < 1:
-            raise ValueError("sketchlen must be >= 1")
-        if self.winlen < self.kmerlen:
+        if self.winlen >= 1 and self.kmerlen >= 1 and \
+                self.winlen < self.kmerlen:
             raise ValueError("winlen must be >= kmerlen")
 
     @property

@@ -130,17 +130,23 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
 
 
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
-               slots_per_feature: int):
+               slots_per_feature: int, prefix_starts=None,
+               prefix_bits: int = 16, prefix_steps: int = 0):
     """(B, F) features -> (B, F*C) match slots (tgt, win)."""
+    from .probe import probe_features
     b, f = feats.shape
     c = slots_per_feature
     flat = feats.reshape(-1)
     nf = table_feats.shape[0]
-    idx = jnp.searchsorted(table_feats, flat).astype(jnp.int32)
-    idx_c = jnp.minimum(idx, max(nf - 1, 0))
-    found = (table_feats[idx_c] == flat) & \
-        (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
-        jnp.zeros_like(flat, dtype=bool)
+    if prefix_starts is not None and nf > 0:
+        idx_c, found = probe_features(flat, table_feats, prefix_starts,
+                                      prefix_bits, prefix_steps)
+    else:
+        idx = jnp.searchsorted(table_feats, flat).astype(jnp.int32)
+        idx_c = jnp.minimum(idx, max(nf - 1, 0))
+        found = (table_feats[idx_c] == flat) & \
+            (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
+            jnp.zeros_like(flat, dtype=bool)
     off = jnp.where(found, table_offsets[idx_c], 0).astype(jnp.int32)
     cnt = jnp.where(
         found,
@@ -158,14 +164,17 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
-                     "windows_per_query", "max_candidates"))
+                     "windows_per_query", "max_candidates",
+                     "prefix_bits", "prefix_steps"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
                     hits_min, hits_diff_frac, highest_rank, merge_rank,
+                    prefix_starts=None,
                     *, k: int, sketchlen: int, slots_per_feature: int,
-                    windows_per_query: int,
-                    max_candidates: int) -> QueryResult:
+                    windows_per_query: int, max_candidates: int,
+                    prefix_bits: int = 16,
+                    prefix_steps: int = 0) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -177,7 +186,8 @@ def query_step_rows(windows, valid, mwir,
                            valid.reshape(b * wq), k=k, sketchlen=sketchlen)
     feats = feats.reshape(b, wq * sketchlen)
     tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
-                          loc_win, slots_per_feature)
+                          loc_win, slots_per_feature, prefix_starts,
+                          prefix_bits, prefix_steps)
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,

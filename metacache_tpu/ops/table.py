@@ -157,6 +157,11 @@ class FeatureTable:
         np.cumsum(sizes, out=self.offsets[1:])
 
     # ------------------------------------------------------------------
+    def prefix_index(self, bits: int = 16):
+        """Prefix-offset acceleration for device probing (ops.probe)."""
+        from .probe import make_prefix_index
+        return make_prefix_index(self.unique_features, bits)
+
     def location_list_size_statistics(self):
         """(mean, stddev, max) of bucket sizes (reference:
         host_hashmap.hpp:376-409)."""

@@ -81,3 +81,22 @@ done <<'EOF'
 EOF
 
 echo "goldens written to $GOLD"
+
+# --- partitioned query + merge golden -------------------------------------
+python - <<'PYEOF'
+import sys
+sys.path.insert(0, "$HERE/..")
+from metacache_tpu.seqio.reader import read_sequences
+recs = list(read_sequences("$DATA/genomes.fa"))
+for name, rs in [("$WORK/part_a.fa", recs[:3]), ("$WORK/part_b.fa", recs[3:])]:
+    with open(name, "w") as f:
+        for r in rs:
+            f.write(f">{r.header}\n{r.seq.decode()}\n")
+PYEOF
+"$BIN" build "$WORK/dbA" "$WORK/part_a.fa" -taxonomy "$TAXDIR" -parts 1 >/dev/null 2>&1
+"$BIN" build "$WORK/dbB" "$WORK/part_b.fa" -taxonomy "$TAXDIR" -parts 1 >/dev/null 2>&1
+"$BIN" query "$WORK/dbA" "$DATA/reads_single.fa" -lowest species -queryids -tophits -no-summary > "$GOLD/partition_resA.txt" 2>/dev/null
+"$BIN" query "$WORK/dbB" "$DATA/reads_single.fa" -lowest species -queryids -tophits -no-summary > "$GOLD/partition_resB.txt" 2>/dev/null
+(cd "$GOLD" && "$BIN" merge partition_resA.txt partition_resB.txt \
+    -taxonomy "$TAXDIR" -lowest species -abundances 2>/dev/null) | \
+    strip_variable_lines > "$GOLD/merged.txt"

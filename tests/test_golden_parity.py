@@ -125,3 +125,41 @@ def test_formatting_matrix_parity(dbfile, i):
     ours = _query(dbfile, [f"{DATA}/reads_single.fa"] + FMT_FLAGS[i])
     want = _golden(f"fmt_{i}.txt")
     assert ours == want, f"flags: {FMT_FLAGS[i]}"
+
+
+def test_partitioned_merge_parity(tmp_path):
+    """Partitioned build -> per-partition query -> merge == reference."""
+    from metacache_tpu.seqio.reader import read_sequences
+    recs = list(read_sequences(f"{DATA}/genomes.fa"))
+    a, b = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+    for name, rs in [(a, recs[:3]), (b, recs[3:])]:
+        with open(name, "w") as f:
+            for r in rs:
+                f.write(f">{r.header}\n{r.seq.decode()}\n")
+    dba, dbb = str(tmp_path / "dbA"), str(tmp_path / "dbB")
+    assert _run(["build", dba, a, "-taxonomy", f"{DATA}/taxonomy"]
+                ).returncode == 0
+    assert _run(["build", dbb, b, "-taxonomy", f"{DATA}/taxonomy"]
+                ).returncode == 0
+    qargs = ["-lowest", "species", "-queryids", "-tophits", "-no-summary"]
+    ra, rb = str(tmp_path / "partition_resA.txt"), \
+        str(tmp_path / "partition_resB.txt")
+    for db, out in [(dba, ra), (dbb, rb)]:
+        r = _run(["query", db, f"{DATA}/reads_single.fa"] + qargs +
+                 ["-out", out])
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+    # per-partition outputs must equal the reference's
+    for ours, golden in [(ra, "partition_resA.txt"),
+                         (rb, "partition_resB.txt")]:
+        with open(ours) as f:
+            assert _strip(f.read()) == _golden(golden)
+    r = _run(["merge", ra, rb, "-taxonomy", f"{DATA}/taxonomy",
+              "-lowest", "species", "-abundances"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    ours = [l for l in _strip(r.stdout.decode())
+            if "resA" not in l and "resB" not in l
+            and not l.startswith("Reading")]
+    want = [l for l in _golden("merged.txt")
+            if "resA" not in l and "resB" not in l
+            and not l.startswith("Reading")]
+    assert ours == want
