@@ -424,7 +424,8 @@ def mode_build_query(argv: List[str]) -> int:
     if v:
         bopt.max_locations_per_feature = int(v)
 
-    # everything before '-query' is build input, after is query input
+    # reference syntax: -targets <files...> [-query <files...>]
+    # (src/options.cpp:1701-1712); everything after '-query' is query input
     if "-query" in a.argv:
         i = a.argv.index("-query")
         build_args, query_args = a.argv[:i], a.argv[i + 1:]
@@ -436,8 +437,10 @@ def mode_build_query(argv: List[str]) -> int:
         bopt.sketching = SketchingOptions(
             kmerlen=sk.kmerlen or 16, sketchlen=sk.sketchlen or 16,
             winlen=sk.winlen or 127, winstride=sk.winstride)
-    pos = ab.positionals()
-    bopt.infiles = pos
+    bopt.infiles = ab.take_values("-targets")
+    bopt.infiles += ab.positionals()
+    if not bopt.infiles:
+        raise CliError("No reference sequence files provided or found!")
     db = build_database(bopt)
     if save_db:
         db.save(save_db)

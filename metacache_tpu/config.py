@@ -19,9 +19,10 @@ TARGET_ID_BYTES = 4     # target_id = uint32
 WINDOW_ID_BYTES = 4     # window_id = uint32
 BUCKET_SIZE_BYTES = 1   # loclist_size_t = uint8 -> max 255 locations/feature
 
-#: maximum locations a single feature can map to (bucket capacity);
-#: reference: hash_multimap::max_bucket_size() == 255 (u8 max)
-MAX_SUPPORTED_LOCATIONS_PER_FEATURE = 255
+#: maximum locations a single feature can map to;
+#: reference: host_hashmap::max_supported_locations_per_feature() ==
+#: hash_multimap::max_bucket_size() - 1 == 254 (src/host_hashmap.hpp:449-452)
+MAX_SUPPORTED_LOCATIONS_PER_FEATURE = 254
 
 #: database format version we write; mirrors MC_DB_VERSION gating semantics
 #: (reference: src/version.hpp:27-31, src/database.cpp:99-107)

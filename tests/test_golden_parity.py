@@ -163,3 +163,33 @@ def test_partitioned_merge_parity(tmp_path):
             if "resA" not in l and "resB" not in l
             and not l.startswith("Reading")]
     assert ours == want
+
+
+def test_covpercentile_parity(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_single.fa", "-cov-percentile",
+                           "50", "-precision", "-ground-truth",
+                           "-tophits"])
+    assert ours == _golden("covpct.txt")
+
+
+def test_custom_sketch_parity(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_single.fa", "-sketchlen", "8",
+                           "-winlen", "96"])
+    assert ours == _golden("custom_sketch.txt")
+
+
+def _from_mappings(lines):
+    """Query-result section only (build+query prepends build narration)."""
+    for i, l in enumerate(lines):
+        if l.startswith("# Reporting"):
+            return lines[i:]
+    return lines
+
+
+def test_build_query_parity():
+    r = _run(["build+query", "-targets", f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy", "-query",
+              f"{DATA}/reads_single.fa", "-tophits"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert _from_mappings(_strip(r.stdout.decode())) == \
+        _from_mappings(_golden("buildquery.txt"))
