@@ -97,17 +97,17 @@ def main():
     mwir = np.full(B, 2, np.int32)
 
     prefix_starts, prefix_steps = ft.prefix_index()
+    lt2, lw2 = ft.dense_locations(spf)
     args = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(mwir),
             jnp.asarray(ft.unique_features),
             jnp.asarray(ft.offsets.astype(np.int32)),
-            jnp.asarray(ltgt.astype(np.int32)),
-            jnp.asarray(lwin.astype(np.int32)),
+            jnp.asarray(lt2), jnp.asarray(lw2),
             jnp.asarray(merge_tax), jnp.asarray(lineages),
             jnp.int32(5), jnp.float32(1.0), jnp.int32(19), jnp.int32(0),
             jnp.asarray(prefix_starts))
     kw = dict(k=opt.kmerlen, sketchlen=opt.sketchlen,
               slots_per_feature=spf, windows_per_query=1,
-              max_candidates=2, prefix_steps=prefix_steps)
+              max_candidates=2, prefix_steps=prefix_steps, dense=True)
 
     res = query_step(*args, **kw)
     res.cls_tax.block_until_ready()

@@ -138,15 +138,28 @@ class QueryRunner:
         self._prefix_bits = DEFAULT_BITS
         self._tables = []
         self._prefix = []
+        self._dense = []
+        # dense (F, spf) location rows when memory is affordable: TPU row
+        # gathers are vastly faster than per-slot element gathers
+        DENSE_BYTE_LIMIT = 8 << 30
         for p in db.parts:
-            ltgt, lwin = unpack_locations(p.locations)
-            self._tables.append((
-                jnp.asarray(p.unique_features),
-                jnp.asarray(p.offsets.astype(np.int32)),
-                jnp.asarray(ltgt.astype(np.int32)),
-                jnp.asarray(lwin.astype(np.int32)),
-                min(p.max_bucket_size, db.max_locations_per_feature) or 1,
-            ))
+            spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
+            use_dense = (len(db.parts) == 1 and
+                         p.num_features * spf * 8 <= DENSE_BYTE_LIMIT)
+            if use_dense:
+                lt2, lw2 = p.dense_locations(spf)
+                self._tables.append((
+                    jnp.asarray(p.unique_features),
+                    jnp.asarray(p.offsets.astype(np.int32)),
+                    jnp.asarray(lt2), jnp.asarray(lw2), spf))
+            else:
+                ltgt, lwin = unpack_locations(p.locations)
+                self._tables.append((
+                    jnp.asarray(p.unique_features),
+                    jnp.asarray(p.offsets.astype(np.int32)),
+                    jnp.asarray(ltgt.astype(np.int32)),
+                    jnp.asarray(lwin.astype(np.int32)), spf))
+            self._dense.append(use_dense)
             ps, steps = p.prefix_index(self._prefix_bits)
             self._prefix.append((jnp.asarray(ps), steps))
         self._lineages_dev = jnp.asarray(
@@ -169,9 +182,17 @@ class QueryRunner:
 
     # ------------------------------------------------------------------
     def run_queries(self, queries, results: "ClassificationResults"):
-        """Classify an iterable of QueryRecord into `results`."""
+        """Classify an iterable of QueryRecord into `results`.
+
+        One batch of device work stays in flight while the host prepares
+        the next batch and formats the previous results — the double-
+        buffered overlap the reference gets from its producer/consumer
+        batch_executor (src/batch_processing.hpp:23-306), expressed
+        through JAX async dispatch.
+        """
         batch: List[QueryRecord] = []
         nwin_total = 0
+        pending = None  # (batch, dispatched-but-unfetched device results)
         opt = self.opt
         for q in queries:
             ln = len(q.seq1) + len(q.seq2)
@@ -184,15 +205,22 @@ class QueryRunner:
             batch.append(q)
             nwin_total += max(nw, 1)
             if nwin_total >= opt.batch_windows:
-                self._process_batch(batch, results)
+                dispatched = self._dispatch_batch(batch)
+                if pending is not None:
+                    self._collect_batch(*pending, results)
+                pending = (batch, dispatched)
                 batch, nwin_total = [], 0
         if batch:
-            self._process_batch(batch, results)
+            dispatched = self._dispatch_batch(batch)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = (batch, dispatched)
+        if pending is not None:
+            self._collect_batch(*pending, results)
 
     # ------------------------------------------------------------------
-    def _process_batch(self, batch: List[QueryRecord],
-                       results: "ClassificationResults"):
-        """Classify one accumulated batch on the device.
+    def _dispatch_batch(self, batch: List[QueryRecord]):
+        """Launch the device work for one batch (async).
 
         Single-part databases use the row-layout fast path: queries are
         bucketed by (padded) window count so each bucket is a dense
@@ -201,9 +229,15 @@ class QueryRunner:
         flat pipeline with part-merged matches.
         """
         if len(self._tables) == 1:
-            self._process_batch_rows(batch, results)
+            return ("rows", self._dispatch_batch_rows(batch))
+        return ("flat", self._dispatch_batch_flat(batch))
+
+    def _collect_batch(self, batch, dispatched, results):
+        kind, payload = dispatched
+        if kind == "rows":
+            self._collect_batch_rows(batch, payload, results)
         else:
-            self._process_batch_flat(batch, results)
+            self._collect_batch_flat(batch, payload, results)
 
     def _query_windows(self, q: QueryRecord):
         """All windows of one query (seq1 then seq2)."""
@@ -224,7 +258,7 @@ class QueryRunner:
             len(q.seq1) + len(q.seq2),
             self.opt.classify.insert_size_max, self.db.sketching.winstride)
 
-    def _process_batch_rows(self, batch, results):
+    def _dispatch_batch_rows(self, batch):
         import jax.numpy as jnp
         opt = self.opt
         sk = self.sketching
@@ -239,22 +273,13 @@ class QueryRunner:
             wq = _round_up_pow2(max(len(w), 1))
             buckets.setdefault(wq, []).append(i)
 
-        n = len(batch)
-        cand_tgt = np.full((n, k), -1, np.int32)
-        cand_tax = np.zeros((n, k), np.int32)
-        cand_hits = np.zeros((n, k), np.int32)
-        cand_beg = np.zeros((n, k), np.int32)
-        cand_end = np.zeros((n, k), np.int32)
-        cls_tax = np.zeros(n, np.int32)
-        allhits_of: Dict[int, tuple] = {}
-        need_allhits = opt.output.analysis.show_all_hits
-
         tf, to, lt, lw, spf = self._tables[0]
         tail = (self._merge_tax_dev, self._lineages_dev,
                 jnp.int32(self.hits_min),
                 jnp.float32(opt.classify.hits_diff_fraction),
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
 
+        launched = []
         for wq, idxs in sorted(buckets.items()):
             rows = _round_up_pow2(len(idxs))
             wmat = np.full((rows, wq, sk.winlen), win_ops.PAD_CODE,
@@ -274,7 +299,24 @@ class QueryRunner:
                 k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
                 max_candidates=k, prefix_bits=self._prefix_bits,
-                prefix_steps=steps)
+                prefix_steps=steps, dense=self._dense[0])
+            launched.append((idxs, rows, res))
+        return launched
+
+    def _collect_batch_rows(self, batch, launched, results):
+        opt = self.opt
+        k = opt.classify.max_candidates
+        n = len(batch)
+        cand_tgt = np.full((n, k), -1, np.int32)
+        cand_tax = np.zeros((n, k), np.int32)
+        cand_hits = np.zeros((n, k), np.int32)
+        cand_beg = np.zeros((n, k), np.int32)
+        cand_end = np.zeros((n, k), np.int32)
+        cls_tax = np.zeros(n, np.int32)
+        allhits_of: Dict[int, tuple] = {}
+        need_allhits = opt.output.analysis.show_all_hits
+
+        for (idxs, rows, res) in launched:
             sel = np.asarray(idxs)
             cand_tgt[sel] = np.asarray(res.cand_tgt)[:len(idxs)]
             cand_tax[sel] = np.asarray(res.cand_tax)[:len(idxs)]
@@ -297,7 +339,7 @@ class QueryRunner:
                                  cand_beg, cand_end, cls_tax, allhits_of,
                                  results)
 
-    def _process_batch_flat(self, batch, results):
+    def _dispatch_batch_flat(self, batch):
         import jax.numpy as jnp
         opt = self.opt
         sk = self.sketching
@@ -349,7 +391,10 @@ class QueryRunner:
             num_queries=b_static,
             max_candidates=opt.classify.max_candidates,
             num_parts=len(self._tables))
+        return res
 
+    def _collect_batch_flat(self, batch, res, results):
+        opt = self.opt
         n = len(batch)
         allhits_of: Dict[int, tuple] = {}
         if opt.output.analysis.show_all_hits:
@@ -549,7 +594,6 @@ def map_queries_to_targets(infiles: List[str], db: Database,
     comment = oopt.format.tokens.comment
     stride = 2 if opt.pairing == PairingMode.FILES else 1
     import itertools
-    remaining = opt.query_limit if opt.query_limit >= 0 else None
     for i in range(0, len(infiles), stride):
         group = infiles[i:i + stride]
         if opt.pairing == PairingMode.FILES and len(group) == 2:
@@ -558,14 +602,12 @@ def map_queries_to_targets(infiles: List[str], db: Database,
         else:
             results.per_read_out.write(f"{comment}{group[0]}\n")
         queries = read_queries(group, opt.pairing)
-        if remaining is not None:
-            queries = itertools.islice(queries, remaining)
-        before = results.query_count
+        if opt.query_limit >= 0:
+            # the limit applies per sequence source
+            # (reference: performance_tuning_options.queryLimit,
+            # src/options.hpp:234-235)
+            queries = itertools.islice(queries, opt.query_limit)
         runner.run_queries(queries, results)
-        if remaining is not None:
-            remaining -= results.query_count - before
-            if remaining <= 0:
-                break
 
     if opt.classify.cov_percentile > 0:
         runner.redo_saved_classification(results)

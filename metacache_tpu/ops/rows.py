@@ -131,8 +131,14 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
 
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
-               prefix_bits: int = 16, prefix_steps: int = 0):
-    """(B, F) features -> (B, F*C) match slots (tgt, win)."""
+               prefix_bits: int = 16, prefix_steps: int = 0,
+               dense: bool = False):
+    """(B, F) features -> (B, F*C) match slots (tgt, win).
+
+    With ``dense=True``, loc_tgt/loc_win are padded (F, C) matrices and
+    each probed feature fetches ONE whole row — TPU row gathers lower
+    orders of magnitude better than per-slot element gathers.
+    """
     from .probe import probe_features
     b, f = feats.shape
     c = slots_per_feature
@@ -147,17 +153,21 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         found = (table_feats[idx_c] == flat) & \
             (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
             jnp.zeros_like(flat, dtype=bool)
-    off = jnp.where(found, table_offsets[idx_c], 0).astype(jnp.int32)
     cnt = jnp.where(
         found,
         (table_offsets[idx_c + 1] - table_offsets[idx_c]).astype(jnp.int32),
         0)
     cnt = jnp.minimum(cnt, c)
     j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
-    li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
     hit = j < cnt[:, None]
-    tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
-    wins = jnp.where(hit, loc_win[li], I32_MAX)
+    if dense:
+        tgts = jnp.where(hit, loc_tgt[idx_c], I32_MAX)
+        wins = jnp.where(hit, loc_win[idx_c], I32_MAX)
+    else:
+        off = jnp.where(found, table_offsets[idx_c], 0).astype(jnp.int32)
+        li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
+        tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
+        wins = jnp.where(hit, loc_win[li], I32_MAX)
     return tgts.reshape(b, f * c), wins.reshape(b, f * c)
 
 
@@ -165,7 +175,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
-                     "prefix_bits", "prefix_steps"))
+                     "prefix_bits", "prefix_steps", "dense"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -173,8 +183,8 @@ def query_step_rows(windows, valid, mwir,
                     prefix_starts=None,
                     *, k: int, sketchlen: int, slots_per_feature: int,
                     windows_per_query: int, max_candidates: int,
-                    prefix_bits: int = 16,
-                    prefix_steps: int = 0) -> QueryResult:
+                    prefix_bits: int = 16, prefix_steps: int = 0,
+                    dense: bool = False) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -187,7 +197,7 @@ def query_step_rows(windows, valid, mwir,
     feats = feats.reshape(b, wq * sketchlen)
     tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                           loc_win, slots_per_feature, prefix_starts,
-                          prefix_bits, prefix_steps)
+                          prefix_bits, prefix_steps, dense)
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,

@@ -157,6 +157,32 @@ class FeatureTable:
         np.cumsum(sizes, out=self.offsets[1:])
 
     # ------------------------------------------------------------------
+    def dense_locations(self, width: int):
+        """Padded 2D location matrix (F, width) for row-gather probing.
+
+        TPU gathers of whole rows lower ~1000x better than per-element
+        gathers, so when F*width is affordable the locations are stored
+        densely; buckets larger than `width` are truncated to their first
+        `width` (lowest (tgt,win)) entries — callers choose
+        width >= max_bucket to keep exactness.
+        """
+        from .table import unpack_locations as _up
+        f = self.num_features
+        lt2 = np.zeros((max(f, 1), width), np.int32)
+        lw2 = np.zeros((max(f, 1), width), np.int32)
+        ltgt, lwin = _up(self.locations)
+        sizes = np.minimum(np.diff(self.offsets), width).astype(np.int64)
+        if f and sizes.sum():
+            rows = np.repeat(np.arange(f, dtype=np.int64), sizes)
+            starts = np.zeros(f, np.int64)
+            np.cumsum(sizes[:-1], out=starts[1:])
+            cols = np.arange(int(sizes.sum()), dtype=np.int64) - \
+                np.repeat(starts, sizes)
+            src = np.repeat(self.offsets[:-1], sizes) + cols
+            lt2[rows, cols] = ltgt[src]
+            lw2[rows, cols] = lwin[src]
+        return lt2, lw2
+
     def prefix_index(self, bits: int = 16):
         """Prefix-offset acceleration for device probing (ops.probe)."""
         from .probe import make_prefix_index
