@@ -193,3 +193,29 @@ def test_build_query_parity():
     assert r.returncode == 0, r.stderr.decode()[-800:]
     assert _from_mappings(_strip(r.stdout.decode())) == \
         _from_mappings(_golden("buildquery.txt"))
+
+
+def test_locations_parity(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_single.fa", "-locations",
+                           "-queryids"])
+    assert ours == _golden("locations.txt")
+
+
+def test_repl_parity(dbfile):
+    """Interactive REPL: options + file per stdin line
+    (the reference's test/run_tests drives its fmt matrix this way)."""
+    env = dict(os.environ, MC_JAX_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "metacache_tpu", "query", dbfile],
+        input=f"{DATA}/reads_single.fa -tophits -no-summary\n".encode(),
+        capture_output=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    # the REPL suppresses the query-params block reprint? compare the
+    # mapping rows only
+    ours = [l for l in _strip(r.stdout.decode()) if "\t|\t" in l
+            or l.startswith("# TABLE_LAYOUT")]
+    want = [l for l in _golden("repl.txt") if "\t|\t" in l
+            or l.startswith("# TABLE_LAYOUT")]
+    assert ours == want
