@@ -73,11 +73,22 @@ def show_info(argv) -> int:
             lin = db.taxa.cached_ranks_of_target(tid)
             ids = "\t".join(str(x.id) if x else "0" for x in lin)
             print(f"{t.name}\t{ids}")
-    elif what in ("statistics", "featurecounts"):
+    elif what == "featurecounts":
         for i, p in enumerate(db.parts):
-            if what == "featurecounts":
-                print(f"# part {i}: {p.num_features} features")
-                sizes = p.bucket_sizes()
-                for f, s in zip(p.unique_features, sizes):
-                    print(f"{f} {s}")
+            print(f"# part {i}: {p.num_features} features")
+            for f, s in zip(p.unique_features, p.bucket_sizes()):
+                print(f"{f} {s}")
+    elif what == "featuremap":
+        # feature -> location dump (reference: mode_info featuremap)
+        from ..ops.table import unpack_locations
+        for i, p in enumerate(db.parts):
+            print(f"# part {i}: {p.num_features} features")
+            tgts, wins = unpack_locations(p.locations)
+            for j in range(p.num_features):
+                lo, hi = p.offsets[j], p.offsets[j + 1]
+                locs = ",".join(f"{tgts[x]}:{wins[x]}"
+                                for x in range(lo, hi))
+                print(f"{p.unique_features[j]} {hi - lo} {locs}")
+    elif what == "statistics":
+        pass  # statistics are printed in the property block above
     return 0

@@ -351,14 +351,30 @@ def run_query(db, infiles, opt, out_file=None):
 
 def mode_query(argv: List[str]) -> int:
     from ..db.database import Database
+    from ..config import MAX_SUPPORTED_LOCATIONS_PER_FEATURE
 
     a = Args(argv)
     part = a.take_value("-part")
+    remove_overpop = a.take_flag("-remove-overpopulated-features")
+    maxlocs = a.take_value("-max-locations-per-feature")
     opt, out_file, split_out = parse_query_options(a)
     pos = a.positionals()
     if not pos:
         raise CliError("database filename missing")
     db = Database.load(pos[0], part=int(part) if part else None)
+    # query-time feature culls (reference: read_database,
+    # src/mode_query.cpp:42-100)
+    if remove_overpop:
+        maxlpf = (int(maxlocs) - 1) if maxlocs else -1
+        if maxlpf < 0 or maxlpf >= MAX_SUPPORTED_LOCATIONS_PER_FEATURE:
+            maxlpf = MAX_SUPPORTED_LOCATIONS_PER_FEATURE - 1
+        maxlpf = min(maxlpf, db.max_locations_per_feature - 1)
+        if maxlpf > 0:
+            db.remove_features_with_more_locations_than(maxlpf)
+        if maxlocs:
+            db.set_max_locations_per_feature(int(maxlocs))
+    elif maxlocs and int(maxlocs) > 1:
+        db.set_max_locations_per_feature(int(maxlocs))
     infiles = _expand(pos[1:])
     if not infiles:
         return interactive_query(db, opt)

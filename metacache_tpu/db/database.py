@@ -141,6 +141,18 @@ class Database:
             b = self.parts.pop()
             self.parts.append(b.merge(a))
 
+    def set_max_locations_per_feature(self, n: int):
+        """Shrink existing buckets when lowering the cap
+        (reference: host_hashmap::max_locations_per_feature,
+        src/host_hashmap.hpp:454-466)."""
+        n = max(1, min(n, MAX_SUPPORTED_LOCATIONS_PER_FEATURE))
+        if n < self.max_locations_per_feature:
+            for p in self.parts:
+                p.shrink_all(n)
+        self.max_locations_per_feature = n
+        for p in self.parts:
+            p.max_locations_per_feature = n
+
     # -- feature culls (reference: host_hashmap.hpp:480-541) -------------
     def remove_features_with_more_locations_than(self, n: int) -> int:
         return sum(p.remove_features_with_more_locations_than(n)

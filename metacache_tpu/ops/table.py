@@ -156,6 +156,24 @@ class FeatureTable:
         self.offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sizes, out=self.offsets[1:])
 
+    def shrink_all(self, n: int):
+        """Truncate every bucket to its first n locations
+        (reference: hash_multimap::shrink_all via
+        host_hashmap::max_locations_per_feature, src/host_hashmap.hpp:454-466)."""
+        sizes = np.diff(self.offsets)
+        if not len(sizes) or sizes.max() <= n:
+            return
+        keep_counts = np.minimum(sizes, n)
+        starts = self.offsets[:-1]
+        keep = np.zeros(len(self.locations), bool)
+        rows = np.repeat(np.arange(self.num_features), keep_counts)
+        cols = np.arange(int(keep_counts.sum())) - np.repeat(
+            np.cumsum(keep_counts) - keep_counts, keep_counts)
+        keep[np.repeat(starts, keep_counts) + cols] = True
+        self.locations = self.locations[keep]
+        self.offsets = np.zeros(self.num_features + 1, np.int64)
+        np.cumsum(keep_counts, out=self.offsets[1:])
+
     # ------------------------------------------------------------------
     def dense_locations(self, width: int):
         """Padded 2D location matrix (F, width) for row-gather probing.
