@@ -25,9 +25,9 @@ NUM_BASE = 16
 STRAINS = 4
 GENOME_LEN = 1_000_000
 READ_LEN = 100
-BATCH_READS = 32768
+BATCH_READS = 8192
 WARMUP = 3
-ITERS = 10
+ITERS = 20
 
 
 def make_genomes(rng):
