@@ -107,6 +107,49 @@ def rank_from_string(s: str) -> Rank:
     return rank_from_name(s)
 
 
+_DECODE_LUT = np.frombuffer(b"ACGTN" + b"N" * 251, dtype=np.uint8)
+
+
+class _CodedQuery:
+    """QueryRecord-compatible view over one row of a coded batch;
+    header/sequence decode lazily (only when output needs them)."""
+
+    __slots__ = ("_codes", "_len", "_hdr", "seq2")
+
+    def __init__(self, codes, length, hdr_raw):
+        self._codes = codes
+        self._len = int(length)
+        self._hdr = hdr_raw
+        self.seq2 = b""
+
+    @property
+    def header(self) -> str:
+        from .. import native
+        return native.decode_header(self._hdr)
+
+    @property
+    def seq1(self) -> bytes:
+        n = min(self._len, len(self._codes))
+        return _DECODE_LUT[self._codes[:n]].tobytes()
+
+
+class _CodedBatch:
+    def __init__(self, codes, lens, headers):
+        self.codes = codes
+        self.lens = lens
+        self.headers = headers
+
+    def __len__(self):
+        return len(self.lens)
+
+    def __getitem__(self, i):
+        return _CodedQuery(self.codes[i], self.lens[i], self.headers[i])
+
+    def __iter__(self):
+        for i in range(len(self.lens)):
+            yield self[i]
+
+
 class QueryRunner:
     """Holds device-resident database state across query runs."""
 
@@ -144,8 +187,7 @@ class QueryRunner:
         DENSE_BYTE_LIMIT = 8 << 30
         for p in db.parts:
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
-            use_dense = (len(db.parts) == 1 and
-                         p.num_features * spf * 8 <= DENSE_BYTE_LIMIT)
+            use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
             if use_dense:
                 lt2, lw2 = p.dense_locations(spf)
                 self._tables.append((
@@ -166,6 +208,18 @@ class QueryRunner:
             self.lineages if db.target_count else
             np.zeros((1, NUM_RANKS), np.int32))
         self._merge_tax_dev = jnp.asarray(merge_tax)
+
+        # taxid -> rank lookup for the vectorized summary-only fast path
+        ids, ranks = [], []
+        for t in db.taxa.taxonomy.taxa.values():
+            ids.append(t.id)
+            ranks.append(int(t.rank))
+        for t in db.taxa.taxonomy.targets.values():
+            ids.append(t.id)
+            ranks.append(int(t.rank))
+        order = np.argsort(ids) if ids else np.zeros(0, np.int64)
+        self._taxid_sorted = np.asarray(ids, np.int64)[order]             if ids else np.zeros(0, np.int64)
+        self._rank_of_taxid = np.asarray(ranks, np.uint8)[order]             if ids else np.zeros(0, np.uint8)
 
     def _adapt_sketching(self) -> SketchingOptions:
         """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
@@ -219,6 +273,137 @@ class QueryRunner:
             self._collect_batch(*pending, results)
 
     # ------------------------------------------------------------------
+    def run_file_native(self, path: str,
+                        results: "ClassificationResults") -> bool:
+        """Vectorized single-end ingestion through the native C++ reader.
+
+        Short reads (<= winlen, the headline workload) bypass all
+        per-query Python: the reader's coded (B, max_len) matrix IS the
+        window matrix. Long reads in the batch fall back to the per-query
+        path. Returns False when the native library is unavailable
+        (caller uses the generic QueryRecord path).
+        """
+        from .. import native
+        if native.get_lib() is None or self.opt.query_limit >= 0:
+            return False
+        sk = self.sketching
+        scan = native.scan_file(path)
+        if scan is None or scan[0] == 0:
+            return False
+        max_len = 1024
+        if scan[1] > max_len:
+            # long reads would be truncated by the fixed-width batch
+            # reader; use the streaming per-query path instead
+            return False
+        try:
+            reader = native.NativeFastxReader(path, max_len=max_len)
+        except (FileNotFoundError, RuntimeError):
+            return False
+        opt = self.opt
+        batch_reads = max(opt.batch_windows, 1024)
+        pending = None
+        while True:
+            codes, lens, headers = reader.read_batch_raw(batch_reads)
+            if len(lens) == 0:
+                break
+            # length filter (reference: database_query.hpp:271-281)
+            if opt.min_read_length > 0 or opt.max_read_length:
+                keep = lens >= opt.min_read_length
+                if opt.max_read_length:
+                    keep &= lens <= opt.max_read_length
+                codes, lens, headers = codes[keep], lens[keep], \
+                    headers[keep]
+                if len(lens) == 0:
+                    continue
+            dispatched = self._dispatch_coded(codes, lens, headers)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = dispatched
+        if pending is not None:
+            self._collect_batch(*pending, results)
+        reader.close()
+        return True
+
+    def _dispatch_coded(self, codes, lens, headers):
+        """Dispatch a coded (B, max_len) read batch; returns
+        (batch_descr, dispatched) like _dispatch_batch."""
+        import jax.numpy as jnp
+        from .. import native
+        sk = self.sketching
+        opt = self.opt
+        k = opt.classify.max_candidates
+        n = len(lens)
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+
+        short = lens <= wl
+        launched = []
+        if short.any():
+            idxs = np.nonzero(short)[0]
+            rows = _round_up_pow2(len(idxs))
+            wmat = np.full((rows, 1, wl), win_ops.PAD_CODE, np.uint8)
+            wmat[:len(idxs), 0, :] = codes[idxs, :wl]
+            vmat = np.zeros((rows, 1), np.int32)
+            vmat[:len(idxs), 0] = np.where(lens[idxs] >= sk.kmerlen,
+                                           lens[idxs], 0)
+            mwir = np.full(rows, 2, np.int32)
+            mwir[:len(idxs)] = 2 + np.maximum(
+                lens[idxs], opt.classify.insert_size_max) // stride
+            launched.append((idxs.tolist(), rows,
+                             self._launch_rows(wmat, vmat, mwir, 1, k)))
+        if (~short).any():
+            # long reads: native window extraction, bucketed as usual
+            for i in np.nonzero(~short)[0]:
+                w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
+                wq = _round_up_pow2(max(len(w), 1))
+                wmat = np.full((1, wq, wl), win_ops.PAD_CODE, np.uint8)
+                vmat = np.zeros((1, wq), np.int32)
+                wmat[0, :len(w)] = w
+                vmat[0, :len(v)] = v
+                mwir = np.asarray(
+                    [2 + max(int(lens[i]), opt.classify.insert_size_max)
+                     // stride], np.int32)
+                launched.append(([int(i)], 1,
+                                 self._launch_rows(wmat, vmat, mwir,
+                                                   wq, k)))
+        batch = _CodedBatch(codes, lens, headers)
+        return (batch, ("rows", launched))
+
+    def _launch_rows(self, wmat, vmat, mwir, wq, k):
+        import jax.numpy as jnp
+        sk = self.sketching
+        opt = self.opt
+        tail = (self._merge_tax_dev, self._lineages_dev,
+                jnp.int32(self.hits_min),
+                jnp.float32(opt.classify.hits_diff_fraction),
+                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
+        if len(self._tables) == 1:
+            from ..ops.rows import query_step_rows
+            tf, to, lt, lw, spf = self._tables[0]
+            ps, steps = self._prefix[0]
+            return query_step_rows(
+                jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+                tf, to, lt, lw, *tail, ps,
+                k=sk.kmerlen, sketchlen=sk.sketchlen,
+                slots_per_feature=spf, windows_per_query=wq,
+                max_candidates=k, prefix_bits=self._prefix_bits,
+                prefix_steps=steps, dense=self._dense[0])
+        from ..ops.rows import query_step_rows_multipart
+        return query_step_rows_multipart(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            tuple(t[0] for t in self._tables),
+            tuple(t[1] for t in self._tables),
+            tuple(t[2] for t in self._tables),
+            tuple(t[3] for t in self._tables),
+            *tail, tuple(p[0] for p in self._prefix),
+            k=sk.kmerlen, sketchlen=sk.sketchlen,
+            slots_per_feature=tuple(t[4] for t in self._tables),
+            windows_per_query=wq, max_candidates=k,
+            prefix_bits=self._prefix_bits,
+            prefix_steps=tuple(p[1] for p in self._prefix),
+            num_parts=len(self._tables), dense=tuple(self._dense))
+
+    # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
         """Launch the device work for one batch (async).
 
@@ -228,16 +413,11 @@ class QueryRunner:
         (ops.rows.query_step_rows). Multi-part databases fall back to the
         flat pipeline with part-merged matches.
         """
-        if len(self._tables) == 1:
-            return ("rows", self._dispatch_batch_rows(batch))
-        return ("flat", self._dispatch_batch_flat(batch))
+        return ("rows", self._dispatch_batch_rows(batch))
 
     def _collect_batch(self, batch, dispatched, results):
         kind, payload = dispatched
-        if kind == "rows":
-            self._collect_batch_rows(batch, payload, results)
-        else:
-            self._collect_batch_flat(batch, payload, results)
+        self._collect_batch_rows(batch, payload, results)
 
     def _query_windows(self, q: QueryRecord):
         """All windows of one query (seq1 then seq2)."""
@@ -278,7 +458,6 @@ class QueryRunner:
                 jnp.int32(self.hits_min),
                 jnp.float32(opt.classify.hits_diff_fraction),
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
-
         launched = []
         for wq, idxs in sorted(buckets.items()):
             rows = _round_up_pow2(len(idxs))
@@ -291,20 +470,65 @@ class QueryRunner:
                 wmat[r, :len(w)] = w
                 vmat[r, :len(v)] = v
                 mwir[r] = self._mwir(batch[i])
-            from ..ops.rows import query_step_rows
-            ps, steps = self._prefix[0]
-            res = query_step_rows(
-                jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
-                tf, to, lt, lw, *tail, ps,
-                k=sk.kmerlen, sketchlen=sk.sketchlen,
-                slots_per_feature=spf, windows_per_query=wq,
-                max_candidates=k, prefix_bits=self._prefix_bits,
-                prefix_steps=steps, dense=self._dense[0])
+            if len(self._tables) == 1:
+                from ..ops.rows import query_step_rows
+                ps, steps = self._prefix[0]
+                res = query_step_rows(
+                    jnp.asarray(wmat), jnp.asarray(vmat),
+                    jnp.asarray(mwir),
+                    tf, to, lt, lw, *tail, ps,
+                    k=sk.kmerlen, sketchlen=sk.sketchlen,
+                    slots_per_feature=spf, windows_per_query=wq,
+                    max_candidates=k, prefix_bits=self._prefix_bits,
+                    prefix_steps=steps, dense=self._dense[0])
+            else:
+                from ..ops.rows import query_step_rows_multipart
+                res = query_step_rows_multipart(
+                    jnp.asarray(wmat), jnp.asarray(vmat),
+                    jnp.asarray(mwir),
+                    tuple(t[0] for t in self._tables),
+                    tuple(t[1] for t in self._tables),
+                    tuple(t[2] for t in self._tables),
+                    tuple(t[3] for t in self._tables),
+                    *tail,
+                    tuple(p[0] for p in self._prefix),
+                    k=sk.kmerlen, sketchlen=sk.sketchlen,
+                    slots_per_feature=tuple(
+                        t[4] for t in self._tables),
+                    windows_per_query=wq, max_candidates=k,
+                    prefix_bits=self._prefix_bits,
+                    prefix_steps=tuple(p[1] for p in self._prefix),
+                    num_parts=len(self._tables),
+                    dense=tuple(self._dense))
             launched.append((idxs, rows, res))
         return launched
 
+    def _summary_only(self):
+        """True when per-query host work can be skipped entirely."""
+        o = self.opt.output
+        return (o.format.map_view_mode == MapViewMode.NONE and
+                not o.evaluate.precision and
+                not o.evaluate.determine_ground_truth and
+                not o.analysis.show_hits_per_target and
+                not o.analysis.show_tax_abundances and
+                o.analysis.abundance_per == Rank.NONE and
+                self.opt.classify.cov_percentile <= 0)
+
     def _collect_batch_rows(self, batch, launched, results):
         opt = self.opt
+        if self._summary_only():
+            # vectorized statistics only — no per-query Python loop
+            for (idxs, rows, res) in launched:
+                cls = np.asarray(res.cls_tax)[:len(idxs)]
+                pos = np.searchsorted(self._taxid_sorted, cls)
+                pos = np.minimum(pos, max(len(self._taxid_sorted) - 1, 0))
+                found = (len(self._taxid_sorted) > 0) &                     (self._taxid_sorted[pos] == cls) & (cls != 0)
+                ranks = np.where(found, self._rank_of_taxid[pos],
+                                 np.uint8(int(Rank.NONE)))
+                results.statistics.assigned_ += np.bincount(
+                    ranks, minlength=NUM_RANKS + 1).astype(np.int64)
+                results.query_count += len(idxs)
+            return
         k = opt.classify.max_candidates
         n = len(batch)
         cand_tgt = np.full((n, k), -1, np.int32)
@@ -601,6 +825,9 @@ def map_queries_to_targets(infiles: List[str], db: Database,
                 f"{comment}{group[0]} + {group[1]}\n")
         else:
             results.per_read_out.write(f"{comment}{group[0]}\n")
+        if opt.pairing == PairingMode.NONE and \
+                runner.run_file_native(group[0], results):
+            continue
         queries = read_queries(group, opt.pairing)
         if opt.query_limit >= 0:
             # the limit applies per sequence source

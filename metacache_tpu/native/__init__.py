@@ -54,6 +54,8 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.encode_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_void_p]
+    lib.fastx_scan.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                               ctypes.c_void_p]
     lib.extract_windows.restype = ctypes.c_int64
     lib.extract_windows.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -61,6 +63,17 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
+
+
+def scan_file(path: str):
+    """One-pass native scan -> (record_count, max_sequence_length)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cnt = ctypes.c_int64(0)
+    mx = ctypes.c_int64(0)
+    lib.fastx_scan(path.encode(), ctypes.byref(cnt), ctypes.byref(mx))
+    return int(cnt.value), int(mx.value)
 
 
 def decode_header(row: np.ndarray) -> str:

@@ -166,6 +166,52 @@ int64_t fastx_read_batch(void* h, int64_t max_reads, int64_t max_len,
     return n;
 }
 
+// One-pass scan: record count and maximum sequence length (used to decide
+// whether the fixed-width batch reader can represent a file exactly).
+void fastx_scan(const char* path, int64_t* out_count, int64_t* out_maxlen) {
+    *out_count = 0;
+    *out_maxlen = 0;
+    gzFile gz = gzopen(path, "rb");
+    if (!gz) return;
+    gzbuffer(gz, 1 << 20);
+    Reader r;
+    r.gz = gz;
+    std::string line;
+    int64_t len = 0;
+    bool in_seq = false, fastq = false, in_qual = false;
+    int64_t qual = 0;
+    while (r.getline(line)) {
+        if (!in_qual && !line.empty() &&
+            (line[0] == '>' || line[0] == '@')) {
+            if (in_seq) {
+                if (len > *out_maxlen) *out_maxlen = len;
+                ++*out_count;
+            }
+            in_seq = true;
+            fastq = (line[0] == '@');
+            len = 0;
+            continue;
+        }
+        if (fastq && !in_qual && !line.empty() && line[0] == '+') {
+            in_qual = true;
+            qual = 0;
+            continue;
+        }
+        if (in_qual) {
+            qual += (int64_t)line.size();
+            if (qual >= len) in_qual = false;
+            continue;
+        }
+        for (char ch : line)
+            if ((unsigned char)ch > ' ') ++len;
+    }
+    if (in_seq) {
+        if (len > *out_maxlen) *out_maxlen = len;
+        ++*out_count;
+    }
+    gzclose(gz);
+}
+
 // Encode a raw ASCII buffer to 2-bit codes (vector path for target
 // genomes loaded via Python).
 void encode_ascii(const uint8_t* in, int64_t n, uint8_t* out) {

@@ -175,6 +175,46 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
+                     "prefix_bits", "prefix_steps", "num_parts", "dense"))
+def query_step_rows_multipart(windows, valid, mwir,
+                              part_feats, part_offsets, part_ltgt,
+                              part_lwin, merge_tax_of_target, lineages,
+                              hits_min, hits_diff_frac, highest_rank,
+                              merge_rank, part_prefix,
+                              *, k: int, sketchlen: int,
+                              slots_per_feature: tuple,
+                              windows_per_query: int, max_candidates: int,
+                              prefix_bits: int = 16,
+                              prefix_steps: tuple = (),
+                              num_parts: int = 1,
+                              dense: tuple = ()) -> QueryResult:
+    """Row-layout query over a multi-part database: sketch once, probe
+    every part, concatenate per-query slot rows (reference probes every
+    DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
+    b, wq, w = windows.shape
+    feats = sketch_windows(windows.reshape(b * wq, w),
+                           valid.reshape(b * wq), k=k, sketchlen=sketchlen)
+    feats = feats.reshape(b, wq * sketchlen)
+    tgts, wins_ = [], []
+    for p in range(num_parts):
+        t, wn = probe_rows(feats, part_feats[p], part_offsets[p],
+                           part_ltgt[p], part_lwin[p],
+                           slots_per_feature[p], part_prefix[p],
+                           prefix_bits, prefix_steps[p], dense[p])
+        tgts.append(t)
+        wins_.append(wn)
+    tgt = jnp.concatenate(tgts, axis=1)
+    win = jnp.concatenate(wins_, axis=1)
+    return rows_to_result(
+        tgt, win, mwir, merge_tax_of_target, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank,
+        max_candidates=max_candidates)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature",
+                     "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
