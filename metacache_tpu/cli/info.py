@@ -15,7 +15,8 @@ def show_info(argv) -> int:
         return 1
     dbfile = argv[0]
     what = argv[1] if len(argv) > 1 else "basic"
-    metadata_only = what in ("basic", "targets", "lineages", "ranks")
+    metadata_only = what in ("basic", "targets", "lineages", "ranks",
+                             "config")
     db = Database.load(dbfile, metadata_only=metadata_only)
 
     sk = db.sketching
@@ -36,9 +37,10 @@ def show_info(argv) -> int:
         print(f"features           {db.feature_count}")
         print(f"locations          {db.location_count}")
         for i, p in enumerate(db.parts):
-            mean, std, mx = p.location_list_size_statistics()
+            mean, std, skew, mx = p.location_list_size_statistics()
             print(f"part {i}: buckets {p.num_features} "
-                  f"bucket size max: {mx} mean: {mean:g} +/- {std:g}")
+                  f"bucket size max: {mx} mean: {mean:g} +/- {std:g} "
+                  f"<> {skew:g}")
     print("------------------------------------------------")
 
     if what == "targets":

@@ -79,16 +79,30 @@ class _PrefixMap:
         return 0
 
 
-def expand_input_paths(paths: Iterable[str]) -> list[str]:
-    """Directories expand to their (sorted) sequence files
-    (reference: filesys_utility dir expansion)."""
+def expand_input_paths(paths: Iterable[str],
+                       max_depth: int = 10) -> list[str]:
+    """Directories expand recursively (up to 10 levels, like the
+    reference, src/filesys_utility.cpp / options docs) to their sorted
+    sequence files."""
     out = []
     exts = (".fa", ".fna", ".fasta", ".fq", ".fastq", ".gz")
+
+    def walk(d: str, depth: int):
+        try:
+            entries = sorted(os.listdir(d))
+        except OSError:
+            return
+        for e in entries:
+            full = os.path.join(d, e)
+            if os.path.isdir(full):
+                if depth < max_depth:
+                    walk(full, depth + 1)
+            elif e.endswith(exts):
+                out.append(full)
+
     for p in paths:
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                if f.endswith(exts):
-                    out.append(os.path.join(p, f))
+            walk(p, 1)
         else:
             out.append(p)
     return out

@@ -207,9 +207,12 @@ class FeatureTable:
         return make_prefix_index(self.unique_features, bits)
 
     def location_list_size_statistics(self):
-        """(mean, stddev, max) of bucket sizes (reference:
-        host_hashmap.hpp:376-409)."""
-        s = np.diff(self.offsets)
+        """(mean, stddev, skewness, max) of bucket sizes (reference:
+        host_hashmap.hpp:376-409 + stat_moments skewness)."""
+        s = np.diff(self.offsets).astype(np.float64)
         if len(s) == 0:
-            return 0.0, 0.0, 0
-        return float(s.mean()), float(s.std()), int(s.max())
+            return 0.0, 0.0, 0.0, 0
+        mean = float(s.mean())
+        std = float(s.std())
+        skew = float(((s - mean) ** 3).mean() / std ** 3) if std else 0.0
+        return mean, std, skew, int(s.max())
