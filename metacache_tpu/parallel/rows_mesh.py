@@ -1,0 +1,151 @@
+"""Multi-chip row-layout classification over a ("data", "table") mesh.
+
+Two compositions of the row pipeline (ops.rows):
+
+1. **Pure data parallelism** (table fits per chip, reference P1/P4): every
+   stage of the row pipeline is per-row, so sharding the window matrix
+   across devices and replicating the table parallelizes the whole step
+   with plain sharding annotations — XLA inserts no collectives at all.
+
+2. **Table sharding** (DB larger than one chip's HBM, reference P2/P3):
+   each "table"-axis device holds a feature-range shard (with its own
+   dense location rows and prefix index) and probes the entire local
+   batch; one `all_to_all` then trades slot columns for row subsets —
+   device p receives ALL shards' match slots for 1/P of the rows and
+   finishes candidates/LCA locally. This replaces the reference's serial
+   GPU P2P pipeline (src/query_batch.cu:464-527) with a single XLA
+   collective over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rows import probe_rows, rows_to_result
+from ..ops.pipeline import QueryResult
+from ..ops.sketch_jax import sketch_windows
+from ..ops.probe import make_prefix_index
+
+
+class ShardedRowTable(NamedTuple):
+    """Feature-range shards with dense location rows + prefix indexes."""
+    features: np.ndarray      # (P, Fs) u32 ascending per shard, padded
+    offsets: np.ndarray       # (P, Fs+1) i32
+    loc_tgt2d: np.ndarray     # (P, Fs, spf) i32
+    loc_win2d: np.ndarray     # (P, Fs, spf) i32
+    prefix: np.ndarray        # (P, 2^bits+1) i32 (shard-local offsets)
+    slots_per_feature: int
+    prefix_bits: int
+    prefix_steps: int
+
+
+def shard_row_table(table, num_shards: int, maxloc: int,
+                    prefix_bits: int = 16) -> ShardedRowTable:
+    f = table.unique_features
+    offs = table.offsets
+    from ..ops.table import unpack_locations
+    ltgt, lwin = unpack_locations(table.locations)
+    nf = len(f)
+    spf = min(table.max_bucket_size, maxloc) or 1
+    cuts = [int(round(i * nf / num_shards)) for i in range(num_shards + 1)]
+    fs = max(max(cuts[i + 1] - cuts[i] for i in range(num_shards)), 1)
+    feats = np.full((num_shards, fs), 0xFFFFFFFF, np.uint32)
+    offsets = np.zeros((num_shards, fs + 1), np.int32)
+    lt2 = np.zeros((num_shards, fs, spf), np.int32)
+    lw2 = np.zeros((num_shards, fs, spf), np.int32)
+    prefix = np.zeros((num_shards, (1 << prefix_bits) + 1), np.int32)
+    steps = 1
+    for p in range(num_shards):
+        a, b = cuts[p], cuts[p + 1]
+        n = b - a
+        feats[p, :n] = f[a:b]
+        local = (offs[a:b + 1] - offs[a]).astype(np.int32)
+        offsets[p, :n + 1] = local
+        offsets[p, n + 1:] = local[-1] if n else 0
+        sizes = np.minimum(np.diff(offs[a:b + 1]), spf).astype(np.int64)
+        if n and sizes.sum():
+            rows = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(sizes[:-1], out=starts[1:])
+            cols = np.arange(int(sizes.sum()), dtype=np.int64) - \
+                np.repeat(starts, sizes)
+            src = np.repeat(offs[a:b], sizes) + cols
+            lt2[p][rows, cols] = ltgt[src]
+            lw2[p][rows, cols] = lwin[src]
+        ps, st = make_prefix_index(f[a:b], prefix_bits)
+        prefix[p] = ps
+        steps = max(steps, st)
+    return ShardedRowTable(feats, offsets, lt2, lw2, prefix, spf,
+                           prefix_bits, steps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "sketchlen", "slots_per_feature",
+                     "windows_per_query", "max_candidates",
+                     "prefix_bits", "prefix_steps"))
+def sharded_query_step_rows(windows, valid, mwir,
+                            st_features, st_offsets, st_lt2, st_lw2,
+                            st_prefix, merge_tax_of_target, lineages,
+                            hits_min, hits_diff_frac, highest_rank,
+                            merge_rank,
+                            *, mesh: Mesh, k: int, sketchlen: int,
+                            slots_per_feature: int, windows_per_query: int,
+                            max_candidates: int, prefix_bits: int,
+                            prefix_steps: int) -> QueryResult:
+    """Sharded row-layout step.
+
+    Global shapes: windows (B, Wq, W) with B divisible by
+    num_data*num_table; st_* carry a leading shard dim (P, ...).
+    Output rows are ordered data-major then table-subset-major — the same
+    row order as the input when num_table == 1; callers reorder for P>1.
+    """
+    from jax.experimental.shard_map import shard_map
+    num_table = mesh.shape["table"]
+
+    def local(wmat, vmat, mw, tf, to, lt2, lw2, ps, mt, lin,
+              hits_min, hits_diff_frac, highest_rank, merge_rank):
+        tf, to = tf[0], to[0]
+        lt2, lw2, ps = lt2[0], lw2[0], ps[0]
+        b_loc, wq, w = wmat.shape
+        feats = sketch_windows(wmat.reshape(b_loc * wq, w),
+                               vmat.reshape(b_loc * wq), k=k,
+                               sketchlen=sketchlen)
+        feats = feats.reshape(b_loc, wq * sketchlen)
+        tgt, win = probe_rows(feats, tf, to, lt2, lw2,
+                              slots_per_feature, ps, prefix_bits,
+                              prefix_steps, dense=True)
+        if num_table > 1:
+            # trade slot columns for row subsets: device p receives all
+            # shards' slots for rows [p*b_loc/P, (p+1)*b_loc/P)
+            tgt = jax.lax.all_to_all(tgt, "table", split_axis=0,
+                                     concat_axis=1, tiled=True)
+            win = jax.lax.all_to_all(win, "table", split_axis=0,
+                                     concat_axis=1, tiled=True)
+            r = jax.lax.axis_index("table")
+            bsub = b_loc // num_table
+            mw = jax.lax.dynamic_slice_in_dim(mw, r * bsub, bsub)
+        return rows_to_result(
+            tgt, win, mw, mt, lin, hits_min, hits_diff_frac,
+            highest_rank, merge_rank, max_candidates=max_candidates)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"),
+                  P("table"), P("table"), P("table"), P("table"),
+                  P("table"), None, None, None, None, None, None),
+        out_specs=QueryResult(
+            cand_tgt=P(("data", "table")), cand_tax=P(("data", "table")),
+            cand_hits=P(("data", "table")), cand_beg=P(("data", "table")),
+            cand_end=P(("data", "table")), cls_tax=P(("data", "table")),
+            hit_qid=P(("data", "table")), hit_tgt=P(("data", "table")),
+            hit_win=P(("data", "table"))),
+        check_rep=False,
+    )(windows, valid, mwir, st_features, st_offsets, st_lt2, st_lw2,
+      st_prefix, merge_tax_of_target, lineages,
+      hits_min, hits_diff_frac, highest_rank, merge_rank)
