@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_BITS = 16
+DEFAULT_BITS = 20
 
 
 def make_prefix_index(features: np.ndarray, bits: int = DEFAULT_BITS):

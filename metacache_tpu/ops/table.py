@@ -201,10 +201,11 @@ class FeatureTable:
             lw2[rows, cols] = lwin[src]
         return lt2, lw2
 
-    def prefix_index(self, bits: int = 16):
+    def prefix_index(self, bits: int | None = None):
         """Prefix-offset acceleration for device probing (ops.probe)."""
-        from .probe import make_prefix_index
-        return make_prefix_index(self.unique_features, bits)
+        from .probe import make_prefix_index, DEFAULT_BITS
+        return make_prefix_index(self.unique_features,
+                                 DEFAULT_BITS if bits is None else bits)
 
     def location_list_size_statistics(self):
         """(mean, stddev, skewness, max) of bucket sizes (reference:

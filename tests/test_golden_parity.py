@@ -219,3 +219,16 @@ def test_repl_parity(dbfile):
     want = [l for l in _golden("repl.txt") if "\t|\t" in l
             or l.startswith("# TABLE_LAYOUT")]
     assert ours == want
+
+
+def test_highest_rank_parity(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_single.fa", "-highest", "genus",
+                           "-taxids"])
+    assert ours == _golden("highest_genus.txt")
+
+
+def test_insertsize_parity(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_pair1.fa",
+                           f"{DATA}/reads_pair2.fa", "-pairfiles",
+                           "-insertsize", "1000", "-tophits"])
+    assert ours == _golden("insertsize.txt")

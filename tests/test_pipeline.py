@@ -177,3 +177,27 @@ def test_table_merge_matches_combined_build():
                            np.concatenate([l1, l2]))
     np.testing.assert_array_equal(m.unique_features, c.unique_features)
     np.testing.assert_array_equal(m.locations, c.locations)
+
+
+def test_prefix_index_probe_consistency():
+    """prefix_index() and probe_features must agree on the bit width
+    (regression: a 16/20-bit mismatch made every probe miss)."""
+    from metacache_tpu.ops.probe import probe_features, DEFAULT_BITS
+    rng = np.random.default_rng(9)
+    feats = np.unique(rng.integers(0, 2**32, 50000,
+                                   dtype=np.uint64).astype(np.uint32))
+    ft = FeatureTable(feats, np.arange(len(feats) + 1, dtype=np.int64),
+                      np.zeros(len(feats), np.uint64))
+    ps, steps = ft.prefix_index()
+    q = feats[rng.integers(0, len(feats), 500)]
+    idx, found = probe_features(jnp.asarray(q), jnp.asarray(feats),
+                                jnp.asarray(ps), DEFAULT_BITS, steps)
+    assert np.asarray(found).all()
+    np.testing.assert_array_equal(feats[np.asarray(idx)], q)
+    # absent features must miss
+    absent = np.setdiff1d(
+        rng.integers(0, 2**32, 1000, dtype=np.uint64).astype(np.uint32),
+        feats)[:100]
+    _, found2 = probe_features(jnp.asarray(absent), jnp.asarray(feats),
+                               jnp.asarray(ps), DEFAULT_BITS, steps)
+    assert not np.asarray(found2).any()
