@@ -107,16 +107,18 @@ def main():
     # TPU tunnel, whose block_until_ready is also unreliable — fetching
     # result bytes is the only trustworthy timing protocol).
     import functools
-    from metacache_tpu.ops.rows import probe_rows, rows_to_result
+    from metacache_tpu.ops.rows import (probe_rows, rows_to_result,
+                                        _sketch_dispatch)
     from metacache_tpu.ops.sketch_jax import sketch_windows
+    use_pallas = jax.devices()[0].platform not in ("cpu",)
 
     @functools.partial(jax.jit, static_argnames=())
     def query_scan(wins_k, valid_k, mwir_k, tf, to, la, lb, ps, mt, lg):
         def body(carry, xs):
             w, v, m = xs
-            f = sketch_windows(w.reshape(B, opt.winlen),
-                               v.reshape(B), k=opt.kmerlen,
-                               sketchlen=opt.sketchlen)
+            f = _sketch_dispatch(w.reshape(B, opt.winlen),
+                                 v.reshape(B), opt.kmerlen,
+                                 opt.sketchlen, use_pallas)
             t, wn = probe_rows(f.reshape(B, opt.sketchlen), tf, to,
                                la, lb, spf, ps, 20, prefix_steps,
                                dense=True)

@@ -209,6 +209,16 @@ class QueryRunner:
             np.zeros((1, NUM_RANKS), np.int32))
         self._merge_tax_dev = jnp.asarray(merge_tax)
 
+        # Pallas sketch kernel on real TPUs (bit-exact, faster than the
+        # XLA sort-based sketcher); MC_PALLAS_SKETCH=0 disables
+        import os as _os
+        import jax as _jax
+        _env = _os.environ.get("MC_PALLAS_SKETCH")
+        self._use_pallas_sketch = (
+            (_env != "0") and
+            (_env == "1" or _jax.devices()[0].platform not in ("cpu",)) and
+            self.sketching.kmerlen <= 16 and self.sketching.winlen <= 128)
+
         # taxid -> rank lookup for the vectorized summary-only fast path
         ids, ranks = [], []
         for t in db.taxa.taxonomy.taxa.values():
@@ -387,7 +397,8 @@ class QueryRunner:
                 k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
                 max_candidates=k, prefix_bits=self._prefix_bits,
-                prefix_steps=steps, dense=self._dense[0])
+                prefix_steps=steps, dense=self._dense[0],
+                use_pallas_sketch=self._use_pallas_sketch)
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),

@@ -26,7 +26,10 @@ def make_prefix_index(features: np.ndarray, bits: int = DEFAULT_BITS):
     starts = np.searchsorted(features, bounds).astype(np.int32)
     starts = np.append(starts, np.int32(len(features)))
     max_span = int(np.max(np.diff(starts))) if len(features) else 0
-    steps = max(1, int(max_span - 1).bit_length()) if max_span > 1 else 1
+    # binary search over a span of s elements needs floor(log2(s)) + 1
+    # halving steps to fully converge (s.bit_length()); one short silently
+    # misses features when the span is an exact power of two
+    steps = max(1, int(max_span).bit_length())
     return starts, steps
 
 

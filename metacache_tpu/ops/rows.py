@@ -24,6 +24,21 @@ import numpy as np
 from .sketch_jax import sketch_windows
 from .pipeline import QueryResult, classify_candidates
 
+
+def _sketch_dispatch(codes2d, valid, k, sketchlen, use_pallas):
+    """XLA or Pallas sketcher; the Pallas kernel (lane-bitonic, bit-exact)
+    needs 128-lane windows and row tiles."""
+    if not use_pallas:
+        return sketch_windows(codes2d, valid, k=k, sketchlen=sketchlen)
+    from .sketch_pallas import sketch_windows_pallas, LANES
+    n, w = codes2d.shape
+    if w < LANES:
+        codes2d = jnp.pad(codes2d, ((0, 0), (0, LANES - w)),
+                          constant_values=4)
+    tile = 512 if n % 512 == 0 else n
+    return sketch_windows_pallas(codes2d, valid, k=k, sketchlen=sketchlen,
+                                 tile=tile)
+
 I32_MAX = np.int32(2**31 - 1)
 
 
@@ -215,7 +230,8 @@ def query_step_rows_multipart(windows, valid, mwir,
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
-                     "prefix_bits", "prefix_steps", "dense"))
+                     "prefix_bits", "prefix_steps", "dense",
+                     "use_pallas_sketch"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -224,7 +240,8 @@ def query_step_rows(windows, valid, mwir,
                     *, k: int, sketchlen: int, slots_per_feature: int,
                     windows_per_query: int, max_candidates: int,
                     prefix_bits: int = 16, prefix_steps: int = 0,
-                    dense: bool = False) -> QueryResult:
+                    dense: bool = False,
+                    use_pallas_sketch: bool = False) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -232,8 +249,9 @@ def query_step_rows(windows, valid, mwir,
     mwir: (B,) i32 contiguous-range length per query.
     """
     b, wq, w = windows.shape
-    feats = sketch_windows(windows.reshape(b * wq, w),
-                           valid.reshape(b * wq), k=k, sketchlen=sketchlen)
+    feats = _sketch_dispatch(windows.reshape(b * wq, w),
+                             valid.reshape(b * wq), k, sketchlen,
+                             use_pallas_sketch)
     feats = feats.reshape(b, wq * sketchlen)
     tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                           loc_win, slots_per_feature, prefix_starts,

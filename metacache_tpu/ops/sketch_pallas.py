@@ -53,8 +53,10 @@ def _bitonic_sort_lanes(x):
             partner = jnp.where(has_bit, down, up)
             ascending = (lane & k) == 0
             keep_min = ascending ^ has_bit
-            lo = jnp.minimum(x, partner)
-            hi = jnp.maximum(x, partner)
+            # Mosaic has no unsigned min/max — compare + select
+            x_le = x <= partner
+            lo = jnp.where(x_le, x, partner)
+            hi = jnp.where(x_le, partner, x)
             x = jnp.where(keep_min, lo, hi)
             j //= 2
         k *= 2
@@ -66,11 +68,12 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
     n, l = codes.shape
     valid = valid_ref[:]                    # (n, 1) i32
 
-    ambig_char = codes >= 4
-    two_bit = jnp.where(ambig_char, 0, codes)
+    # Mosaic only rotates 32-bit lanes — keep flags as u32, not bool
+    ambig_char = (codes >= 4).astype(jnp.uint32)
+    two_bit = jnp.where(ambig_char != 0, 0, codes)
 
     kmer = jnp.zeros((n, l), jnp.uint32)
-    ambig = jnp.zeros((n, l), bool)
+    ambig = jnp.zeros((n, l), jnp.uint32)
     for j in range(k):
         kmer = (kmer << 2) | _roll(two_bit, -j)
         ambig = ambig | _roll(ambig_char, -j)
@@ -82,7 +85,7 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
     s = ((s >> 8) & jnp.uint32(0x00FF00FF)) | ((s & jnp.uint32(0x00FF00FF)) << 8)
     s = ((s >> 16) & jnp.uint32(0x0000FFFF)) | ((s & jnp.uint32(0x0000FFFF)) << 16)
     rc = (jnp.uint32(0xFFFFFFFF) - s) >> (32 - (k << 1))
-    canon = jnp.minimum(kmer, rc)
+    canon = jnp.where(kmer <= rc, kmer, rc)
 
     # thomas_mueller hash (src/hash_int.hpp:41-48)
     h = canon
@@ -92,7 +95,7 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
 
     lane = _lane_ids((n, l))
     nvalid = jnp.maximum(valid - (k - 1), 0)      # (n, 1)
-    feats = jnp.where(ambig | (lane >= nvalid), SENT, h)
+    feats = jnp.where((ambig != 0) | (lane >= nvalid), SENT, h)
 
     feats = _bitonic_sort_lanes(feats)
     dup = (feats == _roll(feats, 1)) & (lane > 0)

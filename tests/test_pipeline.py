@@ -201,3 +201,20 @@ def test_prefix_index_probe_consistency():
     _, found2 = probe_features(jnp.asarray(absent), jnp.asarray(feats),
                                jnp.asarray(ps), DEFAULT_BITS, steps)
     assert not np.asarray(found2).any()
+
+
+@pytest.mark.parametrize("span", [2, 4, 8, 16, 64])
+def test_prefix_probe_power_of_two_spans(span):
+    """Regression: exact power-of-two prefix spans need one extra search
+    step or probes silently miss."""
+    from metacache_tpu.ops.probe import make_prefix_index, probe_features
+    bits = 20
+    # craft features so one prefix bucket holds exactly `span` entries
+    base = np.uint32(7 << (32 - bits))
+    feats = np.sort((base + np.arange(span, dtype=np.uint32) * 7)
+                    .astype(np.uint32))
+    ps, steps = make_prefix_index(feats, bits)
+    idx, found = probe_features(jnp.asarray(feats), jnp.asarray(feats),
+                                jnp.asarray(ps), bits, steps)
+    assert np.asarray(found).all()
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(span))
