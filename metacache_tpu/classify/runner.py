@@ -574,78 +574,6 @@ class QueryRunner:
                                  cand_beg, cand_end, cls_tax, allhits_of,
                                  results)
 
-    def _dispatch_batch_flat(self, batch):
-        import jax.numpy as jnp
-        opt = self.opt
-        sk = self.sketching
-        seqs: List[bytes] = []
-        owner: List[int] = []
-        for i, q in enumerate(batch):
-            seqs.append(q.seq1)
-            owner.append(i)
-            if q.seq2:
-                seqs.append(q.seq2)
-                owner.append(i)
-        wins, valid, qid_seq = win_ops.batch_windows(seqs, sk, pad_to=None)
-        # remap window owner: sequence index -> query index
-        owner_arr = np.asarray(owner + [len(batch)], dtype=np.int32)
-        qid = owner_arr[np.minimum(qid_seq, len(owner))]
-
-        t_static = _round_up_pow2(max(len(wins), 1))
-        pad = t_static - len(wins)
-        if pad:
-            wins = np.concatenate(
-                [wins, np.full((pad, sk.winlen), win_ops.PAD_CODE,
-                               np.uint8)])
-            valid = np.concatenate([valid, np.zeros(pad, np.int32)])
-            qid = np.concatenate([qid, np.full(pad, len(batch), np.int32)])
-        b_static = _round_up_pow2(max(len(batch), 1))
-
-        mwir = np.full(b_static, 2, dtype=np.int32)
-        for i, q in enumerate(batch):
-            mwir[i] = self._mwir(q)
-
-        common = (jnp.asarray(wins), jnp.asarray(valid), jnp.asarray(qid),
-                  jnp.asarray(mwir))
-        tail = (self._merge_tax_dev, self._lineages_dev,
-                jnp.int32(self.hits_min),
-                jnp.float32(opt.classify.hits_diff_fraction),
-                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
-        # probe every DB part and merge matches (reference:
-        # src/host_hashmap.hpp:695-723)
-        from ..ops.pipeline import query_step_multipart
-        res = query_step_multipart(
-            *common,
-            tuple(t[0] for t in self._tables),
-            tuple(t[1] for t in self._tables),
-            tuple(t[2] for t in self._tables),
-            tuple(t[3] for t in self._tables),
-            *tail,
-            k=sk.kmerlen, sketchlen=sk.sketchlen,
-            slots_per_feature=tuple(t[4] for t in self._tables),
-            num_queries=b_static,
-            max_candidates=opt.classify.max_candidates,
-            num_parts=len(self._tables))
-        return res
-
-    def _collect_batch_flat(self, batch, res, results):
-        opt = self.opt
-        n = len(batch)
-        allhits_of: Dict[int, tuple] = {}
-        if opt.output.analysis.show_all_hits:
-            hq = np.asarray(res.hit_qid)
-            ht = np.asarray(res.hit_tgt)
-            hw = np.asarray(res.hit_win)
-            bounds = np.searchsorted(hq, np.arange(n + 1))
-            for i in range(n):
-                lo, hi = bounds[i], bounds[i + 1]
-                allhits_of[i] = (ht[lo:hi], hw[lo:hi])
-        self._postprocess_arrays(
-            batch, np.asarray(res.cand_tgt)[:n],
-            np.asarray(res.cand_tax)[:n], np.asarray(res.cand_hits)[:n],
-            np.asarray(res.cand_beg)[:n], np.asarray(res.cand_end)[:n],
-            np.asarray(res.cls_tax)[:n], allhits_of, results)
-
     # ------------------------------------------------------------------
     def _postprocess_arrays(self, batch, cand_tgt, cand_tax, cand_hits,
                             cand_beg, cand_end, cls_tax, allhits_of,

@@ -384,8 +384,10 @@ def mode_query(argv: List[str]) -> int:
                        len(infiles) > 1) else 1
         for i in range(0, len(infiles), stride):
             grp = infiles[i:i + stride]
+            # reference keeps the file extension in the suffix
+            # (filesys extract_filename = basename; querying.cpp:166-177)
             suffix = "_" + "_".join(
-                os.path.basename(f).rsplit(".", 1)[0] for f in grp) + ".txt"
+                os.path.basename(f) for f in grp) + ".txt"
             run_query(db, grp, opt, split_out + suffix)
         return 0
     return run_query(db, infiles, opt, out_file)
@@ -502,9 +504,12 @@ def main(argv: List[str] | None = None) -> int:
     from ..utils.platform import force_platform
     force_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] in ("help", "-h", "--help"):
+    if not argv:
         print(HELP)
         return 0
+    if argv[0] in ("help", "-h", "--help"):
+        from .help import mode_help
+        return mode_help(argv[1:])
     mode, rest = argv[0], argv[1:]
     try:
         if mode == "build":

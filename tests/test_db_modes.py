@@ -115,3 +115,23 @@ def test_native_window_extraction_matches_python():
     np.testing.assert_array_equal(w[:n], pw)
     np.testing.assert_array_equal(v[:n], pv)
     np.testing.assert_array_equal(q[:n], pq)
+
+
+def test_help_mode():
+    for mode in ("query", "build", "merge", "info"):
+        r = _run(["help", mode])
+        assert r.returncode == 0
+        assert mode in r.stdout.decode()
+    r = _run(["help"])
+    assert r.returncode == 0 and "USAGE" in r.stdout.decode()
+
+
+def _run(args):
+    import subprocess
+    import sys as _sys
+    env = dict(os.environ, MC_JAX_PLATFORM="cpu")
+    env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+        env.get("PYTHONPATH", "")
+    return subprocess.run([_sys.executable, "-m", "metacache_tpu"] + args,
+                          capture_output=True, env=env,
+                          cwd=os.path.dirname(HERE), timeout=120)
