@@ -10,7 +10,7 @@ import numpy as np
 
 from ..ops.windows import PAD_CODE
 
-_BATCH = 16384  # windows per device dispatch
+_BATCH = 65536  # windows per device dispatch
 
 
 def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
