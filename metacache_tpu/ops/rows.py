@@ -260,3 +260,45 @@ def query_step_rows(windows, valid, mwir,
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature",
+                     "windows_per_query", "max_candidates",
+                     "prefix_bits", "prefix_steps", "dense",
+                     "use_pallas_sketch"))
+def query_step_rows_scan(windows_k, valid_k, mwir_k,
+                         table_feats, table_offsets, loc_tgt, loc_win,
+                         merge_tax_of_target, lineages,
+                         hits_min, hits_diff_frac, highest_rank,
+                         merge_rank, prefix_starts,
+                         *, k: int, sketchlen: int,
+                         slots_per_feature: int, windows_per_query: int,
+                         max_candidates: int, prefix_bits: int = 16,
+                         prefix_steps: int = 0, dense: bool = False,
+                         use_pallas_sketch: bool = False):
+    """K stacked row batches classified inside one device dispatch via
+    lax.scan — one compile and one host round-trip per K*B reads (the
+    infeed shape; host<->device latency amortizes K-fold). Returns
+    (K, B) classified taxon ids only (the summary fast path needs no
+    candidate details)."""
+    kk, b, wq, w = windows_k.shape[0], windows_k.shape[1],         windows_k.shape[2], windows_k.shape[3]
+
+    def body(carry, xs):
+        wmat, vmat, mw = xs
+        feats = _sketch_dispatch(wmat.reshape(b * wq, w),
+                                 vmat.reshape(b * wq), k, sketchlen,
+                                 use_pallas_sketch)
+        feats = feats.reshape(b, wq * sketchlen)
+        tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
+                              loc_win, slots_per_feature, prefix_starts,
+                              prefix_bits, prefix_steps, dense)
+        res = rows_to_result(
+            tgt, win, mw, merge_tax_of_target, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank,
+            max_candidates=max_candidates)
+        return carry, res.cls_tax
+
+    _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))
+    return cls_k
