@@ -161,57 +161,63 @@ def main():
 
     reads_per_min = B / dt * 60
 
-    # --- long-read throughput (reference CPU baseline: ~20M/min for
+    # --- long-read throughput (optional: never blocks the main metric) (reference CPU baseline: ~20M/min for
     # 200bp-19kb reads, median 480bp; README.md:5) ---------------------
+    long_reads_per_min = 0.0
+    lcls = np.zeros((1, 1), np.int32)
     LB, LLEN, WQ = 2048, 480, 8
-    lsel = rng.integers(0, ntgt, LB)
-    lpos = rng.integers(0, GENOME_LEN - LLEN, LB)
-    lwins = np.full((LB, WQ, opt.winlen), 4, np.uint8)
-    lvalid = np.zeros((LB, WQ), np.int32)
-    from metacache_tpu.ops.windows import sequence_windows
-    for i in range(LB):
-        wm, vl = sequence_windows(
-            genomes[lsel[i]][lpos[i]:lpos[i] + LLEN], opt)
-        lwins[i, :len(wm)] = wm
-        lvalid[i, :len(vl)] = vl
-    lmwir = np.full(LB, 2 + LLEN // opt.winstride, np.int32)
+    try:
+        lsel = rng.integers(0, ntgt, LB)
+        lpos = rng.integers(0, GENOME_LEN - LLEN, LB)
+        lwins = np.full((LB, WQ, opt.winlen), 4, np.uint8)
+        lvalid = np.zeros((LB, WQ), np.int32)
+        from metacache_tpu.ops.windows import sequence_windows
+        for i in range(LB):
+            wm, vl = sequence_windows(
+                genomes[lsel[i]][lpos[i]:lpos[i] + LLEN], opt)
+            lwins[i, :len(wm)] = wm
+            lvalid[i, :len(vl)] = vl
+        lmwir = np.full(LB, 2 + LLEN // opt.winstride, np.int32)
 
-    @jax.jit
-    def query_scan_long(wins_k, valid_k, mwir_k, tf, to, la, lb, ps,
-                        mt, lg):
-        def body(carry, xs):
-            w, v, m = xs
-            f = _sketch_dispatch(w.reshape(LB * WQ, opt.winlen),
-                                 v.reshape(LB * WQ), opt.kmerlen,
-                                 opt.sketchlen, use_pallas)
-            f = f.reshape(LB, WQ * opt.sketchlen)
-            t, wn = probe_rows(f, tf, to, la, lb, spf, ps, 20,
-                               prefix_steps, dense=True)
-            res = rows_to_result(
-                t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                jnp.int32(19), jnp.int32(0), max_candidates=2)
-            return carry, res.cls_tax
-        _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
-        return cls_k
+        @jax.jit
+        def query_scan_long(wins_k, valid_k, mwir_k, tf, to, la, lb, ps,
+                            mt, lg):
+            def body(carry, xs):
+                w, v, m = xs
+                f = _sketch_dispatch(w.reshape(LB * WQ, opt.winlen),
+                                     v.reshape(LB * WQ), opt.kmerlen,
+                                     opt.sketchlen, use_pallas)
+                f = f.reshape(LB, WQ * opt.sketchlen)
+                t, wn = probe_rows(f, tf, to, la, lb, spf, ps, 20,
+                                   prefix_steps, dense=True)
+                res = rows_to_result(
+                    t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
+                    jnp.int32(19), jnp.int32(0), max_candidates=2)
+                return carry, res.cls_tax
+            _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
+            return cls_k
 
-    lwk = jnp.asarray(np.broadcast_to(lwins[None],
-                                      (SCAN_K,) + lwins.shape).copy())
-    lvk = jnp.asarray(np.broadcast_to(lvalid[None],
-                                      (SCAN_K,) + lvalid.shape).copy())
-    lmk = jnp.asarray(np.broadcast_to(lmwir[None],
-                                      (SCAN_K,) + lmwir.shape).copy())
-    lcls = query_scan_long(lwk, lvk, lmk, *targs)
-    np.asarray(lcls)
-    t0 = time.time()
-    prev = None
-    for _ in range(max(ITERS // 2, 2)):
-        r = query_scan_long(lwk, lvk, lmk, *targs)
-        if prev is not None:
-            np.asarray(prev)
-        prev = r
-    lcls = np.asarray(prev)
-    ldt = (time.time() - t0) / (max(ITERS // 2, 2) * SCAN_K)
-    long_reads_per_min = LB / ldt * 60
+        lwk = jnp.asarray(np.broadcast_to(lwins[None],
+                                          (SCAN_K,) + lwins.shape).copy())
+        lvk = jnp.asarray(np.broadcast_to(lvalid[None],
+                                          (SCAN_K,) + lvalid.shape).copy())
+        lmk = jnp.asarray(np.broadcast_to(lmwir[None],
+                                          (SCAN_K,) + lmwir.shape).copy())
+        lcls = query_scan_long(lwk, lvk, lmk, *targs)
+        np.asarray(lcls)
+        t0 = time.time()
+        prev = None
+        for _ in range(max(ITERS // 2, 2)):
+            r = query_scan_long(lwk, lvk, lmk, *targs)
+            if prev is not None:
+                np.asarray(prev)
+            prev = r
+        lcls = np.asarray(prev)
+        ldt = (time.time() - t0) / (max(ITERS // 2, 2) * SCAN_K)
+        long_reads_per_min = LB / ldt * 60
+
+    except Exception as e:
+        print(f'long-read bench skipped: {e}', file=sys.stderr)
 
     out = {
         "metric": "100bp read classification throughput (1 chip, "
