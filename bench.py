@@ -98,7 +98,8 @@ def main():
     mwir = np.full(B, 2, np.int32)
 
     prefix_starts, prefix_steps = ft.prefix_index()
-    lt2, lw2 = ft.dense_locations(spf)
+    fused = ft.fused_rows(spf)
+    lt2, lw2 = fused, np.zeros((1,), np.int32)
 
     # Stack SCAN_K batches and process them inside ONE jitted lax.scan —
     # one dispatch + one small fetch per SCAN_K * BATCH_READS reads. This

@@ -189,11 +189,12 @@ class QueryRunner:
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
             use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
             if use_dense:
-                lt2, lw2 = p.dense_locations(spf)
+                fused = p.fused_rows(spf)
+                dummy = jnp.zeros((1,), jnp.int32)
                 self._tables.append((
                     jnp.asarray(p.unique_features),
                     jnp.asarray(p.offsets.astype(np.int32)),
-                    jnp.asarray(lt2), jnp.asarray(lw2), spf))
+                    jnp.asarray(fused), dummy, spf))
             else:
                 ltgt, lwin = unpack_locations(p.locations)
                 self._tables.append((

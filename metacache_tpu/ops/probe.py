@@ -34,8 +34,14 @@ def make_prefix_index(features: np.ndarray, bits: int = DEFAULT_BITS):
 
 
 def probe_features(flat: jax.Array, table_feats: jax.Array,
-                   prefix_starts: jax.Array, bits: int, steps: int):
-    """-> (idx i32, found bool): position of each feature in the table."""
+                   prefix_starts: jax.Array, bits: int, steps: int,
+                   check: bool = True):
+    """-> (idx i32, found bool): position of each feature in the table.
+
+    With check=False the final membership gather is skipped (callers that
+    fetch a fused row containing the feature value verify it themselves;
+    `found` is then merely "not a sentinel").
+    """
     nf = table_feats.shape[0]
     if nf == 0:
         z = jnp.zeros(flat.shape, jnp.int32)
@@ -50,5 +56,7 @@ def probe_features(flat: jax.Array, table_feats: jax.Array,
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     idx = jnp.minimum(lo, nf - 1)
+    if not check:
+        return idx, flat != jnp.uint32(0xFFFFFFFF)
     found = (table_feats[idx] == flat) & (flat != jnp.uint32(0xFFFFFFFF))
     return idx, found

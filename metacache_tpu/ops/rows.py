@@ -150,9 +150,11 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                dense: bool = False):
     """(B, F) features -> (B, F*C) match slots (tgt, win).
 
-    With ``dense=True``, loc_tgt/loc_win are padded (F, C) matrices and
-    each probed feature fetches ONE whole row — TPU row gathers lower
-    orders of magnitude better than per-slot element gathers.
+    With ``dense=True``, ``loc_tgt`` is a *fused* (F, 2+2C padded) row
+    table [feature, count, tgt*C, win*C] (``loc_win`` is ignored): after
+    the prefix search, a SINGLE row gather yields the membership check,
+    bucket size and every location — small separate gathers are
+    near-serial on TPU.
     """
     from .probe import probe_features
     b, f = feats.shape
@@ -161,24 +163,32 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     nf = table_feats.shape[0]
     if prefix_starts is not None and nf > 0:
         idx_c, found = probe_features(flat, table_feats, prefix_starts,
-                                      prefix_bits, prefix_steps)
+                                      prefix_bits, prefix_steps,
+                                      check=not dense)
     else:
         idx = jnp.searchsorted(table_feats, flat).astype(jnp.int32)
         idx_c = jnp.minimum(idx, max(nf - 1, 0))
         found = (table_feats[idx_c] == flat) & \
             (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
             jnp.zeros_like(flat, dtype=bool)
-    cnt = jnp.where(
-        found,
-        (table_offsets[idx_c + 1] - table_offsets[idx_c]).astype(jnp.int32),
-        0)
-    cnt = jnp.minimum(cnt, c)
     j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
-    hit = j < cnt[:, None]
     if dense:
-        tgts = jnp.where(hit, loc_tgt[idx_c], I32_MAX)
-        wins = jnp.where(hit, loc_win[idx_c], I32_MAX)
+        rows = loc_tgt[idx_c]                       # ONE gather
+        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        found = (rows[:, 0] == flat_i32) & \
+            (flat != jnp.uint32(0xFFFFFFFF))
+        cnt = jnp.where(found, rows[:, 1], 0)
+        hit = j < cnt[:, None]
+        tgts = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
+        wins = jnp.where(hit, rows[:, 2 + c:2 + 2 * c], I32_MAX)
     else:
+        cnt = jnp.where(
+            found,
+            (table_offsets[idx_c + 1] -
+             table_offsets[idx_c]).astype(jnp.int32),
+            0)
+        cnt = jnp.minimum(cnt, c)
+        hit = j < cnt[:, None]
         off = jnp.where(found, table_offsets[idx_c], 0).astype(jnp.int32)
         li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
         tgts = jnp.where(hit, loc_tgt[li], I32_MAX)

@@ -201,6 +201,27 @@ class FeatureTable:
             lw2[rows, cols] = lwin[src]
         return lt2, lw2
 
+    def fused_rows(self, width: int):
+        """One gatherable row per feature: [feature, count, tgt*W, win*W].
+
+        A single row gather then yields everything the probe needs —
+        membership check, bucket size and all locations — instead of
+        5+ separate small gathers (each near-serial on TPU).
+        Row width = 2 + 2*width, padded to a multiple of 8 lanes.
+        """
+        lt2, lw2 = self.dense_locations(width)
+        f = max(self.num_features, 1)
+        cols = 2 + 2 * width
+        cols_pad = ((cols + 7) // 8) * 8
+        out = np.zeros((f, cols_pad), np.int32)
+        if self.num_features:
+            out[:, 0] = self.unique_features.view(np.int32)
+            out[:, 1] = np.minimum(np.diff(self.offsets),
+                                   width).astype(np.int32)
+        out[:, 2:2 + width] = lt2
+        out[:, 2 + width:2 + 2 * width] = lw2
+        return out
+
     def prefix_index(self, bits: int | None = None):
         """Prefix-offset acceleration for device probing (ops.probe)."""
         from .probe import make_prefix_index, DEFAULT_BITS

@@ -33,11 +33,11 @@ from ..ops.probe import make_prefix_index
 
 
 class ShardedRowTable(NamedTuple):
-    """Feature-range shards with dense location rows + prefix indexes."""
+    """Feature-range shards with fused location rows + prefix indexes."""
     features: np.ndarray      # (P, Fs) u32 ascending per shard, padded
     offsets: np.ndarray       # (P, Fs+1) i32
-    loc_tgt2d: np.ndarray     # (P, Fs, spf) i32
-    loc_win2d: np.ndarray     # (P, Fs, spf) i32
+    loc_tgt2d: np.ndarray     # (P, Fs, 2+2*spf pad) i32 fused rows
+    loc_win2d: np.ndarray     # (P, 1) i32 dummy (fused rows carry wins)
     prefix: np.ndarray        # (P, 2^bits+1) i32 (shard-local offsets)
     slots_per_feature: int
     prefix_bits: int
@@ -54,10 +54,10 @@ def shard_row_table(table, num_shards: int, maxloc: int,
     spf = min(table.max_bucket_size, maxloc) or 1
     cuts = [int(round(i * nf / num_shards)) for i in range(num_shards + 1)]
     fs = max(max(cuts[i + 1] - cuts[i] for i in range(num_shards)), 1)
+    cols_pad = ((2 + 2 * spf + 7) // 8) * 8
     feats = np.full((num_shards, fs), 0xFFFFFFFF, np.uint32)
     offsets = np.zeros((num_shards, fs + 1), np.int32)
-    lt2 = np.zeros((num_shards, fs, spf), np.int32)
-    lw2 = np.zeros((num_shards, fs, spf), np.int32)
+    fused = np.zeros((num_shards, fs, cols_pad), np.int32)
     prefix = np.zeros((num_shards, (1 << prefix_bits) + 1), np.int32)
     steps = 1
     for p in range(num_shards):
@@ -68,6 +68,8 @@ def shard_row_table(table, num_shards: int, maxloc: int,
         offsets[p, :n + 1] = local
         offsets[p, n + 1:] = local[-1] if n else 0
         sizes = np.minimum(np.diff(offs[a:b + 1]), spf).astype(np.int64)
+        fused[p, :n, 0] = f[a:b].view(np.int32)
+        fused[p, :n, 1] = sizes
         if n and sizes.sum():
             rows = np.repeat(np.arange(n, dtype=np.int64), sizes)
             starts = np.zeros(n, np.int64)
@@ -75,12 +77,13 @@ def shard_row_table(table, num_shards: int, maxloc: int,
             cols = np.arange(int(sizes.sum()), dtype=np.int64) - \
                 np.repeat(starts, sizes)
             src = np.repeat(offs[a:b], sizes) + cols
-            lt2[p][rows, cols] = ltgt[src]
-            lw2[p][rows, cols] = lwin[src]
+            fused[p][rows, 2 + cols] = ltgt[src]
+            fused[p][rows, 2 + spf + cols] = lwin[src]
         ps, st = make_prefix_index(f[a:b], prefix_bits)
         prefix[p] = ps
         steps = max(steps, st)
-    return ShardedRowTable(feats, offsets, lt2, lw2, prefix, spf,
+    dummy = np.zeros((num_shards, 1), np.int32)
+    return ShardedRowTable(feats, offsets, fused, dummy, prefix, spf,
                            prefix_bits, steps)
 
 
