@@ -26,7 +26,7 @@ STRAINS = 4
 GENOME_LEN = 1_000_000
 READ_LEN = 100
 BATCH_READS = 8192
-SCAN_K = 8          # batches fused per device dispatch (lax.scan)
+SCAN_K = 16         # batches fused per device dispatch (lax.scan)
 WARMUP = 2
 ITERS = 8
 
