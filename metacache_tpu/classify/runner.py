@@ -94,6 +94,7 @@ class QueryOptions:
     pairing: PairingMode = PairingMode.NONE
     output: OutputOptions = dataclasses.field(default_factory=OutputOptions)
     batch_windows: int = 4096
+    num_replicas: int = 1      # -replicate: data-parallel devices (0=all)
     query_limit: int = -1
     min_read_length: int = 0
     max_read_length: int = 0   # 0 = unlimited
@@ -175,6 +176,35 @@ class QueryRunner:
         self.merge_tax = merge_tax
         self.highest_rank = int(rank_from_string(opt.classify.highest_rank))
 
+        # data-parallel device replication (-replicate; the reference
+        # replicates the DB across GPU groups and splits each query batch
+        # between the replicas, src/query_batch.cu:464-527 — here the
+        # replica split is a sharding annotation and GSPMD runs the same
+        # jitted step SPMD with zero collectives)
+        import jax as _jax
+        nrep = opt.num_replicas
+        ndev = len(_jax.devices())
+        if nrep <= 0:
+            nrep = ndev
+        nrep = min(nrep, ndev)
+        while nrep & (nrep - 1):   # pow2 so pow2 row counts shard evenly
+            nrep -= 1
+        self._mesh = None
+        self._nrep = 1
+        if nrep > 1:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            self._mesh = Mesh(np.asarray(_jax.devices()[:nrep]), ("data",))
+            self._rep_shard = NamedSharding(self._mesh, _P("data"))
+            self._rep_repl = NamedSharding(self._mesh, _P())
+            self._nrep = nrep
+
+        def _dev(a):
+            a = jnp.asarray(a)
+            if self._mesh is not None:
+                a = _jax.device_put(a, self._rep_repl)
+            return a
+
         # device table arrays (all parts merged into one probe sequence —
         # single-part fast path; multi-part probes loop over parts)
         from ..ops.probe import DEFAULT_BITS
@@ -190,25 +220,25 @@ class QueryRunner:
             use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
             if use_dense:
                 fused = p.fused_rows(spf)
-                dummy = jnp.zeros((1,), jnp.int32)
+                dummy = _dev(jnp.zeros((1,), jnp.int32))
                 self._tables.append((
-                    jnp.asarray(p.unique_features),
-                    jnp.asarray(p.offsets.astype(np.int32)),
-                    jnp.asarray(fused), dummy, spf))
+                    _dev(p.unique_features),
+                    _dev(p.offsets.astype(np.int32)),
+                    _dev(fused), dummy, spf))
             else:
                 ltgt, lwin = unpack_locations(p.locations)
                 self._tables.append((
-                    jnp.asarray(p.unique_features),
-                    jnp.asarray(p.offsets.astype(np.int32)),
-                    jnp.asarray(ltgt.astype(np.int32)),
-                    jnp.asarray(lwin.astype(np.int32)), spf))
+                    _dev(p.unique_features),
+                    _dev(p.offsets.astype(np.int32)),
+                    _dev(ltgt.astype(np.int32)),
+                    _dev(lwin.astype(np.int32)), spf))
             self._dense.append(use_dense)
             ps, steps = p.prefix_index(self._prefix_bits)
-            self._prefix.append((jnp.asarray(ps), steps))
-        self._lineages_dev = jnp.asarray(
+            self._prefix.append((_dev(ps), steps))
+        self._lineages_dev = _dev(
             self.lineages if db.target_count else
             np.zeros((1, NUM_RANKS), np.int32))
-        self._merge_tax_dev = jnp.asarray(merge_tax)
+        self._merge_tax_dev = _dev(merge_tax)
 
         # Pallas sketch kernel on real TPUs (bit-exact, faster than the
         # XLA sort-based sketcher); MC_PALLAS_SKETCH=0 disables
@@ -218,6 +248,7 @@ class QueryRunner:
         self._use_pallas_sketch = (
             (_env != "0") and
             (_env == "1" or _jax.devices()[0].platform not in ("cpu",)) and
+            self._mesh is None and  # XLA sketcher shards transparently
             self.sketching.kmerlen <= 16 and self.sketching.winlen <= 128)
 
         # taxid -> rank lookup for the vectorized summary-only fast path
@@ -231,6 +262,15 @@ class QueryRunner:
         order = np.argsort(ids) if ids else np.zeros(0, np.int64)
         self._taxid_sorted = np.asarray(ids, np.int64)[order]             if ids else np.zeros(0, np.int64)
         self._rank_of_taxid = np.asarray(ranks, np.uint8)[order]             if ids else np.zeros(0, np.uint8)
+
+    def _put(self, a):
+        """Move a batch array to device; leading dim sharded over the
+        replica mesh when -replicate is active."""
+        import jax
+        import jax.numpy as jnp
+        if self._mesh is None:
+            return jnp.asarray(a)
+        return jax.device_put(a, self._rep_shard)
 
     def _adapt_sketching(self) -> SketchingOptions:
         """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
@@ -351,7 +391,7 @@ class QueryRunner:
         launched = []
         if short.any():
             idxs = np.nonzero(short)[0]
-            rows = _round_up_pow2(len(idxs))
+            rows = max(_round_up_pow2(len(idxs)), self._nrep)
             wmat = np.full((rows, 1, wl), win_ops.PAD_CODE, np.uint8)
             wmat[:len(idxs), 0, :] = codes[idxs, :wl]
             vmat = np.zeros((rows, 1), np.int32)
@@ -367,14 +407,15 @@ class QueryRunner:
             for i in np.nonzero(~short)[0]:
                 w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
                 wq = _round_up_pow2(max(len(w), 1))
-                wmat = np.full((1, wq, wl), win_ops.PAD_CODE, np.uint8)
-                vmat = np.zeros((1, wq), np.int32)
+                nr = self._nrep
+                wmat = np.full((nr, wq, wl), win_ops.PAD_CODE, np.uint8)
+                vmat = np.zeros((nr, wq), np.int32)
                 wmat[0, :len(w)] = w
                 vmat[0, :len(v)] = v
-                mwir = np.asarray(
-                    [2 + max(int(lens[i]), opt.classify.insert_size_max)
-                     // stride], np.int32)
-                launched.append(([int(i)], 1,
+                mwir = np.full(
+                    nr, 2 + max(int(lens[i]), opt.classify.insert_size_max)
+                    // stride, np.int32)
+                launched.append(([int(i)], nr,
                                  self._launch_rows(wmat, vmat, mwir,
                                                    wq, k)))
         batch = _CodedBatch(codes, lens, headers)
@@ -393,7 +434,7 @@ class QueryRunner:
             tf, to, lt, lw, spf = self._tables[0]
             ps, steps = self._prefix[0]
             return query_step_rows(
-                jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+                self._put(wmat), self._put(vmat), self._put(mwir),
                 tf, to, lt, lw, *tail, ps,
                 k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
@@ -402,7 +443,7 @@ class QueryRunner:
                 use_pallas_sketch=self._use_pallas_sketch)
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
-            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            self._put(wmat), self._put(vmat), self._put(mwir),
             tuple(t[0] for t in self._tables),
             tuple(t[1] for t in self._tables),
             tuple(t[2] for t in self._tables),
@@ -472,7 +513,7 @@ class QueryRunner:
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
         launched = []
         for wq, idxs in sorted(buckets.items()):
-            rows = _round_up_pow2(len(idxs))
+            rows = max(_round_up_pow2(len(idxs)), self._nrep)
             wmat = np.full((rows, wq, sk.winlen), win_ops.PAD_CODE,
                            np.uint8)
             vmat = np.zeros((rows, wq), np.int32)
@@ -486,8 +527,8 @@ class QueryRunner:
                 from ..ops.rows import query_step_rows
                 ps, steps = self._prefix[0]
                 res = query_step_rows(
-                    jnp.asarray(wmat), jnp.asarray(vmat),
-                    jnp.asarray(mwir),
+                    self._put(wmat), self._put(vmat),
+                    self._put(mwir),
                     tf, to, lt, lw, *tail, ps,
                     k=sk.kmerlen, sketchlen=sk.sketchlen,
                     slots_per_feature=spf, windows_per_query=wq,
@@ -496,8 +537,8 @@ class QueryRunner:
             else:
                 from ..ops.rows import query_step_rows_multipart
                 res = query_step_rows_multipart(
-                    jnp.asarray(wmat), jnp.asarray(vmat),
-                    jnp.asarray(mwir),
+                    self._put(wmat), self._put(vmat),
+                    self._put(mwir),
                     tuple(t[0] for t in self._tables),
                     tuple(t[1] for t in self._tables),
                     tuple(t[2] for t in self._tables),

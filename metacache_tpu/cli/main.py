@@ -284,7 +284,12 @@ def parse_query_options(a: Args):
         opt.show_query_params = False
     a.take_flag("-silent")
     a.take_flag("-verbose")
-    a.take_value("-replicate")
+    # -replicate N: data-parallel replication of the DB over N devices
+    # (reference: gpu replication, src/options.cpp "replicate"; 0 = all
+    # available devices)
+    v = a.take_value("-replicate")
+    if v:
+        opt.num_replicas = int(v)
 
     out_file = a.take_value("-out")
     split_out = a.take_value("-split-out", "-splitout")

@@ -232,3 +232,24 @@ def test_insertsize_parity(dbfile):
                            f"{DATA}/reads_pair2.fa", "-pairfiles",
                            "-insertsize", "1000", "-tophits"])
     assert ours == _golden("insertsize.txt")
+
+
+def test_replicate_matches_golden(dbfile):
+    """-replicate 8 (data-parallel over the virtual 8-device mesh) must
+    produce byte-identical mapping output to the single-device run
+    (reference: gpu replication changes throughput, never results)."""
+    args = [f"{DATA}/reads_single.fa", "-precision", "-ground-truth",
+            "-tophits", "-allhits", "-hits-per-ref",
+            "-abundances", "-abundance-per", "species"]
+    ours = _canon(_query(dbfile, args + ["-replicate", "8"]))
+    want = _canon(_golden("classified_single_fa.txt"))
+    assert ours == want
+
+
+def test_replicate_all_devices_long_reads(dbfile):
+    """-replicate 0 = all devices; long reads exercise the padded
+    single-query row path under sharding."""
+    ours = _query(dbfile, [f"{DATA}/reads_long.fa", "-precision",
+                           "-ground-truth", "-tophits",
+                           "-replicate", "0"])
+    assert ours == _golden("classified_long_fa.txt")
