@@ -352,7 +352,21 @@ class QueryRunner:
             return False
         opt = self.opt
         batch_reads = max(opt.batch_windows, 1024)
+        scan_k = 0
+        if (self._summary_only() and len(self._tables) == 1
+                and self._mesh is None):
+            # summary-only runs need nothing per read but the classified
+            # taxon: fuse MC_SCAN_K batches into one lax.scan dispatch to
+            # amortize host<->device round-trips (the production infeed
+            # shape; bench.py measures the same protocol)
+            import os as _os
+            try:
+                scan_k = int(_os.environ.get("MC_SCAN_K", "8"))
+            except ValueError:
+                scan_k = 8
         pending = None
+        buf: list = []      # (codes, lens) short-read chunks for the scan
+        nbuf = 0
         while True:
             codes, lens, headers = reader.read_batch_raw(batch_reads)
             if len(lens) == 0:
@@ -366,7 +380,42 @@ class QueryRunner:
                     headers[keep]
                 if len(lens) == 0:
                     continue
+            if scan_k > 1:
+                short = lens <= self.sketching.winlen
+                if not short.all():
+                    dispatched = self._dispatch_coded(
+                        codes[~short], lens[~short], headers[~short])
+                    if pending is not None:
+                        self._collect_batch(*pending, results)
+                    pending = dispatched
+                    codes, lens = codes[short], lens[short]
+                    if len(lens) == 0:
+                        continue
+                buf.append((codes, lens))
+                nbuf += len(lens)
+                while nbuf >= scan_k * batch_reads:
+                    codes_a = np.concatenate([c for c, _ in buf])
+                    lens_a = np.concatenate([l for _, l in buf])
+                    take = scan_k * batch_reads
+                    dispatched = ("scan", (take, self._dispatch_scan(
+                        codes_a[:take], lens_a[:take], scan_k,
+                        batch_reads)))
+                    if pending is not None:
+                        self._collect_batch(*pending, results)
+                    pending = (None, dispatched)
+                    buf = [(codes_a[take:], lens_a[take:])]
+                    nbuf -= take
+                continue
             dispatched = self._dispatch_coded(codes, lens, headers)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = dispatched
+        if nbuf:
+            # leftover short reads (< one full scan stack): plain dispatch
+            codes_a = np.concatenate([c for c, _ in buf])
+            lens_a = np.concatenate([l for _, l in buf])
+            hdr_a = np.asarray([b""] * len(lens_a), dtype=object)
+            dispatched = self._dispatch_coded(codes_a, lens_a, hdr_a)
             if pending is not None:
                 self._collect_batch(*pending, results)
             pending = dispatched
@@ -470,7 +519,54 @@ class QueryRunner:
 
     def _collect_batch(self, batch, dispatched, results):
         kind, payload = dispatched
+        if kind == "scan":
+            n, cls_dev = payload
+            self._accumulate_summary(
+                np.asarray(cls_dev).reshape(-1)[:n], results)
+            return
         self._collect_batch_rows(batch, payload, results)
+
+    def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int):
+        """One fused lax.scan dispatch over scan_k stacked short-read
+        batches; returns the (scan_k, bsz) classified-taxon device array."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_scan
+        sk = self.sketching
+        opt = self.opt
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+        wmat = np.ascontiguousarray(codes[:, :wl]).reshape(
+            scan_k, bsz, 1, wl)
+        vmat = np.where(lens >= sk.kmerlen, lens, 0).astype(
+            np.int32).reshape(scan_k, bsz, 1)
+        mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
+                // stride).astype(np.int32).reshape(scan_k, bsz)
+        tf, to, lt, lw, spf = self._tables[0]
+        ps, steps = self._prefix[0]
+        return query_step_rows_scan(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank), ps,
+            k=sk.kmerlen, sketchlen=sk.sketchlen, slots_per_feature=spf,
+            windows_per_query=1,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits, prefix_steps=steps,
+            dense=self._dense[0],
+            use_pallas_sketch=self._use_pallas_sketch)
+
+    def _accumulate_summary(self, cls: np.ndarray, results):
+        """Vectorized per-rank statistics from classified taxon ids."""
+        pos = np.searchsorted(self._taxid_sorted, cls)
+        pos = np.minimum(pos, max(len(self._taxid_sorted) - 1, 0))
+        found = (len(self._taxid_sorted) > 0) & \
+            (self._taxid_sorted[pos] == cls) & (cls != 0)
+        ranks = np.where(found, self._rank_of_taxid[pos],
+                         np.uint8(int(Rank.NONE)))
+        results.statistics.assigned_ += np.bincount(
+            ranks, minlength=NUM_RANKS + 1).astype(np.int64)
+        results.query_count += len(cls)
 
     def _query_windows(self, q: QueryRecord):
         """All windows of one query (seq1 then seq2)."""
@@ -572,15 +668,8 @@ class QueryRunner:
         if self._summary_only():
             # vectorized statistics only — no per-query Python loop
             for (idxs, rows, res) in launched:
-                cls = np.asarray(res.cls_tax)[:len(idxs)]
-                pos = np.searchsorted(self._taxid_sorted, cls)
-                pos = np.minimum(pos, max(len(self._taxid_sorted) - 1, 0))
-                found = (len(self._taxid_sorted) > 0) &                     (self._taxid_sorted[pos] == cls) & (cls != 0)
-                ranks = np.where(found, self._rank_of_taxid[pos],
-                                 np.uint8(int(Rank.NONE)))
-                results.statistics.assigned_ += np.bincount(
-                    ranks, minlength=NUM_RANKS + 1).astype(np.int64)
-                results.query_count += len(idxs)
+                self._accumulate_summary(
+                    np.asarray(res.cls_tax)[:len(idxs)], results)
             return
         k = opt.classify.max_candidates
         n = len(batch)

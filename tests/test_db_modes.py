@@ -135,3 +135,31 @@ def _run(args):
     return subprocess.run([_sys.executable, "-m", "metacache_tpu"] + args,
                           capture_output=True, env=env,
                           cwd=os.path.dirname(HERE), timeout=120)
+
+
+def test_scan_fusion_summary_identical(tmp_path):
+    """Summary-only native runs fuse MC_SCAN_K batches into one lax.scan
+    dispatch; statistics must match the unfused path exactly."""
+    import subprocess
+    import sys as _sys
+    db = str(tmp_path / "db")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    many = tmp_path / "many.fa"
+    many.write_bytes(open(f"{DATA}/reads_single.fa", "rb").read() * 21)
+
+    def run_k(k):
+        env = dict(os.environ, MC_JAX_PLATFORM="cpu", MC_SCAN_K=str(k))
+        env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "-m", "metacache_tpu", "query", db,
+             str(many), "-no-map", "-batch-size", "1024"],
+            capture_output=True, env=env, cwd=os.path.dirname(HERE),
+            timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        return [l for l in r.stdout.decode().splitlines()
+                if "time" not in l and "speed" not in l]
+
+    assert run_k(0) == run_k(2)
