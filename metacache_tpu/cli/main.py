@@ -535,6 +535,10 @@ def main(argv: List[str] | None = None) -> int:
     except CliError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
+    except ValueError as e:
+        # malformed numeric flag value (e.g. -replicate abc)
+        print(f"ERROR: invalid argument value: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
