@@ -97,7 +97,8 @@ def main():
     valid = np.full((B, 1), READ_LEN, np.int32)
     mwir = np.full(B, 2, np.int32)
 
-    prefix_starts, prefix_steps = ft.prefix_index()
+    from metacache_tpu.ops.probe import make_bucket_index
+    brows, bbits = make_bucket_index(ft.unique_features)
     fused = ft.fused_rows(spf)
     lt2, lw2 = fused, np.zeros((1,), np.int32)
 
@@ -121,11 +122,12 @@ def main():
                                  v.reshape(B), opt.kmerlen,
                                  opt.sketchlen, use_pallas)
             t, wn = probe_rows(f.reshape(B, opt.sketchlen), tf, to,
-                               la, lb, spf, ps, 20, prefix_steps,
+                               la, lb, spf, ps, bbits, 0,
                                dense=True)
             res = rows_to_result(
                 t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                jnp.int32(19), jnp.int32(0), max_candidates=2)
+                jnp.int32(19), jnp.int32(0), max_candidates=2,
+                walk_elems=2 * opt.sketchlen)
             return carry, res.cls_tax
         _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
         return cls_k
@@ -139,7 +141,7 @@ def main():
     targs = (jnp.asarray(ft.unique_features),
              jnp.asarray(ft.offsets.astype(np.int32)),
              jnp.asarray(lt2), jnp.asarray(lw2),
-             jnp.asarray(prefix_starts),
+             jnp.asarray(brows),
              jnp.asarray(merge_tax), jnp.asarray(lineages))
 
     cls_k = query_scan(wins_k, valid_k, mwir_k, *targs)
@@ -189,8 +191,8 @@ def main():
                                      v.reshape(LB * WQ), opt.kmerlen,
                                      opt.sketchlen, use_pallas)
                 f = f.reshape(LB, WQ * opt.sketchlen)
-                t, wn = probe_rows(f, tf, to, la, lb, spf, ps, 20,
-                                   prefix_steps, dense=True)
+                t, wn = probe_rows(f, tf, to, la, lb, spf, ps, bbits,
+                                   0, dense=True)
                 res = rows_to_result(
                     t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2)

@@ -206,9 +206,14 @@ class QueryRunner:
             return a
 
         # device table arrays (all parts merged into one probe sequence —
-        # single-part fast path; multi-part probes loop over parts)
-        from ..ops.probe import DEFAULT_BITS
-        self._prefix_bits = DEFAULT_BITS
+        # single-part fast path; multi-part probes loop over parts).
+        # Probing uses the bucket-row index: ONE row gather + in-lane
+        # match instead of a multi-step binary search (on TPU every
+        # gather over N probe indices costs ~the same serialization
+        # regardless of width, so gather count dominates; measured
+        # 11ms -> 5.5ms per 131k probes).
+        from ..ops.probe import make_bucket_index
+        self._prefix_bits: list = []   # per-part bucket bits
         self._tables = []
         self._prefix = []
         self._dense = []
@@ -233,8 +238,9 @@ class QueryRunner:
                     _dev(ltgt.astype(np.int32)),
                     _dev(lwin.astype(np.int32)), spf))
             self._dense.append(use_dense)
-            ps, steps = p.prefix_index(self._prefix_bits)
-            self._prefix.append((_dev(ps), steps))
+            brows, bits = make_bucket_index(p.unique_features)
+            self._prefix.append((_dev(brows), 0))
+            self._prefix_bits.append(bits)
         self._lineages_dev = _dev(
             self.lineages if db.target_count else
             np.zeros((1, NUM_RANKS), np.int32))
@@ -271,6 +277,15 @@ class QueryRunner:
         if self._mesh is None:
             return jnp.asarray(a)
         return jax.device_put(a, self._rep_shard)
+
+    def _walk_elems(self, mwir, wq: int) -> int:
+        """Static bound on sorted match slots per contiguous window range
+        (max mwir * sketchlen * windows_per_query); enables the
+        lane-shift range sweep in rows_to_result when small enough."""
+        if len(mwir) == 0:
+            return 0
+        e = int(np.max(mwir)) * self.sketching.sketchlen * wq
+        return e if e <= 64 else 0
 
     def _adapt_sketching(self) -> SketchingOptions:
         """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
@@ -487,9 +502,10 @@ class QueryRunner:
                 tf, to, lt, lw, *tail, ps,
                 k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
-                max_candidates=k, prefix_bits=self._prefix_bits,
+                max_candidates=k, prefix_bits=self._prefix_bits[0],
                 prefix_steps=steps, dense=self._dense[0],
-                use_pallas_sketch=self._use_pallas_sketch)
+                use_pallas_sketch=self._use_pallas_sketch,
+                walk_elems=self._walk_elems(mwir, wq))
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             self._put(wmat), self._put(vmat), self._put(mwir),
@@ -501,9 +517,10 @@ class QueryRunner:
             k=sk.kmerlen, sketchlen=sk.sketchlen,
             slots_per_feature=tuple(t[4] for t in self._tables),
             windows_per_query=wq, max_candidates=k,
-            prefix_bits=self._prefix_bits,
+            prefix_bits=tuple(self._prefix_bits),
             prefix_steps=tuple(p[1] for p in self._prefix),
-            num_parts=len(self._tables), dense=tuple(self._dense))
+            num_parts=len(self._tables), dense=tuple(self._dense),
+            walk_elems=self._walk_elems(mwir, wq))
 
     # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
@@ -552,9 +569,10 @@ class QueryRunner:
             k=sk.kmerlen, sketchlen=sk.sketchlen, slots_per_feature=spf,
             windows_per_query=1,
             max_candidates=opt.classify.max_candidates,
-            prefix_bits=self._prefix_bits, prefix_steps=steps,
+            prefix_bits=self._prefix_bits[0], prefix_steps=steps,
             dense=self._dense[0],
-            use_pallas_sketch=self._use_pallas_sketch)
+            use_pallas_sketch=self._use_pallas_sketch,
+            walk_elems=self._walk_elems(mwir, 1))
 
     def _accumulate_summary(self, cls: np.ndarray, results):
         """Vectorized per-rank statistics from classified taxon ids."""
@@ -628,8 +646,10 @@ class QueryRunner:
                     tf, to, lt, lw, *tail, ps,
                     k=sk.kmerlen, sketchlen=sk.sketchlen,
                     slots_per_feature=spf, windows_per_query=wq,
-                    max_candidates=k, prefix_bits=self._prefix_bits,
-                    prefix_steps=steps, dense=self._dense[0])
+                    max_candidates=k,
+                    prefix_bits=self._prefix_bits[0],
+                    prefix_steps=steps, dense=self._dense[0],
+                    walk_elems=self._walk_elems(mwir, wq))
             else:
                 from ..ops.rows import query_step_rows_multipart
                 res = query_step_rows_multipart(
@@ -645,10 +665,11 @@ class QueryRunner:
                     slots_per_feature=tuple(
                         t[4] for t in self._tables),
                     windows_per_query=wq, max_candidates=k,
-                    prefix_bits=self._prefix_bits,
+                    prefix_bits=tuple(self._prefix_bits),
                     prefix_steps=tuple(p[1] for p in self._prefix),
                     num_parts=len(self._tables),
-                    dense=tuple(self._dense))
+                    dense=tuple(self._dense),
+                    walk_elems=self._walk_elems(mwir, wq))
             launched.append((idxs, rows, res))
         return launched
 

@@ -33,6 +33,53 @@ def make_prefix_index(features: np.ndarray, bits: int = DEFAULT_BITS):
     return starts, steps
 
 
+def make_bucket_index(features: np.ndarray, bits: int | None = None):
+    """-> ((2^bits, 1+S) i32 bucket rows, bits).
+
+    Row h = [start, f_0 .. f_{S-1}]: the sorted features whose top `bits`
+    equal h, padded with 0xFFFFFFFF, plus their start offset in the
+    feature array. A probe then needs ONE row gather + an in-lane compare
+    instead of a multi-step binary search — on TPU every gather over N
+    probe indices costs the same ~serialization regardless of width, so
+    gather COUNT is the only thing that matters.
+    S is the max bucket span rounded up to a power of two; `bits` defaults
+    to ~log2(F) - 2 (avg span ~4) within [12, 24].
+    """
+    nf = len(features)
+    if bits is None:
+        bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
+    nbuckets = 1 << bits
+    bounds = (np.arange(nbuckets, dtype=np.uint64) <<
+              np.uint64(32 - bits)).astype(np.uint32)
+    starts = np.searchsorted(features, bounds).astype(np.int64)
+    ends = np.append(starts[1:], np.int64(nf))
+    spans = ends - starts
+    max_span = int(spans.max()) if nf else 1
+    s = 1 << max(0, int(max_span - 1).bit_length())
+    s = max(s, 1)
+    rows = np.full((nbuckets, 1 + s), -1, np.int32)
+    rows[:, 0] = starts.astype(np.int32)
+    if nf:
+        h = (features >> np.uint32(32 - bits)).astype(np.int64)
+        col = np.arange(nf, dtype=np.int64) - starts[h]
+        rows[h, 1 + col] = features.view(np.int32)
+    return rows, bits
+
+
+def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
+    """-> (idx i32, found bool) via one bucket-row gather + lane match."""
+    s = bucket_rows.shape[1] - 1
+    h = (flat >> (32 - bits)).astype(jnp.int32)
+    row = bucket_rows[h]                       # ONE row gather
+    flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    match = row[:, 1:] == flat_i32[:, None]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
+    local = jnp.where(match, lanes, 0).sum(axis=1)
+    idx = row[:, 0] + local
+    found = match.any(axis=1) & (flat != jnp.uint32(0xFFFFFFFF))
+    return idx, found
+
+
 def probe_features(flat: jax.Array, table_feats: jax.Array,
                    prefix_starts: jax.Array, bits: int, steps: int,
                    check: bool = True):

@@ -44,10 +44,18 @@ I32_MAX = np.int32(2**31 - 1)
 
 def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    hits_min, hits_diff_frac, highest_rank, merge_rank,
-                   *, max_candidates: int) -> QueryResult:
+                   *, max_candidates: int,
+                   walk_elems: int = 0) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
+
+    ``walk_elems > 0`` asserts that no contiguous window range ever
+    contains more than ``walk_elems`` sorted match slots (callers bound it
+    by max(mwir) * sketchlen * windows_per_query); the range sweep then
+    runs as ``walk_elems`` masked lane shifts instead of the two
+    double-width rank-join sorts (profiled 3.7 ms -> sub-ms per
+    8192x192 batch on TPU).
     """
     b, l = tgt.shape
     kk = max_candidates
@@ -57,20 +65,34 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     is_match = tgt != I32_MAX
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
 
-    # ---- rank join for the two-pointer left bound ----------------------
-    win_lo = jnp.maximum(win - (mwir[:, None] - 1), 0)
-    ct = jnp.concatenate([tgt, tgt], axis=1)
-    cw = jnp.concatenate([win, win_lo], axis=1)
-    cf = jnp.concatenate([jnp.ones((b, l), jnp.int32),
-                          jnp.zeros((b, l), jnp.int32)], axis=1)
-    cidx = jnp.concatenate([pos, pos], axis=1)
-    ct, cw, cf, cidx = jax.lax.sort((ct, cw, cf, cidx), dimension=1,
-                                    num_keys=3)
-    orig_before = jnp.cumsum(cf, axis=1) - cf
-    _, _, lo = jax.lax.sort((cf, cidx, orig_before.astype(jnp.int32)),
-                            dimension=1, num_keys=2)
-    lo = lo[:, :l]
-    hits = pos + 1 - lo
+    # ---- contiguous-window-range hit counts ----------------------------
+    # slots contributing to the range ending at slot i are contiguous
+    # just below i in (tgt, win) order
+    if 0 < walk_elems < l:
+        w_lo = win - (mwir[:, None] - 1)
+        hits = jnp.ones((b, l), jnp.int32)
+        for e in range(1, walk_elems):
+            te = jnp.concatenate(
+                [jnp.full((b, e), -1, jnp.int32), tgt[:, :-e]], axis=1)
+            we = jnp.concatenate(
+                [jnp.full((b, e), -1, jnp.int32), win[:, :-e]], axis=1)
+            hits = hits + ((te == tgt) & (we >= w_lo)).astype(jnp.int32)
+        lo = pos + 1 - hits
+    else:
+        # rank join for the two-pointer left bound
+        win_lo = jnp.maximum(win - (mwir[:, None] - 1), 0)
+        ct = jnp.concatenate([tgt, tgt], axis=1)
+        cw = jnp.concatenate([win, win_lo], axis=1)
+        cf = jnp.concatenate([jnp.ones((b, l), jnp.int32),
+                              jnp.zeros((b, l), jnp.int32)], axis=1)
+        cidx = jnp.concatenate([pos, pos], axis=1)
+        ct, cw, cf, cidx = jax.lax.sort((ct, cw, cf, cidx), dimension=1,
+                                        num_keys=3)
+        orig_before = jnp.cumsum(cf, axis=1) - cf
+        _, _, lo = jax.lax.sort((cf, cidx, orig_before.astype(jnp.int32)),
+                                dimension=1, num_keys=2)
+        lo = lo[:, :l]
+        hits = pos + 1 - lo
 
     # ---- best range per target: sort by (tgt, hits desc, pos) ----------
     neg_hits0 = jnp.where(is_match, -hits, I32_MAX)
@@ -147,12 +169,15 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     bucket size and every location — small separate gathers are
     near-serial on TPU.
     """
-    from .probe import probe_features
+    from .probe import probe_bucket, probe_features
     b, f = feats.shape
     c = slots_per_feature
     flat = feats.reshape(-1)
     nf = table_feats.shape[0]
-    if prefix_starts is not None and nf > 0:
+    if prefix_starts is not None and prefix_starts.ndim == 2 and nf > 0:
+        idx_c, found = probe_bucket(flat, prefix_starts, prefix_bits)
+        idx_c = jnp.clip(idx_c, 0, nf - 1)
+    elif prefix_starts is not None and nf > 0:
         idx_c, found = probe_features(flat, table_feats, prefix_starts,
                                       prefix_bits, prefix_steps,
                                       check=not dense)
@@ -191,7 +216,8 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
-                     "prefix_bits", "prefix_steps", "num_parts", "dense"))
+                     "prefix_bits", "prefix_steps", "num_parts", "dense",
+                     "walk_elems"))
 def query_step_rows_multipart(windows, valid, mwir,
                               part_feats, part_offsets, part_ltgt,
                               part_lwin, merge_tax_of_target, lineages,
@@ -200,10 +226,11 @@ def query_step_rows_multipart(windows, valid, mwir,
                               *, k: int, sketchlen: int,
                               slots_per_feature: tuple,
                               windows_per_query: int, max_candidates: int,
-                              prefix_bits: int = 16,
+                              prefix_bits=16,
                               prefix_steps: tuple = (),
                               num_parts: int = 1,
-                              dense: tuple = ()) -> QueryResult:
+                              dense: tuple = (),
+                              walk_elems: int = 0) -> QueryResult:
     """Row-layout query over a multi-part database: sketch once, probe
     every part, concatenate per-query slot rows (reference probes every
     DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
@@ -213,10 +240,12 @@ def query_step_rows_multipart(windows, valid, mwir,
     feats = feats.reshape(b, wq * sketchlen)
     tgts, wins_ = [], []
     for p in range(num_parts):
+        bits = prefix_bits[p] if isinstance(prefix_bits, tuple) \
+            else prefix_bits
         t, wn = probe_rows(feats, part_feats[p], part_offsets[p],
                            part_ltgt[p], part_lwin[p],
                            slots_per_feature[p], part_prefix[p],
-                           prefix_bits, prefix_steps[p], dense[p])
+                           bits, prefix_steps[p], dense[p])
         tgts.append(t)
         wins_.append(wn)
     tgt = jnp.concatenate(tgts, axis=1)
@@ -224,7 +253,7 @@ def query_step_rows_multipart(windows, valid, mwir,
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
-        max_candidates=max_candidates)
+        max_candidates=max_candidates, walk_elems=walk_elems)
 
 
 @functools.partial(
@@ -232,7 +261,7 @@ def query_step_rows_multipart(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch"))
+                     "use_pallas_sketch", "walk_elems"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -242,7 +271,8 @@ def query_step_rows(windows, valid, mwir,
                     windows_per_query: int, max_candidates: int,
                     prefix_bits: int = 16, prefix_steps: int = 0,
                     dense: bool = False,
-                    use_pallas_sketch: bool = False) -> QueryResult:
+                    use_pallas_sketch: bool = False,
+                    walk_elems: int = 0) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -260,7 +290,7 @@ def query_step_rows(windows, valid, mwir,
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
-        max_candidates=max_candidates)
+        max_candidates=max_candidates, walk_elems=walk_elems)
 
 
 @functools.partial(
@@ -268,7 +298,7 @@ def query_step_rows(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch"))
+                     "use_pallas_sketch", "walk_elems"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -278,7 +308,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          slots_per_feature: int, windows_per_query: int,
                          max_candidates: int, prefix_bits: int = 16,
                          prefix_steps: int = 0, dense: bool = False,
-                         use_pallas_sketch: bool = False):
+                         use_pallas_sketch: bool = False,
+                         walk_elems: int = 0):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -298,7 +329,7 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
         res = rows_to_result(
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
-            max_candidates=max_candidates)
+            max_candidates=max_candidates, walk_elems=walk_elems)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

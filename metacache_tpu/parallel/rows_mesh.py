@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.rows import probe_rows, rows_to_result
 from ..ops.pipeline import QueryResult
 from ..ops.sketch_jax import sketch_windows
-from ..ops.probe import make_prefix_index
+from ..ops.probe import make_bucket_index
 
 
 class ShardedRowTable(NamedTuple):
@@ -38,14 +38,14 @@ class ShardedRowTable(NamedTuple):
     offsets: np.ndarray       # (P, Fs+1) i32
     loc_tgt2d: np.ndarray     # (P, Fs, 2+2*spf pad) i32 fused rows
     loc_win2d: np.ndarray     # (P, 1) i32 dummy (fused rows carry wins)
-    prefix: np.ndarray        # (P, 2^bits+1) i32 (shard-local offsets)
+    prefix: np.ndarray        # (P, 2^bits, 1+S) i32 shard-local bucket rows
     slots_per_feature: int
     prefix_bits: int
     prefix_steps: int
 
 
-def shard_row_table(table, num_shards: int, maxloc: int,
-                    prefix_bits: int = 16) -> ShardedRowTable:
+def shard_row_table(table, num_shards: int,
+                    maxloc: int) -> ShardedRowTable:
     f = table.unique_features
     offs = table.offsets
     from ..ops.table import unpack_locations
@@ -58,8 +58,10 @@ def shard_row_table(table, num_shards: int, maxloc: int,
     feats = np.full((num_shards, fs), 0xFFFFFFFF, np.uint32)
     offsets = np.zeros((num_shards, fs + 1), np.int32)
     fused = np.zeros((num_shards, fs, cols_pad), np.int32)
-    prefix = np.zeros((num_shards, (1 << prefix_bits) + 1), np.int32)
-    steps = 1
+    # per-shard bucket-row indexes (same bits, padded to the widest S)
+    prefix_bits = min(24, max(12, int(max(fs, 1)).bit_length() - 2))
+    shard_buckets = []
+    steps = 0
     for p in range(num_shards):
         a, b = cuts[p], cuts[p + 1]
         n = b - a
@@ -79,9 +81,12 @@ def shard_row_table(table, num_shards: int, maxloc: int,
             src = np.repeat(offs[a:b], sizes) + cols
             fused[p][rows, 2 + cols] = ltgt[src]
             fused[p][rows, 2 + spf + cols] = lwin[src]
-        ps, st = make_prefix_index(f[a:b], prefix_bits)
-        prefix[p] = ps
-        steps = max(steps, st)
+        br, _ = make_bucket_index(f[a:b], prefix_bits)
+        shard_buckets.append(br)
+    smax = max(br.shape[1] for br in shard_buckets)
+    prefix = np.full((num_shards, 1 << prefix_bits, smax), -1, np.int32)
+    for p, br in enumerate(shard_buckets):
+        prefix[p, :, :br.shape[1]] = br
     dummy = np.zeros((num_shards, 1), np.int32)
     return ShardedRowTable(feats, offsets, fused, dummy, prefix, spf,
                            prefix_bits, steps)

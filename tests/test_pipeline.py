@@ -218,3 +218,65 @@ def test_prefix_probe_power_of_two_spans(span):
                                 jnp.asarray(ps), bits, steps)
     assert np.asarray(found).all()
     np.testing.assert_array_equal(np.asarray(idx), np.arange(span))
+
+
+def test_walk_hits_matches_rank_join():
+    """rows_to_result walk_elems path (masked lane shifts) must equal the
+    rank-join sort path bit-for-bit: candidates, hits, ranges, taxa."""
+    from metacache_tpu.ops.rows import rows_to_result
+    rng = np.random.default_rng(7)
+    b, l = 64, 96
+    ntgt = 12
+    lineages = np.zeros((ntgt, 21), np.int32)
+    lineages[:, 0] = -np.arange(ntgt) - 1
+    lineages[:, 4] = np.arange(ntgt) // 3 + 50
+    lineages[:, 20] = 1
+    merge_tax = lineages[:, 0].copy()
+    for trial in range(4):
+        # clustered duplicates: few targets, few windows -> long runs
+        tgt = rng.integers(0, ntgt, (b, l)).astype(np.int32)
+        win = rng.integers(0, 6, (b, l)).astype(np.int32)
+        pad = rng.random((b, l)) < 0.3
+        tgt[pad] = 2**31 - 1
+        win[pad] = 2**31 - 1
+        mwir = rng.integers(2, 5, b).astype(np.int32)
+        args = (jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                jnp.asarray(merge_tax), jnp.asarray(lineages),
+                jnp.int32(2), jnp.float32(0.5), jnp.int32(19),
+                jnp.int32(0))
+        a = rows_to_result(*args, max_candidates=3, walk_elems=0)
+        # worst case: every slot of a range can collide -> walk l slots
+        wk = rows_to_result(*args, max_candidates=3, walk_elems=l - 1)
+        for fld in ("cand_tgt", "cand_tax", "cand_hits", "cand_beg",
+                    "cand_end", "cls_tax"):
+            assert np.array_equal(np.asarray(getattr(a, fld)),
+                                  np.asarray(getattr(wk, fld))), \
+                (trial, fld)
+
+
+def test_bucket_index_probe_matches_searchsorted():
+    from metacache_tpu.ops.probe import make_bucket_index, probe_bucket
+    rng = np.random.default_rng(3)
+    for nf in (0, 1, 1000, 100000):
+        feats = np.unique(rng.integers(
+            0, 2**32, nf, dtype=np.uint64).astype(np.uint32))
+        probes = np.concatenate([
+            rng.choice(feats, 300) if len(feats) else
+            np.zeros(0, np.uint32),
+            rng.integers(0, 2**32, 300, dtype=np.uint64).astype(
+                np.uint32),
+            np.full(8, 0xFFFFFFFF, np.uint32)])
+        br, bits = make_bucket_index(feats)
+        idx_b, found_b = probe_bucket(jnp.asarray(probes),
+                                      jnp.asarray(br), bits)
+        idx_b = np.clip(np.asarray(idx_b), 0, max(len(feats) - 1, 0))
+        found_b = np.asarray(found_b)
+        if len(feats):
+            idx_r = np.searchsorted(feats, probes)
+            found_r = (idx_r < len(feats)) & \
+                (feats[np.minimum(idx_r, len(feats) - 1)] == probes) & \
+                (probes != np.uint32(0xFFFFFFFF))
+            assert np.array_equal(found_b, found_r)
+            assert np.array_equal(idx_b[found_r], idx_r[found_r])
+        else:
+            assert not found_b.any()

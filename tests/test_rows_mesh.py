@@ -73,6 +73,6 @@ def test_sharded_rows_equals_single(setup, nd, nt):
         tf, to, lt, lw, r._merge_tax_dev, r._lineages_dev,
         jnp.int32(5), jnp.float32(1.0), jnp.int32(19), jnp.int32(0), ps,
         k=16, sketchlen=16, slots_per_feature=spf, windows_per_query=1,
-        max_candidates=2, prefix_bits=r._prefix_bits, prefix_steps=steps,
+        max_candidates=2, prefix_bits=r._prefix_bits[0], prefix_steps=steps,
         dense=r._dense[0])
     np.testing.assert_array_equal(got, np.asarray(ref.cls_tax))
