@@ -195,7 +195,8 @@ def main():
                                    0, dense=True)
                 res = rows_to_result(
                     t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                    jnp.int32(19), jnp.int32(0), max_candidates=2)
+                    jnp.int32(19), jnp.int32(0), max_candidates=2,
+                    dedup_walk=2 + LLEN // opt.winstride)
                 return carry, res.cls_tax
             _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
             return cls_k

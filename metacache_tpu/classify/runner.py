@@ -278,14 +278,21 @@ class QueryRunner:
             return jnp.asarray(a)
         return jax.device_put(a, self._rep_shard)
 
-    def _walk_elems(self, mwir, wq: int) -> int:
-        """Static bound on sorted match slots per contiguous window range
-        (max mwir * sketchlen * windows_per_query); enables the
-        lane-shift range sweep in rows_to_result when small enough."""
+    def _sweep_params(self, mwir, wq: int) -> dict:
+        """Pick the range-sweep strategy for rows_to_result: lane-walk
+        over raw slots when the per-range slot bound (max mwir *
+        sketchlen * windows_per_query) is tiny, dedup+walk over distinct
+        entries when only max(mwir) is small (long reads), else the
+        rank-join sorts."""
         if len(mwir) == 0:
-            return 0
-        e = int(np.max(mwir)) * self.sketching.sketchlen * wq
-        return e if e <= 64 else 0
+            return {}
+        m = int(np.max(mwir))
+        e = m * self.sketching.sketchlen * wq
+        if e <= 64:
+            return {"walk_elems": e}
+        if m <= 48:
+            return {"dedup_walk": m}
+        return {}
 
     def _adapt_sketching(self) -> SketchingOptions:
         """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
@@ -505,7 +512,7 @@ class QueryRunner:
                 max_candidates=k, prefix_bits=self._prefix_bits[0],
                 prefix_steps=steps, dense=self._dense[0],
                 use_pallas_sketch=self._use_pallas_sketch,
-                walk_elems=self._walk_elems(mwir, wq))
+                **self._sweep_params(mwir, wq))
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             self._put(wmat), self._put(vmat), self._put(mwir),
@@ -520,7 +527,7 @@ class QueryRunner:
             prefix_bits=tuple(self._prefix_bits),
             prefix_steps=tuple(p[1] for p in self._prefix),
             num_parts=len(self._tables), dense=tuple(self._dense),
-            walk_elems=self._walk_elems(mwir, wq))
+            **self._sweep_params(mwir, wq))
 
     # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
@@ -572,7 +579,7 @@ class QueryRunner:
             prefix_bits=self._prefix_bits[0], prefix_steps=steps,
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
-            walk_elems=self._walk_elems(mwir, 1))
+            **self._sweep_params(mwir, 1))
 
     def _accumulate_summary(self, cls: np.ndarray, results):
         """Vectorized per-rank statistics from classified taxon ids."""
@@ -649,7 +656,7 @@ class QueryRunner:
                     max_candidates=k,
                     prefix_bits=self._prefix_bits[0],
                     prefix_steps=steps, dense=self._dense[0],
-                    walk_elems=self._walk_elems(mwir, wq))
+                    **self._sweep_params(mwir, wq))
             else:
                 from ..ops.rows import query_step_rows_multipart
                 res = query_step_rows_multipart(
@@ -669,7 +676,7 @@ class QueryRunner:
                     prefix_steps=tuple(p[1] for p in self._prefix),
                     num_parts=len(self._tables),
                     dense=tuple(self._dense),
-                    walk_elems=self._walk_elems(mwir, wq))
+                    **self._sweep_params(mwir, wq))
             launched.append((idxs, rows, res))
         return launched
 

@@ -45,7 +45,8 @@ I32_MAX = np.int32(2**31 - 1)
 def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    hits_min, hits_diff_frac, highest_rank, merge_rank,
                    *, max_candidates: int,
-                   walk_elems: int = 0) -> QueryResult:
+                   walk_elems: int = 0,
+                   dedup_walk: int = 0) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
@@ -56,6 +57,13 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     runs as ``walk_elems`` masked lane shifts instead of the two
     double-width rank-join sorts (profiled 3.7 ms -> sub-ms per
     8192x192 batch on TPU).
+
+    ``dedup_walk > 0`` asserts only max(mwir) <= dedup_walk: duplicate
+    (tgt, win) slots are first compacted into distinct entries with run
+    counts (one extra per-row sort + suffix-min tricks), after which a
+    contiguous window range spans at most max(mwir) *distinct* entries,
+    so the sweep is dedup_walk masked lane shifts. This is the long-read
+    path, where walk_elems would be huge but mwir stays small.
     """
     b, l = tgt.shape
     kk = max_candidates
@@ -64,11 +72,53 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
     is_match = tgt != I32_MAX
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    hit_tgt_flat = tgt.reshape(-1)
+    hit_win_flat = win.reshape(-1)
 
-    # ---- contiguous-window-range hit counts ----------------------------
-    # slots contributing to the range ending at slot i are contiguous
-    # just below i in (tgt, win) order
-    if 0 < walk_elems < l:
+    carry_beg = False
+    if 0 < dedup_walk:
+        # -- compact duplicate (t, w) runs to distinct entries + counts --
+        prev_t = jnp.concatenate(
+            [jnp.full((b, 1), -1, jnp.int32), tgt[:, :-1]], axis=1)
+        prev_w = jnp.concatenate(
+            [jnp.full((b, 1), -1, jnp.int32), win[:, :-1]], axis=1)
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+        start = (col0 == 0) | (tgt != prev_t) | (win != prev_w)
+        s_pos = jnp.where(start, pos, I32_MAX)
+        nxt_incl = jax.lax.cummin(s_pos[:, ::-1], axis=1)[:, ::-1]
+        nxt = jnp.concatenate(
+            [nxt_incl[:, 1:], jnp.full((b, 1), I32_MAX, jnp.int32)],
+            axis=1)
+        nxt = jnp.minimum(nxt, l)          # next run's start (= my run end)
+        cnt = nxt - pos                    # run length   (valid at starts)
+        endpos = nxt - 1                   # last slot of the run
+        ckey = jnp.where(start & is_match, 0, 1).astype(jnp.int32)
+        (ckey2, _, tgt, win, cnt, endpos) = jax.lax.sort(
+            (ckey, pos, tgt, win, cnt, endpos), dimension=1, num_keys=2)
+        valid = ckey2 == 0
+        # -- sweep over distinct entries: <= max(mwir) per range ---------
+        w_lo = win - (mwir[:, None] - 1)
+        hits = jnp.where(valid, cnt, 0)
+        beg = win
+        for e in range(1, dedup_walk):
+            te = jnp.concatenate(
+                [jnp.full((b, e), -1, jnp.int32), tgt[:, :-e]], axis=1)
+            we = jnp.concatenate(
+                [jnp.full((b, e), -1, jnp.int32), win[:, :-e]], axis=1)
+            ce = jnp.concatenate(
+                [jnp.zeros((b, e), jnp.int32), cnt[:, :-e]], axis=1)
+            ve = jnp.concatenate(
+                [jnp.zeros((b, e), bool), valid[:, :-e]], axis=1)
+            ok = valid & ve & (te == tgt) & (we >= w_lo)
+            hits = hits + jnp.where(ok, ce, 0)
+            beg = jnp.where(ok, we, beg)   # last ok shift = smallest win
+        is_match = valid
+        tgt = jnp.where(valid, tgt, I32_MAX)
+        win = jnp.where(valid, win, I32_MAX)
+        pos = endpos                       # original range-end slot index
+        lo = beg                           # carried begin WINDOW directly
+        carry_beg = True
+    elif 0 < walk_elems < l:
         w_lo = win - (mwir[:, None] - 1)
         hits = jnp.ones((b, l), jnp.int32)
         for e in range(1, walk_elems):
@@ -141,20 +191,25 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     cand_tgt = jnp.where(okc, tgt3[:, :kk], -1)
     cand_tax = jnp.where(okc, tax3[:, :kk], 0)
     cand_hits = jnp.where(okc, -neg3[:, :kk], 0)
-    lo_sel = jnp.clip(lo3[:, :kk], 0, l - 1)
-    cand_beg = jnp.where(okc, jnp.take_along_axis(win, lo_sel, axis=1), 0)
+    if carry_beg:
+        cand_beg = jnp.where(okc, lo3[:, :kk], 0)
+    else:
+        lo_sel = jnp.clip(lo3[:, :kk], 0, l - 1)
+        cand_beg = jnp.where(
+            okc, jnp.take_along_axis(win, lo_sel, axis=1), 0)
     cand_end = jnp.where(okc, end3[:, :kk], 0)
 
     cls_tax = classify_candidates(
         cand_tgt, cand_tax, cand_hits, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank)
 
-    # flat hit arrays for -allhits (row-major: qid = row index)
-    hit_qid = jnp.where(is_match,
+    # flat hit arrays for -allhits (row-major: qid = row index; always the
+    # original pre-dedup sorted slots)
+    hit_qid = jnp.where(hit_tgt_flat.reshape(b, l) != I32_MAX,
                         jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
                         jnp.int32(b)).reshape(-1)
     return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg, cand_end,
-                       cls_tax, hit_qid, tgt.reshape(-1), win.reshape(-1))
+                       cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
 
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
@@ -217,7 +272,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "num_parts", "dense",
-                     "walk_elems"))
+                     "walk_elems", "dedup_walk"))
 def query_step_rows_multipart(windows, valid, mwir,
                               part_feats, part_offsets, part_ltgt,
                               part_lwin, merge_tax_of_target, lineages,
@@ -230,7 +285,8 @@ def query_step_rows_multipart(windows, valid, mwir,
                               prefix_steps: tuple = (),
                               num_parts: int = 1,
                               dense: tuple = (),
-                              walk_elems: int = 0) -> QueryResult:
+                              walk_elems: int = 0,
+                              dedup_walk: int = 0) -> QueryResult:
     """Row-layout query over a multi-part database: sketch once, probe
     every part, concatenate per-query slot rows (reference probes every
     DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
@@ -253,7 +309,8 @@ def query_step_rows_multipart(windows, valid, mwir,
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
-        max_candidates=max_candidates, walk_elems=walk_elems)
+        max_candidates=max_candidates, walk_elems=walk_elems,
+        dedup_walk=dedup_walk)
 
 
 @functools.partial(
@@ -261,7 +318,7 @@ def query_step_rows_multipart(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch", "walk_elems"))
+                     "use_pallas_sketch", "walk_elems", "dedup_walk"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -272,7 +329,8 @@ def query_step_rows(windows, valid, mwir,
                     prefix_bits: int = 16, prefix_steps: int = 0,
                     dense: bool = False,
                     use_pallas_sketch: bool = False,
-                    walk_elems: int = 0) -> QueryResult:
+                    walk_elems: int = 0,
+                    dedup_walk: int = 0) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -290,7 +348,8 @@ def query_step_rows(windows, valid, mwir,
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
-        max_candidates=max_candidates, walk_elems=walk_elems)
+        max_candidates=max_candidates, walk_elems=walk_elems,
+        dedup_walk=dedup_walk)
 
 
 @functools.partial(
@@ -298,7 +357,7 @@ def query_step_rows(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch", "walk_elems"))
+                     "use_pallas_sketch", "walk_elems", "dedup_walk"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -309,7 +368,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          max_candidates: int, prefix_bits: int = 16,
                          prefix_steps: int = 0, dense: bool = False,
                          use_pallas_sketch: bool = False,
-                         walk_elems: int = 0):
+                         walk_elems: int = 0,
+                         dedup_walk: int = 0):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -329,7 +389,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
         res = rows_to_result(
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
-            max_candidates=max_candidates, walk_elems=walk_elems)
+            max_candidates=max_candidates, walk_elems=walk_elems,
+        dedup_walk=dedup_walk)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

@@ -280,3 +280,38 @@ def test_bucket_index_probe_matches_searchsorted():
             assert np.array_equal(idx_b[found_r], idx_r[found_r])
         else:
             assert not found_b.any()
+
+
+def test_dedup_walk_matches_rank_join():
+    """dedup_walk path (compact duplicate runs, then walk distinct
+    entries) must equal the rank-join sort path bit-for-bit."""
+    from metacache_tpu.ops.rows import rows_to_result
+    rng = np.random.default_rng(11)
+    b, l = 48, 160
+    ntgt = 10
+    lineages = np.zeros((ntgt, 21), np.int32)
+    lineages[:, 0] = -np.arange(ntgt) - 1
+    lineages[:, 4] = np.arange(ntgt) // 2 + 70
+    lineages[:, 20] = 1
+    merge_tax = lineages[:, 0].copy()
+    for trial in range(4):
+        # long-read-like: many windows, heavy duplication, larger mwir
+        tgt = rng.integers(0, ntgt, (b, l)).astype(np.int32)
+        win = rng.integers(0, 12, (b, l)).astype(np.int32)
+        pad = rng.random((b, l)) < 0.25
+        tgt[pad] = 2**31 - 1
+        win[pad] = 2**31 - 1
+        mwir = rng.integers(2, 9, b).astype(np.int32)
+        args = (jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                jnp.asarray(merge_tax), jnp.asarray(lineages),
+                jnp.int32(2), jnp.float32(0.5), jnp.int32(19),
+                jnp.int32(0))
+        a = rows_to_result(*args, max_candidates=3)
+        d = rows_to_result(*args, max_candidates=3,
+                           dedup_walk=int(mwir.max()))
+        for fld in ("cand_tgt", "cand_tax", "cand_hits", "cand_beg",
+                    "cand_end", "cls_tax", "hit_qid", "hit_tgt",
+                    "hit_win"):
+            assert np.array_equal(np.asarray(getattr(a, fld)),
+                                  np.asarray(getattr(d, fld))), \
+                (trial, fld)
