@@ -170,8 +170,13 @@ def build_database(opt: BuildOptions,
             db.max_locations_per_feature)
     infiles = expand_input_paths(opt.infiles)
 
+    import sys as _sys
+    from ..utils.progress import ProgressBar
+
     # taxonomy
     if opt.taxonomy_dir:
+        print(f"Reading taxonomy from {opt.taxonomy_dir} ...",
+              file=_sys.stderr, flush=True)
         tax = ncbi.make_taxonomic_hierarchy(
             os.path.join(opt.taxonomy_dir, "nodes.dmp"),
             os.path.join(opt.taxonomy_dir, "names.dmp"),
@@ -182,7 +187,11 @@ def build_database(opt: BuildOptions,
         LOCAL_MAPPING_FILENAMES, opt.taxpostmap, infiles)
 
     db.initialize_parts(opt.parts)
-    add_targets_to_database(db, infiles, sequ2taxid, opt.seq_id_type)
+    print(f"Processing {len(infiles)} reference sequence file(s).",
+          file=_sys.stderr, flush=True)
+    bar = ProgressBar()
+    add_targets_to_database(db, infiles, sequ2taxid, opt.seq_id_type,
+                            show_progress=bar.update)
     db.finalize()
     db.merge_parts(opt.parts)
 

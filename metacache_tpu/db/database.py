@@ -170,6 +170,9 @@ class Database:
 
     # -- persistence -----------------------------------------------------
     def save(self, path: str):
+        import sys as _sys
+        print(f"Writing database to {path} ...", file=_sys.stderr,
+              flush=True)
         meta = {
             "format": "metacache_tpu",
             "db_version": DB_FORMAT_VERSION,
@@ -220,6 +223,10 @@ class Database:
     @staticmethod
     def load(path: str, metadata_only: bool = False,
              part: int | None = None) -> "Database":
+        import sys as _sys
+        if not metadata_only:
+            print(f"Reading database from {path} ...", file=_sys.stderr,
+                  flush=True)
         with open(path + ".meta") as f:
             meta = json.load(f)
         if meta.get("db_version") != DB_FORMAT_VERSION:
