@@ -135,6 +135,9 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
     v = a.take_value("-parts")
     if v:
         opt.parts = int(v)
+    v = a.take_value("-max-part-size")
+    if v:
+        opt.max_part_bytes = int(float(v) * (1 << 30))
     a.take_value("-max-load-fac")  # accepted, not needed for CSR tables
     a.take_value("-threads")
     a.take_flag("-silent")

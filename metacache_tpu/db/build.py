@@ -40,6 +40,7 @@ class BuildOptions:
     max_ambig_per_feature: int = -1
     ambig_rank: Rank = Rank.SEQUENCE
     parts: int = 1
+    max_part_bytes: int = 0    # -max-part-size GB cap per merged part
     reset_parents: bool = False
     seq_id_type: SequenceIdType = SequenceIdType.SMART
 
@@ -186,14 +187,21 @@ def build_database(opt: BuildOptions,
     sequ2taxid = ncbi.make_sequence_to_taxon_id_map(
         LOCAL_MAPPING_FILENAMES, opt.taxpostmap, infiles)
 
-    db.initialize_parts(opt.parts)
+    nparts0 = opt.parts
+    if opt.max_part_bytes:
+        # build more virtual parts so the byte cap can keep them apart
+        # (reference: virtual parts then merge_reduce under byte limit,
+        # src/building.cpp:603-667)
+        nparts0 = max(opt.parts, min(
+            16, 1 << max(0, (max(len(infiles), 1) - 1).bit_length())))
+    db.initialize_parts(nparts0)
     print(f"Processing {len(infiles)} reference sequence file(s).",
           file=_sys.stderr, flush=True)
     bar = ProgressBar()
     add_targets_to_database(db, infiles, sequ2taxid, opt.seq_id_type,
                             show_progress=bar.update)
     db.finalize()
-    db.merge_parts(opt.parts)
+    db.merge_parts(opt.parts, opt.max_part_bytes)
 
     try_to_rank_unranked_targets(db, opt)
 

@@ -133,12 +133,21 @@ class Database:
                 self.max_locations_per_feature)]
         self._pending = [[] for _ in self._pending]
 
-    def merge_parts(self, max_parts: int):
-        """Merge down to at most `max_parts` tables (reference:
-        merge_reduce_max_parts_max_bytes, src/host_hashmap.hpp:260-372)."""
+    def merge_parts(self, max_parts: int, max_part_bytes: int = 0):
+        """Merge down to at most `max_parts` tables, never letting a
+        merged part exceed `max_part_bytes` (reference:
+        merge_reduce_max_parts_max_bytes, src/host_hashmap.hpp:260-372 and
+        -max-part-size, src/options.cpp:588-596)."""
+        def nbytes(p):
+            return p.num_features * 12 + p.num_locations * 8
         while len(self.parts) > max(1, max_parts):
             a = self.parts.pop()
             b = self.parts.pop()
+            if max_part_bytes and nbytes(a) + nbytes(b) > max_part_bytes:
+                # keep both; no pair fits under the cap once the two
+                # smallest (last) exceed it
+                self.parts.extend([b, a])
+                break
             self.parts.append(b.merge(a))
 
     def set_max_locations_per_feature(self, n: int):

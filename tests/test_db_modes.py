@@ -163,3 +163,34 @@ def test_scan_fusion_summary_identical(tmp_path):
                 if "time" not in l and "speed" not in l]
 
     assert run_k(0) == run_k(2)
+
+
+def test_max_part_size_keeps_parts_apart(tmp_path):
+    """-max-part-size caps merged part bytes (reference:
+    merge_reduce_max_parts_max_bytes); with a tiny cap and two input
+    files the two virtual parts must stay separate, and query output
+    must be unchanged."""
+    import subprocess
+    import sys as _sys
+    import json
+    # split the fixture into two files
+    recs = open(f"{DATA}/genomes.fa").read().split(">")[1:]
+    half = len(recs) // 2
+    (tmp_path / "a.fa").write_text("".join(">" + r for r in recs[:half]))
+    (tmp_path / "b.fa").write_text("".join(">" + r for r in recs[half:]))
+    db = str(tmp_path / "db")
+    r = _run(["build", db, str(tmp_path / "a.fa"), str(tmp_path / "b.fa"),
+              "-taxonomy", f"{DATA}/taxonomy",
+              "-max-part-size", "0.00001"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    meta = json.load(open(db + ".meta"))
+    assert meta["part_count"] == 2
+    r1 = _run(["query", db, f"{DATA}/reads_single.fa", "-tophits",
+               "-no-summary", "-no-query-params"])
+    db1 = str(tmp_path / "db1")
+    r = _run(["build", db1, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0
+    r2 = _run(["query", db1, f"{DATA}/reads_single.fa", "-tophits",
+               "-no-summary", "-no-query-params"])
+    assert r1.stdout == r2.stdout
