@@ -95,6 +95,7 @@ class QueryOptions:
     output: OutputOptions = dataclasses.field(default_factory=OutputOptions)
     batch_windows: int = 4096
     num_replicas: int = 1      # -replicate: data-parallel devices (0=all)
+    table_shards: int = 1      # -table-shards: feature-range DB shards
     query_limit: int = -1
     min_read_length: int = 0
     max_read_length: int = 0   # 0 = unlimited
@@ -151,6 +152,40 @@ class _CodedBatch:
             yield self[i]
 
 
+class _ShardedRows:
+    """Row-order adapter over a sharded QueryResult.
+
+    sharded_query_step_rows emits rows data-major then table-subset-major
+    (block (d, p) holds original rows [d*b_loc + p*bsub, ... + bsub));
+    per-row fields are re-permuted to original order and the flat hit
+    arrays' local query ids are rebased to global rows on first access."""
+
+    def __init__(self, res, rows, nd, nt):
+        self._res = res
+        self.rows = rows
+        b_loc, bsub = rows // nd, rows // (nd * nt)
+        d, p, loc = np.meshgrid(np.arange(nd), np.arange(nt),
+                                np.arange(bsub), indexing="ij")
+        self._orig = (d * b_loc + p * bsub + loc).reshape(-1)
+        self._inv = np.empty(rows, np.int64)
+        self._inv[self._orig] = np.arange(rows)
+        self._bases = (d * b_loc + p * bsub)[:, :, 0].reshape(-1)
+        self._bsub = bsub
+
+    def __getattr__(self, name):
+        v = np.asarray(getattr(self._res, name))
+        if name in ("hit_qid", "hit_tgt", "hit_win"):
+            if name == "hit_qid":
+                nb = len(self._bases)
+                per = len(v) // nb
+                base = np.repeat(self._bases, per)
+                v = np.where(v >= self._bsub, self.rows, v + base)
+            return v
+        if v.ndim and v.shape[0] == self.rows:
+            v = v[self._inv]
+        return v
+
+
 class QueryRunner:
     """Holds device-resident database state across query runs."""
 
@@ -191,7 +226,25 @@ class QueryRunner:
             nrep -= 1
         self._mesh = None
         self._nrep = 1
-        if nrep > 1:
+        self._tmesh = None             # ("data","table") mesh
+        self._ntab = 1
+        ntab = opt.table_shards
+        if ntab > 1 and nrep * ntab <= ndev and len(db.parts) == 1:
+            # feature-range table shards over the "table" axis (reference
+            # P2/P3: one DB part per GPU with P2P sketch forwarding,
+            # src/query_batch.cu:464-527 — here a single all_to_all over
+            # ICI trades slot columns for row subsets)
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            devs = np.asarray(_jax.devices()[:nrep * ntab]).reshape(
+                nrep, ntab)
+            self._tmesh = Mesh(devs, ("data", "table"))
+            self._nrep = nrep
+            self._ntab = ntab
+            self._tm_batch = NamedSharding(self._tmesh, _P("data"))
+            self._tm_table = NamedSharding(self._tmesh, _P("table"))
+            self._tm_repl = NamedSharding(self._tmesh, _P())
+        elif nrep > 1:
             from jax.sharding import Mesh, NamedSharding
             from jax.sharding import PartitionSpec as _P
             self._mesh = Mesh(np.asarray(_jax.devices()[:nrep]), ("data",))
@@ -201,7 +254,9 @@ class QueryRunner:
 
         def _dev(a):
             a = jnp.asarray(a)
-            if self._mesh is not None:
+            if self._tmesh is not None:
+                a = _jax.device_put(a, self._tm_repl)
+            elif self._mesh is not None:
                 a = _jax.device_put(a, self._rep_repl)
             return a
 
@@ -220,7 +275,19 @@ class QueryRunner:
         # dense (F, spf) location rows when memory is affordable: TPU row
         # gathers are vastly faster than per-slot element gathers
         DENSE_BYTE_LIMIT = 8 << 30
-        for p in db.parts:
+        self._shard_table = None
+        if self._tmesh is not None:
+            from ..parallel.rows_mesh import shard_row_table
+            st = shard_row_table(db.parts[0], self._ntab,
+                                 db.max_locations_per_feature)
+            put_t = lambda a: _jax.device_put(jnp.asarray(a),
+                                              self._tm_table)
+            self._shard_table = (
+                put_t(st.features), put_t(st.offsets),
+                put_t(st.loc_tgt2d), put_t(st.loc_win2d),
+                put_t(st.prefix), st.slots_per_feature,
+                st.prefix_bits, st.prefix_steps)
+        for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
             use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
             if use_dense:
@@ -269,11 +336,18 @@ class QueryRunner:
         self._taxid_sorted = np.asarray(ids, np.int64)[order]             if ids else np.zeros(0, np.int64)
         self._rank_of_taxid = np.asarray(ranks, np.uint8)[order]             if ids else np.zeros(0, np.uint8)
 
+    @property
+    def _row_quantum(self) -> int:
+        """Batch row counts must be divisible by the device grid."""
+        return self._nrep * self._ntab
+
     def _put(self, a):
         """Move a batch array to device; leading dim sharded over the
         replica mesh when -replicate is active."""
         import jax
         import jax.numpy as jnp
+        if self._tmesh is not None:
+            return jax.device_put(a, self._tm_batch)
         if self._mesh is None:
             return jnp.asarray(a)
         return jax.device_put(a, self._rep_shard)
@@ -462,7 +536,7 @@ class QueryRunner:
         launched = []
         if short.any():
             idxs = np.nonzero(short)[0]
-            rows = max(_round_up_pow2(len(idxs)), self._nrep)
+            rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
             wmat = np.full((rows, 1, wl), win_ops.PAD_CODE, np.uint8)
             wmat[:len(idxs), 0, :] = codes[idxs, :wl]
             vmat = np.zeros((rows, 1), np.int32)
@@ -478,7 +552,7 @@ class QueryRunner:
             for i in np.nonzero(~short)[0]:
                 w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
                 wq = _round_up_pow2(max(len(w), 1))
-                nr = self._nrep
+                nr = self._row_quantum
                 wmat = np.full((nr, wq, wl), win_ops.PAD_CODE, np.uint8)
                 vmat = np.zeros((nr, wq), np.int32)
                 wmat[0, :len(w)] = w
@@ -500,6 +574,18 @@ class QueryRunner:
                 jnp.int32(self.hits_min),
                 jnp.float32(opt.classify.hits_diff_fraction),
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
+        if self._tmesh is not None:
+            from ..parallel.rows_mesh import sharded_query_step_rows
+            (tf, to, lt2, lw2, ps, spf, pbits, psteps) = \
+                self._shard_table
+            res = sharded_query_step_rows(
+                self._put(wmat), self._put(vmat), self._put(mwir),
+                tf, to, lt2, lw2, ps, *tail,
+                mesh=self._tmesh, k=sk.kmerlen, sketchlen=sk.sketchlen,
+                slots_per_feature=spf, windows_per_query=wq,
+                max_candidates=k, prefix_bits=pbits,
+                prefix_steps=psteps)
+            return _ShardedRows(res, len(mwir), self._nrep, self._ntab)
         if len(self._tables) == 1:
             from ..ops.rows import query_step_rows
             tf, to, lt, lw, spf = self._tables[0]
@@ -627,14 +713,9 @@ class QueryRunner:
             wq = _round_up_pow2(max(len(w), 1))
             buckets.setdefault(wq, []).append(i)
 
-        tf, to, lt, lw, spf = self._tables[0]
-        tail = (self._merge_tax_dev, self._lineages_dev,
-                jnp.int32(self.hits_min),
-                jnp.float32(opt.classify.hits_diff_fraction),
-                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
         launched = []
         for wq, idxs in sorted(buckets.items()):
-            rows = max(_round_up_pow2(len(idxs)), self._nrep)
+            rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
             wmat = np.full((rows, wq, sk.winlen), win_ops.PAD_CODE,
                            np.uint8)
             vmat = np.zeros((rows, wq), np.int32)
@@ -644,40 +725,8 @@ class QueryRunner:
                 wmat[r, :len(w)] = w
                 vmat[r, :len(v)] = v
                 mwir[r] = self._mwir(batch[i])
-            if len(self._tables) == 1:
-                from ..ops.rows import query_step_rows
-                ps, steps = self._prefix[0]
-                res = query_step_rows(
-                    self._put(wmat), self._put(vmat),
-                    self._put(mwir),
-                    tf, to, lt, lw, *tail, ps,
-                    k=sk.kmerlen, sketchlen=sk.sketchlen,
-                    slots_per_feature=spf, windows_per_query=wq,
-                    max_candidates=k,
-                    prefix_bits=self._prefix_bits[0],
-                    prefix_steps=steps, dense=self._dense[0],
-                    **self._sweep_params(mwir, wq))
-            else:
-                from ..ops.rows import query_step_rows_multipart
-                res = query_step_rows_multipart(
-                    self._put(wmat), self._put(vmat),
-                    self._put(mwir),
-                    tuple(t[0] for t in self._tables),
-                    tuple(t[1] for t in self._tables),
-                    tuple(t[2] for t in self._tables),
-                    tuple(t[3] for t in self._tables),
-                    *tail,
-                    tuple(p[0] for p in self._prefix),
-                    k=sk.kmerlen, sketchlen=sk.sketchlen,
-                    slots_per_feature=tuple(
-                        t[4] for t in self._tables),
-                    windows_per_query=wq, max_candidates=k,
-                    prefix_bits=tuple(self._prefix_bits),
-                    prefix_steps=tuple(p[1] for p in self._prefix),
-                    num_parts=len(self._tables),
-                    dense=tuple(self._dense),
-                    **self._sweep_params(mwir, wq))
-            launched.append((idxs, rows, res))
+            launched.append((idxs, rows,
+                             self._launch_rows(wmat, vmat, mwir, wq, k)))
         return launched
 
     def _summary_only(self):

@@ -293,6 +293,12 @@ def parse_query_options(a: Args):
     v = a.take_value("-replicate")
     if v:
         opt.num_replicas = int(v)
+    # -table-shards N: feature-range database shards over the "table"
+    # mesh axis (TPU extension of the reference's one-DB-part-per-GPU
+    # distribution); composes with -replicate as the data axis
+    v = a.take_value("-table-shards")
+    if v:
+        opt.table_shards = int(v)
 
     out_file = a.take_value("-out")
     split_out = a.take_value("-split-out", "-splitout")

@@ -253,3 +253,24 @@ def test_replicate_all_devices_long_reads(dbfile):
                            "-ground-truth", "-tophits",
                            "-replicate", "0"])
     assert ours == _golden("classified_long_fa.txt")
+
+
+def test_table_shards_matches_golden(dbfile):
+    """-table-shards N (feature-range shards + all_to_all over the
+    virtual mesh) must be byte-identical, alone and with -replicate."""
+    args = [f"{DATA}/reads_single.fa", "-precision", "-ground-truth",
+            "-tophits", "-allhits", "-hits-per-ref",
+            "-abundances", "-abundance-per", "species"]
+    want = _canon(_golden("classified_single_fa.txt"))
+    ours = _canon(_query(dbfile, args + ["-table-shards", "4"]))
+    assert ours == want
+    ours = _canon(_query(dbfile, args + ["-replicate", "2",
+                                         "-table-shards", "4"]))
+    assert ours == want
+
+
+def test_table_shards_long_reads(dbfile):
+    ours = _query(dbfile, [f"{DATA}/reads_long.fa", "-precision",
+                           "-ground-truth", "-tophits",
+                           "-table-shards", "2"])
+    assert ours == _golden("classified_long_fa.txt")
