@@ -168,7 +168,7 @@ def main():
     # 200bp-19kb reads, median 480bp; README.md:5) ---------------------
     long_reads_per_min = 0.0
     lcls = np.zeros((1, 1), np.int32)
-    LB, LLEN, WQ = 2048, 480, 8
+    LB, LLEN, WQ = 2048, 480, 5
     try:
         lsel = rng.integers(0, ntgt, LB)
         lpos = rng.integers(0, GENOME_LEN - LLEN, LB)

@@ -287,8 +287,16 @@ class QueryRunner:
                 put_t(st.loc_tgt2d), put_t(st.loc_win2d),
                 put_t(st.prefix), st.slots_per_feature,
                 st.prefix_bits, st.prefix_steps)
+        import os as _os
+        try:
+            DENSE_BYTE_LIMIT = int(_os.environ.get("MC_DENSE_LIMIT", 0)) \
+                or DENSE_BYTE_LIMIT
+        except ValueError:
+            pass
+        TWO_TIER_HEAD = 16
         for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
+            hsl = min(TWO_TIER_HEAD, spf - 1)
             use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
             if use_dense:
                 fused = p.fused_rows(spf)
@@ -297,6 +305,17 @@ class QueryRunner:
                     _dev(p.unique_features),
                     _dev(p.offsets.astype(np.int32)),
                     _dev(fused), dummy, spf))
+                self._dense.append(True)
+            elif hsl > 0:
+                # two-tier: dense head rows + overflow rows for the rare
+                # deep buckets — memory ~ actual locations, still row
+                # gathers (CSR per-slot gathers are near-serial on TPU)
+                head, ovf = p.fused_rows_two_tier(spf, hsl)
+                self._tables.append((
+                    _dev(p.unique_features),
+                    _dev(p.offsets.astype(np.int32)),
+                    _dev(head), _dev(ovf), spf))
+                self._dense.append(("two_tier", hsl))
             else:
                 ltgt, lwin = unpack_locations(p.locations)
                 self._tables.append((
@@ -304,7 +323,7 @@ class QueryRunner:
                     _dev(p.offsets.astype(np.int32)),
                     _dev(ltgt.astype(np.int32)),
                     _dev(lwin.astype(np.int32)), spf))
-            self._dense.append(use_dense)
+                self._dense.append(False)
             brows, bits = make_bucket_index(p.unique_features)
             self._prefix.append((_dev(brows), 0))
             self._prefix_bits.append(bits)
@@ -551,7 +570,7 @@ class QueryRunner:
             # long reads: native window extraction, bucketed as usual
             for i in np.nonzero(~short)[0]:
                 w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
-                wq = _round_up_pow2(max(len(w), 1))
+                wq = _bucket_wq(len(w))
                 nr = self._row_quantum
                 wmat = np.full((nr, wq, wl), win_ops.PAD_CODE, np.uint8)
                 vmat = np.zeros((nr, wq), np.int32)
@@ -710,7 +729,7 @@ class QueryRunner:
         for i, q in enumerate(batch):
             w, v = self._query_windows(q)
             wins_of.append((w, v))
-            wq = _round_up_pow2(max(len(w), 1))
+            wq = _bucket_wq(len(w))
             buckets.setdefault(wq, []).append(i)
 
         launched = []
@@ -928,6 +947,19 @@ def filter_targets_by_coverage(taxonomy, tgt_matches: Dict[int, list],
         if part > percentile * total:
             break
         del tgt_matches[tgt]
+
+
+def _bucket_wq(x: int) -> int:
+    """Window-count bucket: exact up to 8, multiples of 4 to 32, then
+    pow2 — tighter than pow2 because slot lanes (and probe count) scale
+    linearly with the padded window count (a 5-window 480bp read in an
+    8-window bucket pays 60% extra probes and sort lanes)."""
+    x = max(x, 1)
+    if x <= 8:
+        return x
+    if x <= 32:
+        return (x + 3) // 4 * 4
+    return _round_up_pow2(x)
 
 
 def _round_up_pow2(x: int) -> int:

@@ -243,7 +243,27 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
             (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
             jnp.zeros_like(flat, dtype=bool)
     j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
-    if dense:
+    if isinstance(dense, tuple):
+        # two-tier: head rows [feat, count, ovf_idx, tgt*H, win*H] in
+        # loc_tgt, overflow rows [tgt*(C-H), win*(C-H)] in loc_win
+        # (row 0 = dummy). 2 gathers for shallow buckets' worth of
+        # memory even when the worst bucket is C deep.
+        hsl = dense[1]
+        rows = loc_tgt[idx_c]                       # head gather
+        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        found = (rows[:, 0] == flat_i32) & \
+            (flat != jnp.uint32(0xFFFFFFFF))
+        cnt = jnp.where(found, rows[:, 1], 0)
+        hit = j < cnt[:, None]
+        ow = c - hsl
+        orow = loc_win[jnp.where(found, rows[:, 2], 0)]  # overflow gather
+        tgts = jnp.concatenate(
+            [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
+        wins = jnp.concatenate(
+            [rows[:, 3 + hsl:3 + 2 * hsl], orow[:, ow:2 * ow]], axis=1)
+        tgts = jnp.where(hit, tgts, I32_MAX)
+        wins = jnp.where(hit, wins, I32_MAX)
+    elif dense:
         rows = loc_tgt[idx_c]                       # ONE gather
         flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
         found = (rows[:, 0] == flat_i32) & \

@@ -222,6 +222,41 @@ class FeatureTable:
         out[:, 2 + width:2 + 2 * width] = lw2
         return out
 
+    def fused_rows_two_tier(self, width: int, head_width: int):
+        """Two-tier fused rows for skewed bucket-size distributions.
+
+        Head: one row per feature [feature, count, ovf_idx, tgt*H, win*H]
+        (H = head_width, count = FULL min(bucket, width) count).
+        Overflow: one row per feature whose bucket exceeds H, holding
+        locations H..width as [tgt*(W-H), win*(W-H)]; row 0 is a dummy
+        all features without overflow point at. Memory is proportional
+        to actual locations instead of F * max-bucket, which keeps the
+        row-gather probe affordable for 100GB+ databases where the
+        worst bucket (width up to 254) is ~100x the median.
+        -> (head (F, pad8(3+2H)) i32, overflow (F_o+1, pad8(2(W-H))) i32)
+        """
+        h = head_width
+        lt2, lw2 = self.dense_locations(width)
+        f = max(self.num_features, 1)
+        cols_pad = ((3 + 2 * h + 7) // 8) * 8
+        head = np.zeros((f, cols_pad), np.int32)
+        sizes = np.minimum(np.diff(self.offsets), width).astype(np.int32) \
+            if self.num_features else np.zeros(1, np.int32)
+        if self.num_features:
+            head[:, 0] = self.unique_features.view(np.int32)
+            head[:, 1] = sizes
+        head[:, 3:3 + h] = lt2[:, :h]
+        head[:, 3 + h:3 + 2 * h] = lw2[:, :h]
+        over = np.nonzero(sizes > h)[0]
+        ow = width - h
+        ocols_pad = ((2 * ow + 7) // 8) * 8
+        ovf = np.zeros((len(over) + 1, max(ocols_pad, 8)), np.int32)
+        if len(over) and ow > 0:
+            head[over, 2] = np.arange(1, len(over) + 1, dtype=np.int32)
+            ovf[1:, :ow] = lt2[over, h:width]
+            ovf[1:, ow:2 * ow] = lw2[over, h:width]
+        return head, ovf
+
     def prefix_index(self, bits: int | None = None):
         """Prefix-offset acceleration for device probing (ops.probe)."""
         from .probe import make_prefix_index, DEFAULT_BITS

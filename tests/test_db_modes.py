@@ -194,3 +194,29 @@ def test_max_part_size_keeps_parts_apart(tmp_path):
     r2 = _run(["query", db1, f"{DATA}/reads_single.fa", "-tophits",
                "-no-summary", "-no-query-params"])
     assert r1.stdout == r2.stdout
+
+
+def test_two_tier_layout_end_to_end(tmp_path):
+    """MC_DENSE_LIMIT=1 forces the two-tier head+overflow layout; query
+    output must be byte-identical to the dense layout."""
+    import subprocess
+    import sys as _sys
+    db = str(tmp_path / "db")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+
+    def q(extra_env):
+        env = dict(os.environ, MC_JAX_PLATFORM="cpu", **extra_env)
+        env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "-m", "metacache_tpu", "query", db,
+             f"{DATA}/reads_single.fa", "-tophits", "-allhits",
+             "-no-summary", "-no-query-params"],
+            capture_output=True, env=env, cwd=os.path.dirname(HERE),
+            timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        return r.stdout
+
+    assert q({}) == q({"MC_DENSE_LIMIT": "1"})

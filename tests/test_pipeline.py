@@ -315,3 +315,46 @@ def test_dedup_walk_matches_rank_join():
             assert np.array_equal(np.asarray(getattr(a, fld)),
                                   np.asarray(getattr(d, fld))), \
                 (trial, fld)
+
+
+def test_two_tier_probe_matches_dense():
+    """Two-tier head+overflow rows must yield identical match slots to
+    the single dense fused-row layout on a skewed bucket distribution."""
+    from metacache_tpu.ops.probe import make_bucket_index
+    from metacache_tpu.ops.rows import probe_rows
+    rng = np.random.default_rng(5)
+    nf = 4000
+    feats = np.unique(rng.integers(
+        0, 2**32, nf * 2, dtype=np.uint64).astype(np.uint32))[:nf]
+    sizes = rng.integers(1, 4, nf)
+    deep = rng.choice(nf, 40, replace=False)
+    sizes[deep] = rng.integers(100, 254, len(deep))
+    f_rep = np.repeat(feats, sizes)
+    tgts = rng.integers(0, 500, len(f_rep)).astype(np.uint32)
+    wins = rng.integers(0, 10000, len(f_rep)).astype(np.uint32)
+    ft = FeatureTable.build(f_rep, pack_locations(tgts, wins))
+    spf = min(ft.max_bucket_size, 254)
+    brows, bits = make_bucket_index(ft.unique_features)
+
+    probes = np.concatenate([
+        rng.choice(ft.unique_features, 100),
+        rng.choice(ft.unique_features[deep % len(ft.unique_features)], 20),
+        rng.integers(0, 2**32, 40, dtype=np.uint64).astype(np.uint32),
+        np.full(32, 0xFFFFFFFF, np.uint32)]).reshape(4, 48)
+
+    fused = ft.fused_rows(spf)
+    hsl = 16
+    head, ovf = ft.fused_rows_two_tier(spf, hsl)
+    common = (jnp.asarray(ft.unique_features),
+              jnp.asarray(ft.offsets.astype(np.int32)))
+    t1, w1 = probe_rows(jnp.asarray(probes), *common,
+                        jnp.asarray(fused), jnp.zeros((1,), jnp.int32),
+                        spf, jnp.asarray(brows), bits, 0, dense=True)
+    t2, w2 = probe_rows(jnp.asarray(probes), *common,
+                        jnp.asarray(head), jnp.asarray(ovf),
+                        spf, jnp.asarray(brows), bits, 0,
+                        dense=("two_tier", hsl))
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    # memory: two-tier must be far smaller than full dense
+    assert head.nbytes + ovf.nbytes < 0.3 * fused.nbytes
