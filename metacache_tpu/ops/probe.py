@@ -57,7 +57,10 @@ def make_bucket_index(features: np.ndarray, bits: int | None = None):
     max_span = int(spans.max()) if nf else 1
     s = 1 << max(0, int(max_span - 1).bit_length())
     s = max(s, 1)
-    rows = np.full((nbuckets, 1 + s), -1, np.int32)
+    w = 1 + s
+    if w < 64 and nbuckets * 64 * 4 <= (1 << 30):
+        w = 64          # gather fast path needs >= 64 lanes (measured)
+    rows = np.full((nbuckets, w), -1, np.int32)
     rows[:, 0] = starts.astype(np.int32)
     if nf:
         h = (features >> np.uint32(32 - bits)).astype(np.int64)
@@ -68,7 +71,6 @@ def make_bucket_index(features: np.ndarray, bits: int | None = None):
 
 def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     """-> (idx i32, found bool) via one bucket-row gather + lane match."""
-    s = bucket_rows.shape[1] - 1
     h = (flat >> (32 - bits)).astype(jnp.int32)
     row = bucket_rows[h]                       # ONE row gather
     flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)

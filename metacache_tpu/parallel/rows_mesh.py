@@ -54,7 +54,7 @@ def shard_row_table(table, num_shards: int,
     spf = min(table.max_bucket_size, maxloc) or 1
     cuts = [int(round(i * nf / num_shards)) for i in range(num_shards + 1)]
     fs = max(max(cuts[i + 1] - cuts[i] for i in range(num_shards)), 1)
-    cols_pad = ((2 + 2 * spf + 7) // 8) * 8
+    cols_pad = max(64, ((2 + 2 * spf + 7) // 8) * 8)
     feats = np.full((num_shards, fs), 0xFFFFFFFF, np.uint32)
     offsets = np.zeros((num_shards, fs + 1), np.int32)
     fused = np.zeros((num_shards, fs, cols_pad), np.int32)
