@@ -182,22 +182,50 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     first_pos = sufmin - g * l2
 
     # ---- final ranking: hits desc, first insertion asc -----------------
-    neg3 = jnp.where(is_rep, neg2, I32_MAX)
-    fp3 = jnp.where(is_rep, first_pos, I32_MAX)
-    (neg3, fp3, tgt3, tax3, end3, lo3) = jax.lax.sort(
-        (neg3, fp3, tgt2, taxkey2, end2, lo2), dimension=1, num_keys=2)
-
-    okc = neg3[:, :kk] != I32_MAX
-    cand_tgt = jnp.where(okc, tgt3[:, :kk], -1)
-    cand_tax = jnp.where(okc, tax3[:, :kk], 0)
-    cand_hits = jnp.where(okc, -neg3[:, :kk], 0)
-    if carry_beg:
-        cand_beg = jnp.where(okc, lo3[:, :kk], 0)
+    # representatives have pairwise-distinct first_pos (group minima of
+    # disjoint position sets), so neg*L2 + first_pos is a unique total
+    # order: for small kk, kk masked min-reductions replace the 6-array
+    # bitonic sort
+    if kk <= 4 and l * l2 < 2**31:
+        comp = jnp.where(is_rep, neg2 * l2 + first_pos, I32_MAX)
+        cols = {"neg": neg2, "tgt": tgt2, "tax": taxkey2, "end": end2,
+                "lo": lo2}
+        picked = {k: [] for k in cols}
+        oks = []
+        for _ in range(kk):
+            m = comp.min(axis=1, keepdims=True)
+            pick = comp == m
+            ok = m[:, 0] != I32_MAX
+            oks.append(ok)
+            for key, arr in cols.items():
+                picked[key].append(jnp.where(pick, arr, 0).sum(axis=1))
+            comp = jnp.where(pick, I32_MAX, comp)
+        okc = jnp.stack(oks, axis=1)
+        neg3 = jnp.stack(picked["neg"], axis=1)
+        tgt3 = jnp.stack(picked["tgt"], axis=1)
+        tax3 = jnp.stack(picked["tax"], axis=1)
+        end3 = jnp.stack(picked["end"], axis=1)
+        lo3 = jnp.stack(picked["lo"], axis=1)
     else:
-        lo_sel = jnp.clip(lo3[:, :kk], 0, l - 1)
+        neg3 = jnp.where(is_rep, neg2, I32_MAX)
+        fp3 = jnp.where(is_rep, first_pos, I32_MAX)
+        (neg3, fp3, tgt3, tax3, end3, lo3) = jax.lax.sort(
+            (neg3, fp3, tgt2, taxkey2, end2, lo2), dimension=1,
+            num_keys=2)
+        neg3, tgt3, tax3 = neg3[:, :kk], tgt3[:, :kk], tax3[:, :kk]
+        end3, lo3 = end3[:, :kk], lo3[:, :kk]
+        okc = neg3 != I32_MAX
+
+    cand_tgt = jnp.where(okc, tgt3, -1)
+    cand_tax = jnp.where(okc, tax3, 0)
+    cand_hits = jnp.where(okc, -neg3, 0)
+    if carry_beg:
+        cand_beg = jnp.where(okc, lo3, 0)
+    else:
+        lo_sel = jnp.clip(lo3, 0, l - 1)
         cand_beg = jnp.where(
             okc, jnp.take_along_axis(win, lo_sel, axis=1), 0)
-    cand_end = jnp.where(okc, end3[:, :kk], 0)
+    cand_end = jnp.where(okc, end3, 0)
 
     cls_tax = classify_candidates(
         cand_tgt, cand_tax, cand_hits, lineages,

@@ -358,3 +358,35 @@ def test_two_tier_probe_matches_dense():
     assert np.array_equal(np.asarray(w1), np.asarray(w2))
     # memory: two-tier must be far smaller than full dense
     assert head.nbytes + ovf.nbytes < 0.3 * fused.nbytes
+
+
+def test_topk_selection_matches_sort():
+    """kk<=4 masked-min top-k selection must equal the sort path's
+    first kk candidates (kk>4 forces the sort path)."""
+    from metacache_tpu.ops.rows import rows_to_result
+    rng = np.random.default_rng(13)
+    b, l = 64, 96
+    ntgt = 12
+    lineages = np.zeros((ntgt, 21), np.int32)
+    lineages[:, 0] = -np.arange(ntgt) - 1
+    lineages[:, 4] = np.arange(ntgt) // 3 + 50
+    lineages[:, 20] = 1
+    merge_tax = lineages[:, 0].copy()
+    for trial in range(3):
+        tgt = rng.integers(0, ntgt, (b, l)).astype(np.int32)
+        win = rng.integers(0, 6, (b, l)).astype(np.int32)
+        pad = rng.random((b, l)) < 0.3
+        tgt[pad] = 2**31 - 1
+        win[pad] = 2**31 - 1
+        mwir = rng.integers(2, 5, b).astype(np.int32)
+        args = (jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                jnp.asarray(merge_tax), jnp.asarray(lineages),
+                jnp.int32(2), jnp.float32(0.5), jnp.int32(19),
+                jnp.int32(0))
+        srt = rows_to_result(*args, max_candidates=5)   # sort path
+        sel = rows_to_result(*args, max_candidates=3)   # selection path
+        for fld in ("cand_tgt", "cand_tax", "cand_hits", "cand_beg",
+                    "cand_end"):
+            a = np.asarray(getattr(srt, fld))[:, :3]
+            d = np.asarray(getattr(sel, fld))
+            assert np.array_equal(a, d), (trial, fld)
