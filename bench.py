@@ -46,34 +46,30 @@ def make_genomes(rng):
 
 
 def main():
+    from metacache_tpu.utils.platform import force_platform
+    force_platform()
     import jax
     import jax.numpy as jnp
     from metacache_tpu.config import SketchingOptions
-    from metacache_tpu.db.sketch_exec import sketch_windows_batched
+    from metacache_tpu.db.sketch_exec import SketchAccumulator
     from metacache_tpu.ops import windows as W
-    from metacache_tpu.ops.pipeline import query_step
-    from metacache_tpu.ops.table import (FeatureTable, pack_locations,
-                                         unpack_locations)
+    from metacache_tpu.ops.table import FeatureTable, unpack_locations
 
     rng = np.random.default_rng(42)
     opt = SketchingOptions().resolved()
-    t_start = time.time()
 
     genomes = make_genomes(rng)
+    t_start = time.time()
 
     # --- build DB on device (sketch) + sort-based table construction ----
-    feats_all, locs_all = [], []
+    # (same path the CLI build uses: cross-target batched device sketch,
+    # presorted radix table construction)
+    acc = SketchAccumulator(opt.kmerlen, opt.sketchlen)
     for tid, g in enumerate(genomes):
         wm, vl = W.sequence_windows(g, opt)
-        feats = sketch_windows_batched(wm, vl, opt.kmerlen, opt.sketchlen)
-        wid = np.broadcast_to(
-            np.arange(len(wm), dtype=np.uint32)[:, None], feats.shape)
-        mask = feats != np.uint32(0xFFFFFFFF)
-        feats_all.append(feats[mask])
-        locs_all.append(pack_locations(
-            np.full(mask.sum(), tid, np.uint32), wid[mask]))
-    ft = FeatureTable.build(np.concatenate(feats_all),
-                            np.concatenate(locs_all))
+        acc.add_target(wm, vl, tid)
+    bf, bl = acc.finish()
+    ft = FeatureTable.build(bf, bl, presorted_within_feature=True)
     build_s = time.time() - t_start
 
     ltgt, lwin = unpack_locations(ft.locations)

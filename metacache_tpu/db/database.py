@@ -43,8 +43,13 @@ class Database:
         self.parts: list[FeatureTable] = []
         self.max_locations_per_feature = MAX_SUPPORTED_LOCATIONS_PER_FEATURE
         # build-time accumulators, one per part
-        self._pending: list[list[tuple[np.ndarray, np.ndarray]]] = [[]]
+        self._pending = [self._new_accumulator()]
         self._use_device_sketcher = True
+
+    def _new_accumulator(self):
+        from .sketch_exec import SketchAccumulator
+        s = self.sketching
+        return SketchAccumulator(s.kmerlen, s.sketchlen)
 
     # -- properties ------------------------------------------------------
     @property
@@ -64,7 +69,7 @@ class Database:
         return sum(p.num_locations for p in self.parts)
 
     def initialize_parts(self, n: int):
-        self._pending = [[] for _ in range(max(1, n))]
+        self._pending = [self._new_accumulator() for _ in range(max(1, n))]
 
     # -- building --------------------------------------------------------
     def add_target(self, seq: bytes, seqid: str, parent_taxid: int,
@@ -76,9 +81,16 @@ class Database:
         if len(seq) == 0:
             return None
         tid = self.target_count
-        feats, wins = self._sketch_target(seq)
-        locs = pack_locations(np.full(len(feats), tid, np.uint32), wins)
-        self._pending[part].append((feats, locs))
+        codes = win_ops.encode_ascii(seq)
+        wm, vl = win_ops.sequence_windows(codes, self.sketching)
+        if self._use_device_sketcher:
+            self._pending[part].add_target(wm, vl, tid)
+        else:
+            feats, wins = self._sketch_host(wm, vl)
+            acc = self._pending[part]
+            acc.features.append(feats)
+            acc.locations.append(pack_locations(
+                np.full(len(feats), tid, np.uint32), wins))
         nwin = win_ops.num_windows(len(seq), self.sketching)
         source.windows = nwin
         if parent_taxid < 0:
@@ -86,23 +98,15 @@ class Database:
         return self.taxa.emplace_target_taxon(tid, parent_taxid, seqid,
                                               source)
 
-    def _sketch_target(self, seq: bytes):
-        """All (feature, window_id) pairs of one sequence."""
-        codes = win_ops.encode_ascii(seq)
-        wm, vl = win_ops.sequence_windows(codes, self.sketching)
-        if len(wm) == 0:
-            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+    def _sketch_host(self, wm: np.ndarray, vl: np.ndarray):
+        """Host (oracle) sketcher fallback for one window matrix."""
         s = self.sketching
-        if self._use_device_sketcher:
-            from .sketch_exec import sketch_windows_batched
-            feats = sketch_windows_batched(wm, vl, s.kmerlen, s.sketchlen)
-        else:
-            from ..core import sketch as osk
-            feats = np.full((len(wm), s.sketchlen), FEATURE_SENTINEL,
-                            np.uint32)
-            for i in range(len(wm)):
-                sk = osk.sketch_codes(wm[i][:vl[i]], s)
-                feats[i, :len(sk)] = sk
+        from ..core import sketch as osk
+        feats = np.full((len(wm), s.sketchlen), FEATURE_SENTINEL,
+                        np.uint32)
+        for i in range(len(wm)):
+            sk = osk.sketch_codes(wm[i][:vl[i]], s)
+            feats[i, :len(sk)] = sk
         wid = np.broadcast_to(
             np.arange(len(wm), dtype=np.uint32)[:, None], feats.shape)
         mask = feats != np.uint32(FEATURE_SENTINEL)
@@ -117,12 +121,12 @@ class Database:
         src/mode_build.cpp:74-87).
         """
         new_parts = []
-        for pending in self._pending:
-            if pending:
-                feats = np.concatenate([f for f, _ in pending])
-                locs = np.concatenate([l for _, l in pending])
+        for acc in self._pending:
+            feats, locs = acc.finish()
+            if len(feats):
                 new_parts.append(FeatureTable.build(
-                    feats, locs, self.max_locations_per_feature))
+                    feats, locs, self.max_locations_per_feature,
+                    presorted_within_feature=True))
         if self.parts and new_parts:
             self.parts = self.parts + new_parts
         elif new_parts:
@@ -131,7 +135,7 @@ class Database:
             self.parts = [FeatureTable.build(
                 np.zeros(0, np.uint32), np.zeros(0, np.uint64),
                 self.max_locations_per_feature)]
-        self._pending = [[] for _ in self._pending]
+        self._pending = [self._new_accumulator() for _ in self._pending]
 
     def merge_parts(self, max_parts: int, max_part_bytes: int = 0):
         """Merge down to at most `max_parts` tables, never letting a

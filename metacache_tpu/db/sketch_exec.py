@@ -3,14 +3,34 @@
 Windows stream through fixed-size device batches (static shapes, one XLA
 compilation) — the TPU equivalent of the reference GPU's double-buffered
 sequence_batch insert pipeline (src/gpu_hashmap.cu:190-230).
+
+The accumulator batches windows ACROSS targets so small targets share
+device dispatches (the reference likewise packs many targets into one
+sequence_batch, src/sequence_batch.cuh:132-195). One dispatch shape is
+used throughout on TPU (compiles through this environment's tunnel cost
+30-400 s, so shape count matters more than padding waste); on CPU the
+final partial batch pads only to the next power of two.
 """
 from __future__ import annotations
+
+import collections
 
 import numpy as np
 
 from ..ops.windows import PAD_CODE
 
 _BATCH = 65536  # windows per device dispatch
+
+
+def _pad_size(n: int) -> int:
+    """Dispatch shape for a partial batch of n windows."""
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        p = 256
+        while p < n:
+            p *= 2
+        return min(p, _BATCH)
+    return _BATCH
 
 
 def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
@@ -23,10 +43,11 @@ def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
     for beg in range(0, n, _BATCH):
         end = min(beg + _BATCH, n)
         cur = end - beg
-        if cur < _BATCH and n > _BATCH:
-            wpad = np.full((_BATCH, w), PAD_CODE, np.uint8)
+        if cur < _BATCH:
+            size = _pad_size(cur)
+            wpad = np.full((size, w), PAD_CODE, np.uint8)
             wpad[:cur] = wm[beg:end]
-            vpad = np.zeros(_BATCH, np.int32)
+            vpad = np.zeros(size, np.int32)
             vpad[:cur] = vl[beg:end]
             res = sketch_windows(jnp.asarray(wpad), jnp.asarray(vpad),
                                  k=k, sketchlen=sketchlen)
@@ -37,3 +58,78 @@ def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
                                  k=k, sketchlen=sketchlen)
             out[beg:end] = np.asarray(res)
     return out
+
+
+class SketchAccumulator:
+    """Accumulates per-target window matrices and sketches them in large
+    cross-target device batches.
+
+    Appended targets are processed in queue order, so the emitted
+    (feature, location) stream stays ascending in (tgt, win) — the
+    invariant FeatureTable.build's presorted fast path relies on.
+    """
+
+    def __init__(self, k: int, sketchlen: int, batch: int = _BATCH):
+        self.k = k
+        self.sketchlen = sketchlen
+        self.batch = batch
+        # queue of (windows, valid, target_id, first_window_id)
+        self._q: collections.deque = collections.deque()
+        self._nwin = 0
+        self.features: list[np.ndarray] = []   # u32 chunks
+        self.locations: list[np.ndarray] = []  # u64 chunks
+
+    def add_target(self, wm: np.ndarray, vl: np.ndarray, tid: int):
+        """Queue one target's window matrix (nw, winlen)."""
+        if len(wm) == 0:
+            return
+        self._q.append((wm, vl, tid, 0))
+        self._nwin += len(wm)
+        while self._nwin >= self.batch:
+            self._flush(self.batch)
+
+    def _flush(self, nw: int):
+        """Sketch exactly nw queued windows (nw <= self._nwin)."""
+        take = []
+        left = nw
+        while left:
+            wm, vl, tid, win0 = self._q.popleft()
+            if len(wm) <= left:
+                take.append((wm, vl, tid, win0))
+                left -= len(wm)
+            else:
+                take.append((wm[:left], vl[:left], tid, win0))
+                self._q.appendleft((wm[left:], vl[left:], tid, win0 + left))
+                left = 0
+        self._nwin -= nw
+        self._sketch_and_emit(take)
+
+    def _sketch_and_emit(self, take):
+        from ..ops.table import pack_locations
+        wm = np.concatenate([t[0] for t in take], axis=0)
+        vl = np.concatenate([t[1] for t in take])
+        feats = sketch_windows_batched(wm, vl, self.k, self.sketchlen)
+        beg = 0
+        for m, _v, tid, win0 in take:
+            cnt = len(m)
+            f = feats[beg:beg + cnt]
+            beg += cnt
+            wid = np.broadcast_to(
+                (win0 + np.arange(cnt, dtype=np.uint32))[:, None], f.shape)
+            mask = f != np.uint32(0xFFFFFFFF)
+            self.features.append(f[mask])
+            self.locations.append(pack_locations(
+                np.full(int(mask.sum()), tid, np.uint32), wid[mask]))
+
+    def finish(self):
+        """Sketch remaining windows; -> (features u32, locations u64)."""
+        if self._nwin:
+            self._flush(self._nwin)
+        if self.features:
+            f = np.concatenate(self.features)
+            l = np.concatenate(self.locations)
+        else:
+            f = np.zeros(0, np.uint32)
+            l = np.zeros(0, np.uint64)
+        self.features, self.locations = [], []
+        return f, l

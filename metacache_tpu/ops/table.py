@@ -31,6 +31,22 @@ from ..config import MAX_SUPPORTED_LOCATIONS_PER_FEATURE
 LOC_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _segment_sorted(sorted_keys: np.ndarray):
+    """(unique keys, run lengths) of an ascending-sorted array, without
+    np.unique's internal re-sort."""
+    n = len(sorted_keys)
+    if n == 0:
+        return sorted_keys[:0], np.zeros(0, np.int64)
+    new = np.empty(n, bool)
+    new[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=new[1:])
+    starts = np.nonzero(new)[0]
+    counts = np.empty(len(starts), np.int64)
+    counts[:-1] = np.diff(starts)
+    counts[-1] = n - starts[-1]
+    return sorted_keys[starts], counts
+
+
 def pack_locations(targets: np.ndarray, wins: np.ndarray) -> np.ndarray:
     return (targets.astype(np.uint64) << np.uint64(32)) | \
         wins.astype(np.uint64)
@@ -69,7 +85,8 @@ class FeatureTable:
     @staticmethod
     def build(features: np.ndarray, locations: np.ndarray,
               max_locations_per_feature: int =
-              MAX_SUPPORTED_LOCATIONS_PER_FEATURE) -> "FeatureTable":
+              MAX_SUPPORTED_LOCATIONS_PER_FEATURE,
+              presorted_within_feature: bool = False) -> "FeatureTable":
         """Sort-based construction from parallel (feature, location) arrays.
 
         Per-bucket truncation keeps the `max_locations_per_feature` smallest
@@ -77,25 +94,39 @@ class FeatureTable:
         equals the reference's insertion-order cap (targets are inserted in
         ascending id order; hash_multimap::shrink keeps the first entries,
         src/host_hashmap.hpp:598-603).
+
+        `presorted_within_feature=True` asserts that for every feature its
+        locations already appear in ascending order in the input stream —
+        true for any build accumulation (targets are sketched in ascending
+        (tgt, win) order). Then one radix sort of a packed
+        (feature << 32 | index) u64 key replaces the full lexsort (~3x).
         """
         features = np.ascontiguousarray(features, dtype=np.uint32)
         locations = np.ascontiguousarray(locations, dtype=np.uint64)
-        order = np.lexsort((locations, features))
-        features = features[order]
-        locations = locations[order]
+        n = len(features)
+        if presorted_within_feature and n < (1 << 32):
+            key = (features.astype(np.uint64) << np.uint64(32)) \
+                | np.arange(n, dtype=np.uint64)
+            key = np.sort(key)
+            order = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            features = (key >> np.uint64(32)).astype(np.uint32)
+            locations = locations[order]
+        else:
+            order = np.lexsort((locations, features))
+            features = features[order]
+            locations = locations[order]
 
-        uniq, starts, counts = np.unique(features, return_index=True,
-                                         return_counts=True)
         cap = int(max_locations_per_feature)
+        uniq, counts = _segment_sorted(features)
         if len(counts) and counts.max() > cap:
-            keep = np.ones(len(features), dtype=bool)
-            over = np.nonzero(counts > cap)[0]
-            for i in over:
-                keep[starts[i] + cap: starts[i] + counts[i]] = False
+            # vectorized per-bucket truncation: keep positions < cap
+            starts = np.zeros(len(counts), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            within = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+            keep = within < cap
             features = features[keep]
             locations = locations[keep]
-            uniq, starts, counts = np.unique(features, return_index=True,
-                                             return_counts=True)
+            uniq, counts = _segment_sorted(features)
         offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         return FeatureTable(uniq, offsets, locations, cap)

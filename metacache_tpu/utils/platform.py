@@ -18,3 +18,24 @@ def force_platform(name: str | None = None):
     if name:
         import jax
         jax.config.update("jax_platforms", name)
+    enable_compile_cache()
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache (measured on this TPU tunnel:
+    53 s compile -> 3.6 s on cache hit). MC_JAX_CACHE=0 disables;
+    MC_JAX_CACHE_DIR overrides the location."""
+    if os.environ.get("MC_JAX_CACHE", "1") == "0":
+        return
+    cache_dir = os.environ.get(
+        "MC_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "metacache_tpu",
+                     "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # cache is an optimization only; never fail startup
