@@ -89,7 +89,12 @@ def main():
     pos = rng.integers(0, GENOME_LEN - READ_LEN, B)
     wins = np.full((B, 1, opt.winlen), 4, np.uint8)
     for i in range(B):
-        wins[i, 0, :READ_LEN] = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
+        rd = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN].copy()
+        nm = rng.poisson(READ_LEN / 100)      # ~1% sequencing errors
+        if nm:
+            mp = rng.integers(0, READ_LEN, nm)
+            rd[mp] = rng.integers(0, 4, nm, dtype=np.uint8)
+        wins[i, 0, :READ_LEN] = rd
     valid = np.full((B, 1), READ_LEN, np.int32)
     mwir = np.full(B, 2, np.int32)
 
@@ -123,7 +128,7 @@ def main():
             res = rows_to_result(
                 t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                 jnp.int32(19), jnp.int32(0), max_candidates=2,
-                walk_elems=2 * opt.sketchlen)
+                walk_elems=2 * opt.sketchlen, fast_top2=True)
             return carry, res.cls_tax
         _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
         return cls_k
@@ -192,7 +197,7 @@ def main():
                 res = rows_to_result(
                     t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2,
-                    dedup_walk=2 + LLEN // opt.winstride)
+                    dedup_walk=2 + LLEN // opt.winstride, fast_top2=True)
                 return carry, res.cls_tax
             _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
             return cls_k

@@ -210,6 +210,14 @@ class QueryRunner:
             merge_tax[fill] = self.lineages[:, r][fill]
         self.merge_tax = merge_tax
         self.highest_rank = int(rank_from_string(opt.classify.highest_rank))
+        # fast_top2 candidate path (ops.rows._fast_top2_result): valid
+        # only without taxon merging (merge_rank == 0, i.e. -lowest
+        # sequence, the default) and when every target has a nonzero
+        # sequence-level taxon — then candidate taxa are unique per
+        # target and the merge sort is a no-op the fast path may skip
+        self._fast_top2 = (
+            self.merge_rank == 0 and opt.classify.max_candidates <= 4
+            and db.target_count > 0 and bool(np.all(merge_tax != 0)))
 
         # data-parallel device replication (-replicate; the reference
         # replicates the DB across GPU groups and splits each query batch
@@ -395,6 +403,16 @@ class QueryRunner:
         if m <= self.MAX_DEDUP_WALK:
             return {"dedup_walk": m}
         return {}
+
+    def _fast_flag(self, total_slots: int) -> dict:
+        """Enable the fast_top2 candidate path when its packed-key
+        encoding fits int32 (L * next_pow2(L)^2 < 2^31, ops.rows)."""
+        if not self._fast_top2 or total_slots <= 0:
+            return {}
+        l2 = _round_up_pow2(total_slots)
+        if total_slots * l2 * l2 >= 2**31:
+            return {}
+        return {"fast_top2": True}
 
     def _adapt_sketching(self) -> SketchingOptions:
         """Reference: adapt_options_to_database (src/querying.cpp:225-266)."""
@@ -626,7 +644,8 @@ class QueryRunner:
                 max_candidates=k, prefix_bits=self._prefix_bits[0],
                 prefix_steps=steps, dense=self._dense[0],
                 use_pallas_sketch=self._use_pallas_sketch,
-                **self._sweep_params(mwir, wq))
+                **self._sweep_params(mwir, wq),
+                **self._fast_flag(wq * sk.sketchlen * spf))
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             self._put(wmat), self._put(vmat), self._put(mwir),
@@ -641,7 +660,9 @@ class QueryRunner:
             prefix_bits=tuple(self._prefix_bits),
             prefix_steps=tuple(p[1] for p in self._prefix),
             num_parts=len(self._tables), dense=tuple(self._dense),
-            **self._sweep_params(mwir, wq))
+            **self._sweep_params(mwir, wq),
+            **self._fast_flag(
+                wq * sk.sketchlen * sum(t[4] for t in self._tables)))
 
     # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
@@ -693,7 +714,8 @@ class QueryRunner:
             prefix_bits=self._prefix_bits[0], prefix_steps=steps,
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
-            **self._sweep_params(mwir, 1))
+            **self._sweep_params(mwir, 1),
+            **self._fast_flag(sk.sketchlen * spf))
 
     def _accumulate_summary(self, cls: np.ndarray, results):
         """Vectorized per-rank statistics from classified taxon ids."""

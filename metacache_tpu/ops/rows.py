@@ -46,7 +46,8 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    hits_min, hits_diff_frac, highest_rank, merge_rank,
                    *, max_candidates: int,
                    walk_elems: int = 0,
-                   dedup_walk: int = 0) -> QueryResult:
+                   dedup_walk: int = 0,
+                   fast_top2: bool = False) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
@@ -64,6 +65,16 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     contiguous window range spans at most max(mwir) *distinct* entries,
     so the sweep is dedup_walk masked lane shifts. This is the long-read
     path, where walk_elems would be huge but mwir stays small.
+
+    ``fast_top2`` asserts merge_rank == 0 (no taxon merging: candidate
+    taxon == target, the default `-lowest sequence` configuration) and
+    that merge_tax_of_target is nonzero for every real target. Then the
+    best-per-target + taxon-merge + final-ranking sorts (3 multi-operand
+    bitonic sorts over L lanes) collapse into one segmented suffix-max
+    scan plus max_candidates masked max-reductions — the same candidate
+    list, tie-broken identically (hits desc, then earliest best slot,
+    which equals target insertion order as in
+    src/candidate_generation.hpp:189-231).
     """
     b, l = tgt.shape
     kk = max_candidates
@@ -143,6 +154,13 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                                 dimension=1, num_keys=2)
         lo = lo[:, :l]
         hits = pos + 1 - lo
+
+    if fast_top2 and max_candidates <= 4:
+        return _fast_top2_result(
+            tgt, win, hits, lo, is_match, carry_beg,
+            hit_tgt_flat, hit_win_flat, merge_tax_of_target, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank,
+            max_candidates)
 
     # ---- best range per target: sort by (tgt, hits desc, pos) ----------
     neg_hits0 = jnp.where(is_match, -hits, I32_MAX)
@@ -240,6 +258,82 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                        cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
 
+def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
+                      hit_tgt_flat, hit_win_flat, merge_tax_of_target,
+                      lineages, hits_min, hits_diff_frac, highest_rank,
+                      merge_rank, kk: int) -> QueryResult:
+    """Top-k candidates without taxon merging (merge_rank == 0).
+
+    Slots arrive (tgt, win)-sorted with padding (tgt == I32_MAX) last, so
+    target groups are contiguous lane runs. Per group, the best range is
+    the max of key = hits * L2 + (L2-1-col): highest hits, then earliest
+    slot — the reference's curBest rule (max hits, first position,
+    src/candidate_generation.hpp:96-115). A suffix cummax with per-group
+    offsets -g*L2^2 isolates groups (later groups' values are strictly
+    smaller since key < L2^2), placing each group's max at its start lane.
+    Global ranking (hits desc, insertion asc) = plain max over group
+    starts, because key order equals (hits desc, slot pos asc) and slot
+    pos order equals target insertion order.
+    """
+    b, l = tgt.shape
+    l2 = 1 << int(l).bit_length()
+    kb = l2 * l2
+    assert l * kb < 2**31, "fast_top2 needs L * 4^ceil(log2 L) < 2^31"
+    neg_inf = jnp.int32(-2**31 + 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+
+    key = hits * l2 + (l2 - 1 - col)
+    prev_t = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), tgt[:, :-1]], axis=1)
+    newt = (col == 0) | (tgt != prev_t)
+    g = jnp.cumsum(newt.astype(jnp.int32), axis=1)
+    v = jnp.where(is_match, key - g * kb, neg_inf)
+    sufmax = jax.lax.cummax(v[:, ::-1], axis=1)[:, ::-1]
+    repkey = jnp.where(newt & is_match, sufmax + g * kb, neg_inf)
+
+    shift = int(l2).bit_length() - 1
+    comp = repkey
+    c_tgt, c_tax, c_hits, c_beg, c_end = [], [], [], [], []
+    ntax = merge_tax_of_target.shape[0]
+    for _ in range(kk):
+        mx = comp.max(axis=1, keepdims=True)
+        ok = mx[:, 0] > 0
+        bestkey = jnp.where(ok, mx[:, 0], 0)
+        bestcol = jnp.clip(l2 - 1 - (bestkey & (l2 - 1)), 0, l - 1)
+        bc = bestcol[:, None]
+        t_b = jnp.take_along_axis(tgt, bc, axis=1)[:, 0]
+        w_b = jnp.take_along_axis(win, bc, axis=1)[:, 0]
+        lo_b = jnp.take_along_axis(lo, bc, axis=1)[:, 0]
+        if carry_beg:
+            beg_b = lo_b                       # begin window carried
+        else:
+            beg_b = jnp.take_along_axis(
+                win, jnp.clip(lo_b, 0, l - 1)[:, None], axis=1)[:, 0]
+        tg = jnp.where(ok, t_b, -1)
+        c_tgt.append(tg)
+        c_tax.append(jnp.where(
+            ok, merge_tax_of_target[jnp.clip(tg, 0, ntax - 1)], 0))
+        c_hits.append(jnp.where(ok, bestkey >> shift, 0))
+        c_beg.append(jnp.where(ok, beg_b, 0))
+        c_end.append(jnp.where(ok, w_b, 0))
+        comp = jnp.where(comp == mx, neg_inf, comp)
+
+    cand_tgt = jnp.stack(c_tgt, axis=1)
+    cand_tax = jnp.stack(c_tax, axis=1)
+    cand_hits = jnp.stack(c_hits, axis=1)
+    cand_beg = jnp.stack(c_beg, axis=1)
+    cand_end = jnp.stack(c_end, axis=1)
+
+    cls_tax = classify_candidates(
+        cand_tgt, cand_tax, cand_hits, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank)
+    hit_qid = jnp.where(hit_tgt_flat.reshape(b, l) != I32_MAX,
+                        jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
+                        jnp.int32(b)).reshape(-1)
+    return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg, cand_end,
+                       cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
+
+
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
                prefix_bits: int = 16, prefix_steps: int = 0,
@@ -320,7 +414,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "num_parts", "dense",
-                     "walk_elems", "dedup_walk"))
+                     "walk_elems", "dedup_walk", "fast_top2"))
 def query_step_rows_multipart(windows, valid, mwir,
                               part_feats, part_offsets, part_ltgt,
                               part_lwin, merge_tax_of_target, lineages,
@@ -334,7 +428,8 @@ def query_step_rows_multipart(windows, valid, mwir,
                               num_parts: int = 1,
                               dense: tuple = (),
                               walk_elems: int = 0,
-                              dedup_walk: int = 0) -> QueryResult:
+                              dedup_walk: int = 0,
+                              fast_top2: bool = False) -> QueryResult:
     """Row-layout query over a multi-part database: sketch once, probe
     every part, concatenate per-query slot rows (reference probes every
     DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
@@ -358,7 +453,7 @@ def query_step_rows_multipart(windows, valid, mwir,
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk)
+        dedup_walk=dedup_walk, fast_top2=fast_top2)
 
 
 @functools.partial(
@@ -366,7 +461,8 @@ def query_step_rows_multipart(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch", "walk_elems", "dedup_walk"))
+                     "use_pallas_sketch", "walk_elems", "dedup_walk",
+                     "fast_top2"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -378,7 +474,8 @@ def query_step_rows(windows, valid, mwir,
                     dense: bool = False,
                     use_pallas_sketch: bool = False,
                     walk_elems: int = 0,
-                    dedup_walk: int = 0) -> QueryResult:
+                    dedup_walk: int = 0,
+                    fast_top2: bool = False) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -397,7 +494,7 @@ def query_step_rows(windows, valid, mwir,
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk)
+        dedup_walk=dedup_walk, fast_top2=fast_top2)
 
 
 @functools.partial(
@@ -405,7 +502,8 @@ def query_step_rows(windows, valid, mwir,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
-                     "use_pallas_sketch", "walk_elems", "dedup_walk"))
+                     "use_pallas_sketch", "walk_elems", "dedup_walk",
+                     "fast_top2"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -417,7 +515,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          prefix_steps: int = 0, dense: bool = False,
                          use_pallas_sketch: bool = False,
                          walk_elems: int = 0,
-                         dedup_walk: int = 0):
+                         dedup_walk: int = 0,
+                         fast_top2: bool = False):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -438,7 +537,7 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
             max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk)
+        dedup_walk=dedup_walk, fast_top2=fast_top2)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

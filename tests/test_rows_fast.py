@@ -1,0 +1,91 @@
+"""fast_top2 candidate path vs the sort-based path: exact parity.
+
+The fast path (ops.rows._fast_top2_result) replaces the best-per-target,
+taxon-merge and final-ranking bitonic sorts with one segmented suffix-max
+scan when merge_rank == 0 (no taxon merging). These tests drive
+rows_to_result directly with randomized slot rows through all three
+sweep strategies (rank-join, lane-walk, dedup-walk) and assert the full
+QueryResult matches the sorted path element for element.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metacache_tpu.ops.rows import rows_to_result, I32_MAX
+
+NR = 21
+
+
+def _random_slots(rng, b, l, ntgt, nwin, fill=0.6, dup=False):
+    """(B, L) slot rows: random (tgt, win) matches + I32_MAX padding."""
+    tgt = np.full((b, l), I32_MAX, np.int32)
+    win = np.full((b, l), I32_MAX, np.int32)
+    for i in range(b):
+        n = int(rng.integers(0, int(l * fill) + 1))
+        t = rng.integers(0, ntgt, n).astype(np.int32)
+        w = rng.integers(0, nwin, n).astype(np.int32)
+        if dup and n > 4:
+            # force duplicate (t, w) runs (the long-read regime)
+            reps = rng.integers(0, n, n // 2)
+            t[: n // 2] = t[reps]
+            w[: n // 2] = w[reps]
+        tgt[i, :n] = t
+        win[i, :n] = w
+    return tgt, win
+
+
+def _lineages(ntgt):
+    lin = np.zeros((ntgt, NR), np.int32)
+    lin[:, 0] = -np.arange(ntgt) - 1    # sequence-level taxon ids
+    lin[:, 4] = np.arange(ntgt) // 2 + 100
+    lin[:, 20] = 1
+    return lin
+
+
+def _run(tgt, win, mwir, lin, maxcand, fast, **sweep):
+    merge_tax = lin[:, 0].copy()        # merge_rank == 0
+    res = rows_to_result(
+        jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+        jnp.asarray(merge_tax), jnp.asarray(lin),
+        jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+        max_candidates=maxcand, fast_top2=fast, **sweep)
+    return {f: np.asarray(getattr(res, f))
+            for f in ("cand_tgt", "cand_tax", "cand_hits", "cand_beg",
+                      "cand_end", "cls_tax")}
+
+
+@pytest.mark.parametrize("maxcand", [2, 4])
+@pytest.mark.parametrize("sweep", [{}, {"walk_elems": 12},
+                                   {"dedup_walk": 6}])
+def test_fast_top2_parity(maxcand, sweep):
+    rng = np.random.default_rng(42)
+    b, l, ntgt = 64, 96, 12
+    lin = _lineages(ntgt)
+    for trial in range(4):
+        dup = bool(sweep.get("dedup_walk"))
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin=40, dup=dup)
+        if sweep.get("walk_elems"):
+            # walk_elems asserts a bound on slots per range: use a small
+            # mwir and enough window spread that ranges stay short
+            mwir = np.full(b, 3, np.int32)
+        elif sweep.get("dedup_walk"):
+            mwir = np.full(b, sweep["dedup_walk"], np.int32)
+        else:
+            mwir = rng.integers(2, 8, b).astype(np.int32)
+        slow = _run(tgt, win, mwir, lin, maxcand, False, **sweep)
+        fast = _run(tgt, win, mwir, lin, maxcand, True, **sweep)
+        for f in slow:
+            np.testing.assert_array_equal(
+                slow[f], fast[f],
+                err_msg=f"trial {trial} sweep {sweep} field {f}")
+
+
+def test_fast_top2_empty_rows():
+    lin = _lineages(4)
+    tgt = np.full((8, 32), I32_MAX, np.int32)
+    win = np.full((8, 32), I32_MAX, np.int32)
+    mwir = np.full(8, 3, np.int32)
+    fast = _run(tgt, win, mwir, lin, 2, True)
+    assert (fast["cand_tgt"] == -1).all()
+    assert (fast["cls_tax"] == 0).all()
