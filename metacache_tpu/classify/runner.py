@@ -280,9 +280,6 @@ class QueryRunner:
         self._tables = []
         self._prefix = []
         self._dense = []
-        # dense (F, spf) location rows when memory is affordable: TPU row
-        # gathers are vastly faster than per-slot element gathers
-        DENSE_BYTE_LIMIT = 8 << 30
         self._shard_table = None
         if self._tmesh is not None:
             from ..parallel.rows_mesh import shard_row_table
@@ -295,18 +292,27 @@ class QueryRunner:
                 put_t(st.loc_tgt2d), put_t(st.loc_win2d),
                 put_t(st.prefix), st.slots_per_feature,
                 st.prefix_bits, st.prefix_steps)
+        # probe layout per part, chosen against the measured device
+        # memory budget (reference sizes GPU tables from free VRAM minus
+        # a reserve, src/gpu_hashmap.cu:1101-1141): dense fused rows
+        # (1 gather/probe) when they fit, two-tier head+overflow rows
+        # (2 gathers) for skewed RefSeq-scale tables, CSR as last resort.
+        # MC_DENSE_LIMIT caps only the dense option (testing hook).
         import os as _os
+        from ..utils.platform import hbm_budget_bytes
+        remaining = hbm_budget_bytes()
+        dense_cap = None
         try:
-            DENSE_BYTE_LIMIT = int(_os.environ.get("MC_DENSE_LIMIT", 0)) \
-                or DENSE_BYTE_LIMIT
+            dense_cap = int(_os.environ.get("MC_DENSE_LIMIT", 0)) or None
         except ValueError:
             pass
-        TWO_TIER_HEAD = 16
         for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
-            hsl = min(TWO_TIER_HEAD, spf - 1)
-            use_dense = p.num_features * spf * 8 <= DENSE_BYTE_LIMIT
-            if use_dense:
+            allow_dense = dense_cap is None or \
+                p.layout_bytes("dense", 0, spf) <= dense_cap
+            kind, hsl = p.choose_layout(spf, remaining, allow_dense)
+            remaining -= p.layout_bytes(kind, hsl, spf)
+            if kind == "dense":
                 fused = p.fused_rows(spf)
                 dummy = _dev(jnp.zeros((1,), jnp.int32))
                 self._tables.append((
@@ -314,7 +320,7 @@ class QueryRunner:
                     _dev(p.offsets.astype(np.int32)),
                     _dev(fused), dummy, spf))
                 self._dense.append(True)
-            elif hsl > 0:
+            elif kind == "two_tier":
                 # two-tier: dense head rows + overflow rows for the rare
                 # deep buckets — memory ~ actual locations, still row
                 # gathers (CSR per-slot gathers are near-serial on TPU)

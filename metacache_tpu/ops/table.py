@@ -232,6 +232,31 @@ class FeatureTable:
             lw2[rows, cols] = lwin[src]
         return lt2, lw2
 
+    def _fill_rows(self, out, col_t: int, col_w: int, width: int,
+                   skip: int = 0, rows_sel=None):
+        """Scatter CSR locations [skip, skip+width) of selected buckets
+        into out[:, col_t:...] / out[:, col_w:...] without materializing
+        a full (F, max_bucket) dense matrix (RefSeq-scale tables would
+        need tens of GB of host scratch otherwise)."""
+        if not self.num_features:
+            return
+        ltgt, lwin = unpack_locations(self.locations)
+        all_sizes = np.diff(self.offsets)
+        if rows_sel is None:
+            rows_sel = np.arange(self.num_features, dtype=np.int64)
+        sizes = np.clip(all_sizes[rows_sel] - skip, 0, width).astype(
+            np.int64)
+        total = int(sizes.sum())
+        if not total:
+            return
+        rows = np.repeat(np.arange(len(rows_sel), dtype=np.int64), sizes)
+        starts = np.zeros(len(rows_sel), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        cols = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+        src = np.repeat(self.offsets[:-1][rows_sel] + skip, sizes) + cols
+        out[rows, col_t + cols] = ltgt[src]
+        out[rows, col_w + cols] = lwin[src]
+
     def fused_rows(self, width: int):
         """One gatherable row per feature: [feature, count, tgt*W, win*W].
 
@@ -240,7 +265,6 @@ class FeatureTable:
         5+ separate small gathers (each near-serial on TPU).
         Row width = 2 + 2*width, padded to a multiple of 8 lanes.
         """
-        lt2, lw2 = self.dense_locations(width)
         f = max(self.num_features, 1)
         cols = 2 + 2 * width
         # XLA's TPU row gather has a fast path only at >= 64 lanes
@@ -251,8 +275,7 @@ class FeatureTable:
             out[:, 0] = self.unique_features.view(np.int32)
             out[:, 1] = np.minimum(np.diff(self.offsets),
                                    width).astype(np.int32)
-        out[:, 2:2 + width] = lt2
-        out[:, 2 + width:2 + 2 * width] = lw2
+            self._fill_rows(out, 2, 2 + width, width)
         return out
 
     def fused_rows_two_tier(self, width: int, head_width: int):
@@ -269,7 +292,6 @@ class FeatureTable:
         -> (head (F, pad8(3+2H)) i32, overflow (F_o+1, pad8(2(W-H))) i32)
         """
         h = head_width
-        lt2, lw2 = self.dense_locations(width)
         f = max(self.num_features, 1)
         cols_pad = max(64, ((3 + 2 * h + 7) // 8) * 8)
         head = np.zeros((f, cols_pad), np.int32)
@@ -278,16 +300,15 @@ class FeatureTable:
         if self.num_features:
             head[:, 0] = self.unique_features.view(np.int32)
             head[:, 1] = sizes
-        head[:, 3:3 + h] = lt2[:, :h]
-        head[:, 3 + h:3 + 2 * h] = lw2[:, :h]
+            self._fill_rows(head, 3, 3 + h, h)
         over = np.nonzero(sizes > h)[0]
         ow = width - h
         ocols_pad = max(64, ((2 * ow + 7) // 8) * 8)
         ovf = np.zeros((len(over) + 1, ocols_pad), np.int32)
         if len(over) and ow > 0:
             head[over, 2] = np.arange(1, len(over) + 1, dtype=np.int32)
-            ovf[1:, :ow] = lt2[over, h:width]
-            ovf[1:, ow:2 * ow] = lw2[over, h:width]
+            self._fill_rows(ovf[1:], 0, ow, ow, skip=h,
+                            rows_sel=over.astype(np.int64))
         return head, ovf
 
     def prefix_index(self, bits: int | None = None):
@@ -295,6 +316,63 @@ class FeatureTable:
         from .probe import make_prefix_index, DEFAULT_BITS
         return make_prefix_index(self.unique_features,
                                  DEFAULT_BITS if bits is None else bits)
+
+    def layout_bytes(self, kind, head: int, width: int) -> int:
+        """Device bytes a staged layout would occupy (without building it)."""
+        f = max(self.num_features, 1)
+        if kind == "dense":
+            return f * max(64, ((2 + 2 * width + 7) // 8) * 8) * 4
+        if kind == "two_tier":
+            sizes = np.diff(self.offsets) if self.num_features else \
+                np.zeros(1, np.int64)
+            n_over = int(np.count_nonzero(
+                np.minimum(sizes, width) > head))
+            ow = width - head
+            return (f * max(64, ((3 + 2 * head + 7) // 8) * 8) * 4 +
+                    (n_over + 1) * max(64, ((2 * ow + 7) // 8) * 8) * 4)
+        # csr: features + offsets + unpacked tgt/win i32 arrays
+        return f * 4 + (f + 1) * 4 + 2 * self.num_locations * 4
+
+    def choose_layout(self, width: int, budget_bytes: int,
+                      allow_dense: bool = True):
+        """Pick the probe layout that fits a device-memory budget.
+
+        -> ("dense", 0) | ("two_tier", head) | ("csr", 0); raises
+        MemoryError when even CSR exceeds the budget (caller should
+        advise -table-shards / -parts / -remove-overpopulated-features).
+
+        The reference sizes its GPU tables from free VRAM minus a
+        reserve (src/gpu_hashmap.cu:1101-1141); here the same budget
+        instead selects among row layouts:
+        - dense (1 fused row gather/probe) whenever it fits;
+        - else two-tier (head + overflow row gathers): any head <= 30
+          pads to the same 64-lane row, so candidate heads start at 30
+          and step the pad boundaries; among fitting candidates the
+          smallest total bytes wins (probe cost is gather-count-bound,
+          identical for all heads);
+        - else plain CSR (per-slot gathers — slow but minimal memory).
+        """
+        if allow_dense and \
+                self.layout_bytes("dense", 0, width) <= budget_bytes:
+            return ("dense", 0)
+        best = None
+        h = min(30, width - 1) if width > 1 else 1
+        while 0 < h < width:
+            b = self.layout_bytes("two_tier", h, width)
+            if b <= budget_bytes and (best is None or b < best[0]):
+                best = (b, h)
+            h += 16           # next 64-lane pad boundary of 3+2h
+        if best is not None:
+            return ("two_tier", best[1])
+        if self.layout_bytes("csr", 0, width) <= budget_bytes:
+            return ("csr", 0)
+        raise MemoryError(
+            f"database part needs more device memory than the "
+            f"{budget_bytes / 2**30:.1f} GiB budget even in CSR layout "
+            f"({self.layout_bytes('csr', 0, width) / 2**30:.1f} GiB); "
+            "use -table-shards N (shard over devices), -parts N + "
+            "per-part query & merge, or cull with "
+            "-remove-overpopulated-features / -max-locations-per-feature")
 
     def location_list_size_statistics(self):
         """(mean, stddev, skewness, max) of bucket sizes (reference:

@@ -21,6 +21,54 @@ def force_platform(name: str | None = None):
     enable_compile_cache()
 
 
+_HBM_BY_KIND = (
+    # device_kind substring -> total HBM bytes
+    ("v5 lite", 16 << 30), ("v5e", 16 << 30),
+    ("v5p", 95 << 30), ("v5", 95 << 30),
+    ("v4", 32 << 30), ("v3", 32 << 30), ("v2", 16 << 30),
+    ("v6 lite", 32 << 30), ("v6e", 32 << 30),
+)
+
+
+def hbm_budget_bytes(device=None) -> int:
+    """Device memory available for the database, mirroring the
+    reference's free-VRAM-minus-reserve sizing
+    (src/gpu_hashmap.cu:1114-1133: free memory minus 2 GB).
+
+    MC_HBM_GB overrides the measured/assumed total. The reserve
+    (max(2 GiB, 20%) of total) covers batch working sets, XLA scratch
+    and the query step's intermediates.
+    """
+    env = os.environ.get("MC_HBM_GB")
+    total = None
+    if env:
+        try:
+            total = int(float(env) * 2**30)
+        except ValueError:
+            total = None
+    if total is None:
+        import jax
+        d = device if device is not None else jax.devices()[0]
+        try:
+            stats = d.memory_stats()
+            total = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+        except Exception:
+            total = None
+        if not total:
+            kind = getattr(d, "device_kind", "").lower()
+            for sub, bytes_ in _HBM_BY_KIND:
+                if sub in kind:
+                    total = bytes_
+                    break
+        if not total:
+            # CPU / unknown backend: assume a v5e-sized budget so layout
+            # decisions in tests match single-chip TPU behavior
+            total = 16 << 30
+    reserve = max(2 << 30, total // 5)
+    return max(total - reserve, 64 << 20)
+
+
 def enable_compile_cache():
     """Persistent XLA compilation cache (measured on this TPU tunnel:
     53 s compile -> 3.6 s on cache hit). MC_JAX_CACHE=0 disables;

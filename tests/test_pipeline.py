@@ -390,3 +390,37 @@ def test_topk_selection_matches_sort():
             a = np.asarray(getattr(srt, fld))[:, :3]
             d = np.asarray(getattr(sel, fld))
             assert np.array_equal(a, d), (trial, fld)
+
+
+def test_choose_layout_budgets():
+    """Layout selection against a device-memory budget: dense when it
+    fits, two-tier (auto head) for skewed tables, CSR as last resort,
+    MemoryError below CSR size."""
+    rng = np.random.default_rng(8)
+    nf = 5000
+    feats = np.unique(rng.integers(
+        0, 2**32, nf * 2, dtype=np.uint64).astype(np.uint32))[:nf]
+    sizes = rng.integers(1, 4, nf)
+    deep = rng.choice(nf, 50, replace=False)
+    sizes[deep] = 254
+    f_rep = np.repeat(feats, sizes)
+    ft = FeatureTable.build(
+        f_rep, pack_locations(
+            rng.integers(0, 500, len(f_rep)).astype(np.uint32),
+            rng.integers(0, 10000, len(f_rep)).astype(np.uint32)))
+    spf = ft.max_bucket_size
+    dense_b = ft.layout_bytes("dense", 0, spf)
+    csr_b = ft.layout_bytes("csr", 0, spf)
+
+    assert ft.choose_layout(spf, dense_b) == ("dense", 0)
+    kind, head = ft.choose_layout(spf, dense_b // 4)
+    assert kind == "two_tier" and 30 <= head < spf
+    assert ft.layout_bytes("two_tier", head, spf) <= dense_b // 4
+    tt_min = min(ft.layout_bytes("two_tier", h, spf)
+                 for h in range(30, spf, 16))
+    assert ft.choose_layout(spf, max(csr_b, tt_min - 1))[0] == "csr"
+    with pytest.raises(MemoryError):
+        ft.choose_layout(spf, min(csr_b, tt_min) - 1)
+    # MC_DENSE_LIMIT hook: dense disallowed even with a huge budget
+    assert ft.choose_layout(spf, dense_b, allow_dense=False)[0] == \
+        "two_tier"
