@@ -489,17 +489,24 @@ class QueryRunner:
         scan = native.scan_file(path)
         if scan is None or scan[0] == 0:
             return False
-        max_len = 1024
-        if scan[1] > max_len:
-            # long reads would be truncated by the fixed-width batch
-            # reader; use the streaming per-query path instead
+        max_len = max(1024, scan[1])
+        if max_len > (1 << 20):
+            # beyond ~1 Mbp per read the fixed-width coded matrix wastes
+            # too much host memory; stream per-query instead
             return False
         try:
             reader = native.NativeFastxReader(path, max_len=max_len)
         except (FileNotFoundError, RuntimeError):
             return False
         opt = self.opt
+        # cap the coded read matrix at ~128 MB so long-read files don't
+        # blow up host memory (batch row counts are re-bucketed by window
+        # count before launch, so a smaller reader chunk only affects
+        # reader-call frequency)
         batch_reads = max(opt.batch_windows, 1024)
+        if max_len > 1024:
+            batch_reads = max(256, min(batch_reads,
+                                       (128 << 20) // max_len))
         scan_k = 0
         if (self._summary_only() and len(self._tables) == 1
                 and self._mesh is None):
@@ -600,19 +607,27 @@ class QueryRunner:
             launched.append((idxs.tolist(), rows,
                              self._launch_rows(wmat, vmat, mwir, 1, k)))
         if (~short).any():
-            # long reads: native window extraction, bucketed as usual
+            # long reads: bucket by padded window count and launch dense
+            # multi-read batches (one launch per BUCKET, not per read —
+            # the reference packs long reads into the same GPU query
+            # batches as short ones, src/query_batch.cuh:85-209)
+            lbuckets: Dict[int, list] = {}
             for i in np.nonzero(~short)[0]:
-                w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
-                wq = _bucket_wq(len(w))
-                nr = self._row_quantum
-                wmat = np.full((nr, wq, wl), win_ops.PAD_CODE, np.uint8)
-                vmat = np.zeros((nr, wq), np.int32)
-                wmat[0, :len(w)] = w
-                vmat[0, :len(v)] = v
-                mwir = np.full(
-                    nr, 2 + max(int(lens[i]), opt.classify.insert_size_max)
-                    // stride, np.int32)
-                launched.append(([int(i)], nr,
+                nw = win_ops.num_windows(int(lens[i]), sk)
+                lbuckets.setdefault(_bucket_wq(nw), []).append(int(i))
+            for wq, idxs in sorted(lbuckets.items()):
+                rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
+                wmat = np.full((rows, wq, wl), win_ops.PAD_CODE, np.uint8)
+                vmat = np.zeros((rows, wq), np.int32)
+                mwir = np.full(rows, 2, np.int32)
+                for r, i in enumerate(idxs):
+                    w, v = win_ops.sequence_windows(codes[i, :lens[i]], sk)
+                    wmat[r, :len(w)] = w
+                    vmat[r, :len(v)] = v
+                    mwir[r] = 2 + max(
+                        int(lens[i]),
+                        opt.classify.insert_size_max) // stride
+                launched.append((idxs, rows,
                                  self._launch_rows(wmat, vmat, mwir,
                                                    wq, k)))
         batch = _CodedBatch(codes, lens, headers)

@@ -77,6 +77,16 @@ class Args:
         return self.argv
 
 
+def _apply_info_level(a: Args) -> None:
+    """-silent / -verbose -> status verbosity (reference: info_level_cli,
+    src/options.cpp + io_options.hpp:27-33)."""
+    from ..utils import info as info_mod
+    if a.take_flag("-silent"):
+        info_mod.set_level(info_mod.SILENT)
+    if a.take_flag("-verbose"):
+        info_mod.set_level(info_mod.VERBOSE)
+
+
 def _parse_rank(s: str) -> Rank:
     r = rank_from_name(s)
     if r == Rank.NONE and s.strip().lower() not in ("none",):
@@ -152,8 +162,7 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
         opt.max_part_bytes = int(float(v) * (1 << 30))
     a.take_value("-max-load-fac")  # accepted, not needed for CSR tables
     a.take_value("-threads")
-    a.take_flag("-silent")
-    a.take_flag("-verbose")
+    _apply_info_level(a)
     opt.reset_parents = a.take_flag("-reset-taxa")
     v = a.take_value("-sequence-id-format")
     if v:
@@ -177,7 +186,8 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
             db.taxa._outdated = True
     db = build_database(opt, db)
     db.save(opt.dbfile)
-    print(f"Database saved to {opt.dbfile}", file=sys.stderr)
+    from ..utils import info as info_mod
+    info_mod.status(f"Database saved to {opt.dbfile}")
     return 0
 
 
@@ -297,8 +307,7 @@ def parse_query_options(a: Args):
         opt.show_summary = False
     if a.take_flag("-no-query-params", "-noqueryparams"):
         opt.show_query_params = False
-    a.take_flag("-silent")
-    a.take_flag("-verbose")
+    _apply_info_level(a)
     # -replicate N: data-parallel replication of the DB over N devices
     # (reference: gpu replication, src/options.cpp "replicate"; 0 = all
     # available devices)

@@ -172,12 +172,12 @@ def build_database(opt: BuildOptions,
     infiles = expand_input_paths(opt.infiles)
 
     import sys as _sys
+    from ..utils import info as info_mod
     from ..utils.progress import ProgressBar
 
     # taxonomy
     if opt.taxonomy_dir:
-        print(f"Reading taxonomy from {opt.taxonomy_dir} ...",
-              file=_sys.stderr, flush=True)
+        info_mod.status(f"Reading taxonomy from {opt.taxonomy_dir} ...")
         tax = ncbi.make_taxonomic_hierarchy(
             os.path.join(opt.taxonomy_dir, "nodes.dmp"),
             os.path.join(opt.taxonomy_dir, "names.dmp"),
@@ -195,11 +195,12 @@ def build_database(opt: BuildOptions,
         nparts0 = max(opt.parts, min(
             16, 1 << max(0, (max(len(infiles), 1) - 1).bit_length())))
     db.initialize_parts(nparts0)
-    print(f"Processing {len(infiles)} reference sequence file(s).",
-          file=_sys.stderr, flush=True)
+    info_mod.status(f"Processing {len(infiles)} reference sequence "
+                    "file(s).")
     bar = ProgressBar()
-    add_targets_to_database(db, infiles, sequ2taxid, opt.seq_id_type,
-                            show_progress=bar.update)
+    add_targets_to_database(
+        db, infiles, sequ2taxid, opt.seq_id_type,
+        show_progress=bar.update if info_mod.show_info() else None)
     db.finalize()
     db.merge_parts(opt.parts, opt.max_part_bytes)
 

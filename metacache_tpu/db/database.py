@@ -183,9 +183,8 @@ class Database:
 
     # -- persistence -----------------------------------------------------
     def save(self, path: str):
-        import sys as _sys
-        print(f"Writing database to {path} ...", file=_sys.stderr,
-              flush=True)
+        from ..utils import info as info_mod
+        info_mod.status(f"Writing database to {path} ...")
         meta = {
             "format": "metacache_tpu",
             "db_version": DB_FORMAT_VERSION,
@@ -236,10 +235,9 @@ class Database:
     @staticmethod
     def load(path: str, metadata_only: bool = False,
              part: int | None = None) -> "Database":
-        import sys as _sys
         if not metadata_only:
-            print(f"Reading database from {path} ...", file=_sys.stderr,
-                  flush=True)
+            from ..utils import info as info_mod
+            info_mod.status(f"Reading database from {path} ...")
         with open(path + ".meta") as f:
             meta = json.load(f)
         if meta.get("db_version") != DB_FORMAT_VERSION:

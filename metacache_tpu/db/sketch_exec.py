@@ -14,6 +14,7 @@ final partial batch pads only to the next power of two.
 from __future__ import annotations
 
 import collections
+import os
 
 import numpy as np
 
@@ -33,12 +34,37 @@ def _pad_size(n: int) -> int:
     return _BATCH
 
 
+def _device_sketcher(w: int, k: int, sketchlen: int):
+    """Sketch callable for (n, w) batches: the Pallas kernel on real TPUs
+    (bit-exact vs the XLA sketcher, test_pallas.py — and its compile is
+    ~20x faster on this environment's backend, which matters because the
+    XLA sort-sketcher costs 100-200 s to compile when the persistent
+    cache is cold), the XLA sort-based sketcher elsewhere."""
+    import jax
+    from ..ops.sketch_jax import sketch_windows
+    if (jax.devices()[0].platform != "cpu" and k <= 16 and w <= 128
+            and os.environ.get("MC_PALLAS_SKETCH") != "0"):
+        import jax.numpy as jnp
+        from ..ops.sketch_pallas import LANES, sketch_windows_pallas
+
+        def run(wj, vj):
+            if w < LANES:
+                wj = jnp.pad(wj, ((0, 0), (0, LANES - w)),
+                             constant_values=PAD_CODE)
+            n = wj.shape[0]
+            tile = 512 if n % 512 == 0 else n
+            return sketch_windows_pallas(wj, vj, k=k, sketchlen=sketchlen,
+                                         tile=tile)
+        return run
+    return lambda wj, vj: sketch_windows(wj, vj, k=k, sketchlen=sketchlen)
+
+
 def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
                            k: int, sketchlen: int) -> np.ndarray:
     import jax.numpy as jnp
-    from ..ops.sketch_jax import sketch_windows
 
     n, w = wm.shape
+    sketcher = _device_sketcher(w, k, sketchlen)
     out = np.empty((n, sketchlen), dtype=np.uint32)
     for beg in range(0, n, _BATCH):
         end = min(beg + _BATCH, n)
@@ -49,13 +75,11 @@ def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
             wpad[:cur] = wm[beg:end]
             vpad = np.zeros(size, np.int32)
             vpad[:cur] = vl[beg:end]
-            res = sketch_windows(jnp.asarray(wpad), jnp.asarray(vpad),
-                                 k=k, sketchlen=sketchlen)
+            res = sketcher(jnp.asarray(wpad), jnp.asarray(vpad))
             out[beg:end] = np.asarray(res)[:cur]
         else:
-            res = sketch_windows(jnp.asarray(wm[beg:end]),
-                                 jnp.asarray(vl[beg:end]),
-                                 k=k, sketchlen=sketchlen)
+            res = sketcher(jnp.asarray(wm[beg:end]),
+                           jnp.asarray(vl[beg:end]))
             out[beg:end] = np.asarray(res)
     return out
 

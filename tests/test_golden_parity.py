@@ -274,3 +274,15 @@ def test_table_shards_long_reads(dbfile):
                            "-ground-truth", "-tophits",
                            "-table-shards", "2"])
     assert ours == _golden("classified_long_fa.txt")
+
+
+def test_info_config_parity(dbfile):
+    """`info <db>` must be byte-identical to the reference binary's
+    output on the same fixture DB (golden/info_basic.txt, produced by
+    make_goldens.sh; reference: show_database_config,
+    src/mode_info.cpp:57-67)."""
+    r = _run(["info", dbfile])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    with open(os.path.join(GOLD, "info_basic.txt")) as f:
+        want = f.read().splitlines()
+    assert r.stdout.decode().splitlines() == want
