@@ -26,7 +26,11 @@ STRAINS = 4
 GENOME_LEN = 1_000_000
 READ_LEN = 100
 BATCH_READS = 8192
-SCAN_K = 16         # batches fused per device dispatch (lax.scan)
+SCAN_K = 64         # batches fused per device dispatch (lax.scan) —
+                    # measured sweep (tools/profile_query.py): 16 -> 64
+                    # amortizes the ~1 ms fixed per-iteration cost
+                    # (5.28 -> 4.79 ms/batch); B=32768 regresses (probe
+                    # gathers lose locality), so 8192 stays the batch
 WARMUP = 2
 ITERS = 8
 

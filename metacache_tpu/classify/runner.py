@@ -114,15 +114,16 @@ _DECODE_LUT = np.frombuffer(b"ACGTN" + b"N" * 251, dtype=np.uint8)
 
 class _CodedQuery:
     """QueryRecord-compatible view over one row of a coded batch;
-    header/sequence decode lazily (only when output needs them)."""
+    headers/sequences decode lazily (only when output needs them)."""
 
-    __slots__ = ("_codes", "_len", "_hdr", "seq2")
+    __slots__ = ("_codes", "_len", "_hdr", "_codes2", "_len2")
 
-    def __init__(self, codes, length, hdr_raw):
+    def __init__(self, codes, length, hdr_raw, codes2=None, len2=0):
         self._codes = codes
         self._len = int(length)
         self._hdr = hdr_raw
-        self.seq2 = b""
+        self._codes2 = codes2
+        self._len2 = int(len2)
 
     @property
     def header(self) -> str:
@@ -134,18 +135,31 @@ class _CodedQuery:
         n = min(self._len, len(self._codes))
         return _DECODE_LUT[self._codes[:n]].tobytes()
 
+    @property
+    def seq2(self) -> bytes:
+        if self._codes2 is None:
+            return b""
+        n = min(self._len2, len(self._codes2))
+        return _DECODE_LUT[self._codes2[:n]].tobytes()
+
 
 class _CodedBatch:
-    def __init__(self, codes, lens, headers):
+    def __init__(self, codes, lens, headers, codes2=None, lens2=None):
         self.codes = codes
         self.lens = lens
         self.headers = headers
+        self.codes2 = codes2
+        self.lens2 = lens2
 
     def __len__(self):
         return len(self.lens)
 
     def __getitem__(self, i):
-        return _CodedQuery(self.codes[i], self.lens[i], self.headers[i])
+        if self.codes2 is None:
+            return _CodedQuery(self.codes[i], self.lens[i],
+                               self.headers[i])
+        return _CodedQuery(self.codes[i], self.lens[i], self.headers[i],
+                           self.codes2[i], self.lens2[i])
 
     def __iter__(self):
         for i in range(len(self.lens)):
@@ -578,6 +592,201 @@ class QueryRunner:
             self._collect_batch(*pending, results)
         reader.close()
         return True
+
+    def run_pair_files_native(self, path1: str, path2: str,
+                              results: "ClassificationResults") -> bool:
+        """Vectorized paired-end ingestion through the native C++ reader.
+
+        Two readers advance in lockstep and each pair classifies from the
+        union of both mates' windows (reference: sequence_pair_reader,
+        src/sequence_io.cpp:246-450, consumed with stride 2 by
+        query_database, src/database_query.hpp:256-284). Returns False
+        (caller falls back to the per-record Python path) when the native
+        library is unavailable or the files disagree on record count.
+        """
+        from .. import native
+        if native.get_lib() is None or self.opt.query_limit >= 0:
+            return False
+        s1 = native.scan_file(path1)
+        s2 = native.scan_file(path2)
+        if (s1 is None or s2 is None or s1[0] == 0 or s1[0] != s2[0]):
+            return False
+        max_len = max(1024, s1[1], s2[1])
+        if max_len > (1 << 20):
+            return False
+        try:
+            r1 = native.NativeFastxReader(path1, max_len=max_len)
+            r2 = native.NativeFastxReader(path2, max_len=max_len)
+        except (FileNotFoundError, RuntimeError):
+            return False
+        opt = self.opt
+        batch_reads = max(opt.batch_windows // 2, 1024)
+        if max_len > 1024:
+            batch_reads = max(256, min(batch_reads,
+                                       (64 << 20) // max_len))
+        pending = None
+        while True:
+            c1, l1, h1 = r1.read_batch_raw(batch_reads)
+            c2, l2, h2 = r2.read_batch_raw(batch_reads)
+            n = min(len(l1), len(l2))
+            if n == 0:
+                break
+            c1, l1, h1 = c1[:n], l1[:n], h1[:n]
+            c2, l2 = c2[:n], l2[:n]
+            # length filter on the combined length
+            # (reference: database_query.hpp:271-281)
+            if opt.min_read_length > 0 or opt.max_read_length:
+                ln = l1.astype(np.int64) + l2
+                keep = ln >= opt.min_read_length
+                if opt.max_read_length:
+                    keep &= ln <= opt.max_read_length
+                c1, l1, h1 = c1[keep], l1[keep], h1[keep]
+                c2, l2 = c2[keep], l2[keep]
+                if len(l1) == 0:
+                    continue
+            dispatched = self._dispatch_coded_pair(c1, l1, c2, l2, h1)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = dispatched
+        if pending is not None:
+            self._collect_batch(*pending, results)
+        r1.close()
+        r2.close()
+        return True
+
+    def run_pair_seq_native(self, path: str,
+                            results: "ClassificationResults") -> bool:
+        """Vectorized consecutive-record pairing (-pairseq) through the
+        native reader: records 2i and 2i+1 form one query (reference:
+        sequence_pair_reader single-file mode, src/sequence_io.cpp:345-383).
+        """
+        from .. import native
+        if native.get_lib() is None or self.opt.query_limit >= 0:
+            return False
+        scan = native.scan_file(path)
+        if scan is None or scan[0] == 0:
+            return False
+        max_len = max(1024, scan[1])
+        if max_len > (1 << 20):
+            return False
+        try:
+            reader = native.NativeFastxReader(path, max_len=max_len)
+        except (FileNotFoundError, RuntimeError):
+            return False
+        opt = self.opt
+        batch_reads = 2 * max(opt.batch_windows // 2, 1024)
+        if max_len > 1024:
+            batch_reads = 2 * max(128, min(batch_reads // 2,
+                                           (64 << 20) // max_len))
+        pending = None
+        carry = None        # odd leftover record from the previous batch
+        while True:
+            codes, lens, headers = reader.read_batch_raw(batch_reads)
+            if len(lens) == 0:
+                if carry is not None:
+                    # odd final record: a pair with an empty second mate
+                    # (reference sequence_pair_reader yields exactly this
+                    # when the stream ends mid-pair)
+                    c1 = carry[0][None]
+                    dispatched = self._dispatch_coded_pair(
+                        c1, np.asarray([carry[1]], np.int32),
+                        np.zeros_like(c1), np.asarray([0], np.int32),
+                        carry[2][None])
+                    if pending is not None:
+                        self._collect_batch(*pending, results)
+                    pending = dispatched
+                    carry = None
+                break
+            if carry is not None:
+                codes = np.concatenate([carry[0][None], codes])
+                lens = np.concatenate(
+                    [np.asarray([carry[1]], lens.dtype), lens])
+                headers = np.concatenate([carry[2][None], headers])
+                carry = None
+            if len(lens) % 2:
+                carry = (codes[-1].copy(), lens[-1],
+                         headers[-1].copy())
+                codes, lens, headers = (codes[:-1], lens[:-1],
+                                        headers[:-1])
+                if len(lens) == 0:
+                    continue
+            c1, l1, h1 = codes[0::2], lens[0::2], headers[0::2]
+            c2, l2 = codes[1::2], lens[1::2]
+            if opt.min_read_length > 0 or opt.max_read_length:
+                ln = l1.astype(np.int64) + l2
+                keep = ln >= opt.min_read_length
+                if opt.max_read_length:
+                    keep &= ln <= opt.max_read_length
+                c1, l1, h1 = c1[keep], l1[keep], h1[keep]
+                c2, l2 = c2[keep], l2[keep]
+                if len(l1) == 0:
+                    continue
+            dispatched = self._dispatch_coded_pair(c1, l1, c2, l2, h1)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = dispatched
+        if pending is not None:
+            self._collect_batch(*pending, results)
+        reader.close()
+        return True
+
+    def _dispatch_coded_pair(self, c1, l1, c2, l2, headers):
+        """Dispatch a coded paired batch; mirrors _dispatch_coded with
+        each query's windows = mate-1 windows then mate-2 windows."""
+        sk = self.sketching
+        opt = self.opt
+        k = opt.classify.max_candidates
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+
+        short = (l1 <= wl) & (l2 <= wl)
+        launched = []
+        if short.any():
+            idxs = np.nonzero(short)[0]
+            rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
+            wmat = np.full((rows, 2, wl), win_ops.PAD_CODE, np.uint8)
+            wmat[:len(idxs), 0, :] = c1[idxs, :wl]
+            wmat[:len(idxs), 1, :] = c2[idxs, :wl]
+            vmat = np.zeros((rows, 2), np.int32)
+            vmat[:len(idxs), 0] = np.where(l1[idxs] >= sk.kmerlen,
+                                           l1[idxs], 0)
+            vmat[:len(idxs), 1] = np.where(l2[idxs] >= sk.kmerlen,
+                                           l2[idxs], 0)
+            mwir = np.full(rows, 2, np.int32)
+            mwir[:len(idxs)] = 2 + np.maximum(
+                l1[idxs].astype(np.int64) + l2[idxs],
+                opt.classify.insert_size_max) // stride
+            launched.append((idxs.tolist(), rows,
+                             self._launch_rows(wmat, vmat, mwir, 2, k)))
+        if (~short).any():
+            lbuckets: Dict[int, list] = {}
+            nw_of = {}
+            for i in np.nonzero(~short)[0]:
+                i = int(i)
+                nw = (win_ops.num_windows(int(l1[i]), sk) +
+                      win_ops.num_windows(int(l2[i]), sk))
+                nw_of[i] = nw
+                lbuckets.setdefault(_bucket_wq(max(nw, 1)), []).append(i)
+            for wq, idxs in sorted(lbuckets.items()):
+                rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
+                wmat = np.full((rows, wq, wl), win_ops.PAD_CODE, np.uint8)
+                vmat = np.zeros((rows, wq), np.int32)
+                mwir = np.full(rows, 2, np.int32)
+                for r, i in enumerate(idxs):
+                    w1, v1 = win_ops.sequence_windows(c1[i, :l1[i]], sk)
+                    w2, v2 = win_ops.sequence_windows(c2[i, :l2[i]], sk)
+                    w = np.concatenate([w1, w2])
+                    v = np.concatenate([v1, v2])
+                    wmat[r, :len(w)] = w
+                    vmat[r, :len(v)] = v
+                    mwir[r] = 2 + max(
+                        int(l1[i]) + int(l2[i]),
+                        opt.classify.insert_size_max) // stride
+                launched.append((idxs, rows,
+                                 self._launch_rows(wmat, vmat, mwir,
+                                                   wq, k)))
+        batch = _CodedBatch(c1, l1, headers, c2, l2)
+        return (batch, ("rows", launched))
 
     def _dispatch_coded(self, codes, lens, headers):
         """Dispatch a coded (B, max_len) read batch; returns
@@ -1064,6 +1273,12 @@ def map_queries_to_targets(infiles: List[str], db: Database,
             results.per_read_out.write(f"{comment}{group[0]}\n")
         if opt.pairing == PairingMode.NONE and \
                 runner.run_file_native(group[0], results):
+            continue
+        if opt.pairing == PairingMode.FILES and len(group) == 2 and \
+                runner.run_pair_files_native(group[0], group[1], results):
+            continue
+        if opt.pairing == PairingMode.SEQUENCES and \
+                runner.run_pair_seq_native(group[0], results):
             continue
         queries = read_queries(group, opt.pairing)
         if opt.query_limit >= 0:

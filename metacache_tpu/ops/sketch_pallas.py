@@ -63,7 +63,93 @@ def _bitonic_sort_lanes(x):
     return x
 
 
-def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
+def _compact_unique(feats, lane):
+    """Left-compact the distinct values of each ascending-sorted row.
+
+    Duplicate slots are vacated (become SENT); every element at lane i
+    with d = (#dups at lanes < i) moves to lane i - d. The move distances
+    are bit-decomposed: because d is monotone in i and destinations are
+    strictly increasing, processing one bit at a time never collides
+    (positions stay pairwise distinct at every step). 7 prefix-sum steps
+    + 7 move steps replace a second full 28-stage bitonic sort.
+    """
+    n, l = feats.shape
+    is_dup = ((feats == _roll(feats, 1)) & (lane > 0)).astype(jnp.int32)
+    # inclusive prefix sum of dup counts (Hillis-Steele over lanes)
+    p = is_dup
+    d = 1
+    while d < l:
+        p = p + jnp.where(lane >= d, _roll(p, d), 0)
+        d *= 2
+    shift = jnp.where(is_dup != 0, 0, p - is_dup)   # dups never move
+    v = jnp.where(is_dup != 0, SENT, feats)
+    b = 1
+    while b < l:
+        vr = _roll(v, -b)
+        sr = _roll(shift, -b)
+        arrive = (sr & b) != 0
+        depart = (shift & b) != 0
+        v = jnp.where(arrive, vr, jnp.where(depart, SENT, v))
+        shift = jnp.where(arrive, sr, jnp.where(depart, 0, shift))
+        b *= 2
+    return v
+
+
+def _kmerize(two_bit, ambig_char, k, l):
+    """All k-char kmers (2 bits/char, first char highest) + ambiguity
+    flags by doubling: K_{2m}(i) = (K_m(i) << 2m) | K_m(i+m) — ceil(log2 k)
+    + popcount(k) rolls instead of k (src/hash_dna.hpp kmerization
+    semantics; the reference slides a 2-bit window per char)."""
+    n = two_bit.shape[0]
+    pows = {1: (two_bit, ambig_char)}
+    m = 1
+    while 2 * m <= k:
+        km, am = pows[m]
+        pows[2 * m] = ((km << (2 * m)) | _roll(km, -m),
+                       am | _roll(am, -m))
+        m *= 2
+    kmer = None
+    ambig = None
+    done = 0
+    for m in sorted(pows, reverse=True):
+        if k & m:
+            km, am = pows[m]
+            kp = _roll(km, -done) if done else km
+            ap = _roll(am, -done) if done else am
+            if kmer is None:
+                kmer, ambig = kp, ap
+            else:
+                kmer = (kmer << (2 * m)) | kp
+                ambig = ambig | ap
+            done += m
+    return kmer, ambig
+
+
+def _extract_sketch(feats, nvalid, sketchlen):
+    """The s smallest distinct features by iterative min-extraction.
+
+    sketchlen min-reductions over the lanes, each followed by masking
+    ALL copies of the minimum (deduplication for free) — replaces the
+    full 28-stage bitonic sort + compaction when only the sketch is
+    needed. Unsigned order via the sign-flip trick (Mosaic has no
+    unsigned min): SENT maps to INT32_MAX, so exhausted rows pad with
+    SENT automatically.
+    """
+    n, l = feats.shape
+    v = pltpu.bitcast(feats ^ jnp.uint32(0x80000000), jnp.int32)
+    cols = []
+    for _ in range(sketchlen):
+        m = jnp.min(v, axis=1, keepdims=True)
+        cols.append(m)
+        v = jnp.where(v == m, jnp.int32(0x7FFFFFFF), v)
+    out = jnp.concatenate(cols, axis=1)
+    out = pltpu.bitcast(out, jnp.uint32) ^ jnp.uint32(0x80000000)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, sketchlen), 1)
+    return jnp.where(col >= nvalid, SENT, out)
+
+
+def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen,
+                   mode="sort"):
     codes = codes_ref[:].astype(jnp.uint32)
     n, l = codes.shape
     valid = valid_ref[:]                    # (n, 1) i32
@@ -72,11 +158,7 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
     ambig_char = (codes >= 4).astype(jnp.uint32)
     two_bit = jnp.where(ambig_char != 0, 0, codes)
 
-    kmer = jnp.zeros((n, l), jnp.uint32)
-    ambig = jnp.zeros((n, l), jnp.uint32)
-    for j in range(k):
-        kmer = (kmer << 2) | _roll(two_bit, -j)
-        ambig = ambig | _roll(ambig_char, -j)
+    kmer, ambig = _kmerize(two_bit, ambig_char, k, l)
 
     # reverse complement + canonical (src/dna_encoding.hpp:169-177)
     s = kmer
@@ -97,20 +179,22 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen):
     nvalid = jnp.maximum(valid - (k - 1), 0)      # (n, 1)
     feats = jnp.where((ambig != 0) | (lane >= nvalid), SENT, h)
 
+    if mode == "extract":
+        out_ref[:] = _extract_sketch(feats, nvalid, sketchlen)
+        return
     feats = _bitonic_sort_lanes(feats)
-    dup = (feats == _roll(feats, 1)) & (lane > 0)
-    feats = jnp.where(dup, SENT, feats)
-    feats = _bitonic_sort_lanes(feats)
+    feats = _compact_unique(feats, lane)
 
     # s = min(sketchlen, n - k + 1) features per window
     out = jnp.where(lane >= nvalid, SENT, feats)
     out_ref[:] = out[:, :sketchlen]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sketchlen", "tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sketchlen", "tile", "mode"))
 def sketch_windows_pallas(codes: jax.Array, valid_lens: jax.Array,
                           k: int = 16, sketchlen: int = 16,
-                          tile: int = 512) -> jax.Array:
+                          tile: int = 512, mode: str = "sort") -> jax.Array:
     """Pallas window sketcher.
 
     codes: (N, 128) u8 window codes (winlen <= 128, padded with >= 4);
@@ -122,7 +206,8 @@ def sketch_windows_pallas(codes: jax.Array, valid_lens: jax.Array,
     assert n % tile == 0
     grid = (n // tile,)
     return pl.pallas_call(
-        functools.partial(_sketch_kernel, k=k, sketchlen=sketchlen),
+        functools.partial(_sketch_kernel, k=k, sketchlen=sketchlen,
+                          mode=mode),
         out_shape=jax.ShapeDtypeStruct((n, sketchlen), jnp.uint32),
         grid=grid,
         in_specs=[

@@ -28,7 +28,10 @@ from metacache_tpu.ops.rows import (_sketch_dispatch, probe_rows,  # noqa: E402
                                     rows_to_result)
 from metacache_tpu.ops.table import FeatureTable  # noqa: E402
 
-SCAN_K, B = 16, 8192
+import os  # noqa: E402
+
+SCAN_K = int(os.environ.get("MC_PROF_SCANK", "16"))
+B = int(os.environ.get("MC_PROF_B", "8192"))
 NUM_BASE, STRAINS, GLEN, RLEN = 16, 4, 1_000_000, 100
 
 
@@ -45,11 +48,17 @@ def main():
                 g[pos] = rng.integers(0, 4, GLEN // 100, dtype=np.uint8)
             genomes.append(g)
     t0 = time.time()
-    acc = SketchAccumulator(opt.kmerlen, opt.sketchlen)
-    for tid, g in enumerate(genomes):
-        wm, vl = W.sequence_windows(g, opt)
-        acc.add_target(wm, vl, tid)
-    bf, bl = acc.finish()
+    cache = "/tmp/mc_prof_db.npz"
+    if __import__("os").path.exists(cache):
+        z = np.load(cache)
+        bf, bl = z["bf"], z["bl"]
+    else:
+        acc = SketchAccumulator(opt.kmerlen, opt.sketchlen)
+        for tid, g in enumerate(genomes):
+            wm, vl = W.sequence_windows(g, opt)
+            acc.add_target(wm, vl, tid)
+        bf, bl = acc.finish()
+        np.savez(cache, bf=bf, bl=bl)
     ft = FeatureTable.build(bf, bl, presorted_within_feature=True)
     print(f"build {time.time()-t0:.1f}s  F={ft.num_features} "
           f"L={ft.num_locations} maxb={ft.max_bucket_size}", flush=True)
@@ -88,8 +97,8 @@ def main():
     lg = jnp.asarray(lineages)
 
     def stage_fn(stage):
-        @jax.jit
-        def f(wk, vk, mk):
+        @functools.partial(jax.jit, static_argnames=())
+        def f(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
             def body(c, xs):
                 w, v, m = xs
                 feats = _sketch_dispatch(w.reshape(B, opt.winlen),
@@ -109,7 +118,8 @@ def main():
                 return c, res.cls_tax
             _, out = jax.lax.scan(body, 0, (wk, vk, mk))
             return out
-        return f
+        return lambda wk, vk, mk: f(wk, vk, mk, tf, to, la, lb, ps,
+                                    mt, lg)
 
     wk = jnp.asarray(np.broadcast_to(wins[None],
                                      (SCAN_K,) + wins.shape).copy())
