@@ -480,6 +480,9 @@ def show_query_parameters(opt, pairing, num_threads: int,
                    "file will be paired up.\n")
         out.append(f"{c}  Max insert size considered {insert_size_max}.\n")
     ana = opt.analysis
+    if ana.show_alignment:
+        out.append(f"{c}Query sequences will be aligned to best "
+                   "candidate target => SLOW!\n")
     if ana.show_hits_per_target:
         out.append(f"{c}A list of hits per reference sequence will be "
                    "generated after the read mapping.\n")

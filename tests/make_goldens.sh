@@ -53,6 +53,11 @@ run_query classified_pairfiles.txt \
 run_query classified_pairseq.txt "$DATA/reads_pairseq.fa" -pairseq \
     -precision -ground-truth -tophits
 
+# --- alignment display (-align): paths tokenized so the golden is
+# location-independent (the "aligned to <file>" line embeds them) -------
+"$BIN" query "$DB" "$DATA/reads_single.fa" -align -tophits 2>/dev/null \
+    | sed "s|$DATA|DATA|g" | strip_variable_lines > "$GOLD/align.txt"
+
 # --- formatting matrix (subset of reference test/run_tests fmt matrix) ----
 i=0
 while read -r fmt; do

@@ -28,9 +28,14 @@ def dbfile(tmp_path_factory):
 
 
 def _run(args):
-    env = dict(os.environ, MC_JAX_PLATFORM="cpu",
+    env = dict(os.environ,
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
                                                              ""))
+    # MC_GOLDEN_TPU=1 runs the whole golden suite against the real chip
+    # (reference: the GPU-parity lane of test/run_tests:164-185); default
+    # is the virtual-CPU platform so CI needs no hardware.
+    if not os.environ.get("MC_GOLDEN_TPU"):
+        env["MC_JAX_PLATFORM"] = "cpu"
     return subprocess.run([sys.executable, "-m", "metacache_tpu"] + args,
                           capture_output=True, env=env, cwd=REPO,
                           timeout=600)
@@ -163,6 +168,53 @@ def test_partitioned_merge_parity(tmp_path):
             if "resA" not in l and "resB" not in l
             and not l.startswith("Reading")]
     assert ours == want
+
+
+_ALIGN_BLOCK = ("#   score", "#   query", "#   target")
+
+
+def test_align_parity(dbfile):
+    """-align display vs the reference golden.
+
+    The reference binary's -align is broken: target_candidate.source.index
+    is stored 0-based but show_alignment skips `index-1` records with an
+    UNSIGNED index (src/classification.cpp:399, sequence_io.cpp:147-149),
+    so the first record of a file underflows (no alignment shown at all —
+    the common one-genome-per-file layout never aligns anything) and every
+    other read is aligned against the record BEFORE its true target.
+    We align against the true top candidate, so the test checks (a) all
+    non-alignment lines match the golden byte-for-byte and (b) our blocks
+    satisfy the correctness the reference intended: one block per
+    sequence-classified read, true 1-based source index, near-full score.
+    """
+    r = _run(["query", dbfile, f"{DATA}/reads_single.fa", "-align",
+              "-tophits"])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    txt = r.stdout.decode().replace(DATA, "DATA")
+    ours = [l for l in _strip(txt)
+            if not l.startswith(_ALIGN_BLOCK)]
+    want = [l for l in _golden("align.txt")
+            if not l.startswith(_ALIGN_BLOCK)]
+    assert ours == want
+
+    # our alignment blocks: correct subject, near-perfect score
+    lines = _strip(txt)
+    mapped = [l for l in lines
+              if not l.startswith("#") and "\t|\t" in l]
+    score_lines = [l for l in lines if l.startswith("#   score")]
+    assert len(score_lines) == len(mapped)   # every classified read
+    import re
+    order = [l.split("_r")[0] for l in mapped]
+    genomes = [h.split()[0][1:] for h in
+               open(f"{DATA}/genomes.fa") if h.startswith(">")]
+    for hdr, sl in zip(order, score_lines):
+        m = re.match(r"#   score  (\d+)  aligned to (\S+) #(\d+) "
+                     r"in range \[(\d+),(\d+)\]", sl)
+        assert m, sl
+        score, fname, idx = int(m.group(1)), m.group(2), int(m.group(3))
+        assert fname == "DATA/genomes.fa"
+        assert genomes[idx - 1] == hdr      # true 1-based source index
+        assert score > 50                   # positive, right neighborhood
 
 
 def test_covpercentile_parity(dbfile):

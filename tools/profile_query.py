@@ -32,6 +32,7 @@ import os  # noqa: E402
 
 SCAN_K = int(os.environ.get("MC_PROF_SCANK", "16"))
 B = int(os.environ.get("MC_PROF_B", "8192"))
+UNROLL = int(os.environ.get("MC_PROF_UNROLL", "1"))
 NUM_BASE, STRAINS, GLEN, RLEN = 16, 4, 1_000_000, 100
 
 
@@ -116,7 +117,8 @@ def main():
                     walk_elems=2 * opt.sketchlen,
                     fast_top2=(stage == "full_fast"))
                 return c, res.cls_tax
-            _, out = jax.lax.scan(body, 0, (wk, vk, mk))
+            _, out = jax.lax.scan(body, 0, (wk, vk, mk),
+                                  unroll=UNROLL)
             return out
         return lambda wk, vk, mk: f(wk, vk, mk, tf, to, la, lb, ps,
                                     mt, lg)
