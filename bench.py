@@ -132,7 +132,8 @@ def main():
             res = rows_to_result(
                 t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                 jnp.int32(19), jnp.int32(0), max_candidates=2,
-                walk_elems=2 * opt.sketchlen, fast_top2=True)
+                walk_elems=2 * opt.sketchlen, fast_top2=True,
+                fused_candidates=use_pallas, emit_hits=False)
             return carry, res.cls_tax
         _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
         return cls_k

@@ -370,6 +370,16 @@ class QueryRunner:
             (_env == "1" or _jax.devices()[0].platform not in ("cpu",)) and
             self._mesh is None and  # XLA sketcher shards transparently
             self.sketching.kmerlen <= 16 and self.sketching.winlen <= 128)
+        # fused Pallas candidate kernel (sort+sweep+top-k in VMEM,
+        # ops.candidates_pallas) — usable whenever per-hit lists are not
+        # requested; MC_FUSED_CANDIDATES=0 disables, =1 forces (interpret
+        # mode on CPU is exercised by tests, production gate is the chip)
+        _envc = _os.environ.get("MC_FUSED_CANDIDATES")
+        self._fused_candidates = (
+            (_envc != "0") and
+            (_envc == "1" or
+             _jax.devices()[0].platform not in ("cpu",)) and
+            self._mesh is None and self._tmesh is None)
 
         # taxid -> rank lookup for the vectorized summary-only fast path
         ids, ranks = [], []
@@ -424,13 +434,22 @@ class QueryRunner:
             return {"dedup_walk": m}
         return {}
 
-    def _fast_flag(self, total_slots: int) -> dict:
-        """Enable the fast_top2 candidate path when its packed-key
-        encoding fits int32 (L * next_pow2(L)^2 < 2^31, ops.rows)."""
-        if not self._fast_top2 or total_slots <= 0:
+    def _fused_flags(self) -> dict:
+        """Fused Pallas candidate kernel + skip per-hit list outputs
+        when -allhits is off (rows_to_result only fuses when the sweep
+        is the walk and fast_top2 is on; harmless otherwise)."""
+        if self.opt.output.analysis.show_all_hits:
             return {}
-        l2 = _round_up_pow2(total_slots)
-        if total_slots * l2 * l2 >= 2**31:
+        out = {"emit_hits": False}
+        if self._fused_candidates:
+            out["fused_candidates"] = True
+        return out
+
+    def _fast_flag(self, total_slots: int) -> dict:
+        """Enable the fast_top2 candidate path; the packed-key scan uses
+        int32 while L * next_pow2(L)^2 < 2^31 and widens to int64 beyond
+        that (deep-bucket databases), see ops.rows._fast_top2_result."""
+        if not self._fast_top2 or total_slots <= 0:
             return {}
         return {"fast_top2": True}
 
@@ -875,7 +894,8 @@ class QueryRunner:
                 prefix_steps=steps, dense=self._dense[0],
                 use_pallas_sketch=self._use_pallas_sketch,
                 **self._sweep_params(mwir, wq),
-                **self._fast_flag(wq * sk.sketchlen * spf))
+                **self._fast_flag(wq * sk.sketchlen * spf),
+                **self._fused_flags())
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             self._put(wmat), self._put(vmat), self._put(mwir),
@@ -892,7 +912,8 @@ class QueryRunner:
             num_parts=len(self._tables), dense=tuple(self._dense),
             **self._sweep_params(mwir, wq),
             **self._fast_flag(
-                wq * sk.sketchlen * sum(t[4] for t in self._tables)))
+                wq * sk.sketchlen * sum(t[4] for t in self._tables)),
+            **self._fused_flags())
 
     # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
@@ -945,7 +966,9 @@ class QueryRunner:
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
             **self._sweep_params(mwir, 1),
-            **self._fast_flag(sk.sketchlen * spf))
+            **self._fast_flag(sk.sketchlen * spf),
+            **(dict(fused_candidates=True)
+               if self._fused_candidates else {}))
 
     def _accumulate_summary(self, cls: np.ndarray, results):
         """Vectorized per-rank statistics from classified taxon ids."""

@@ -157,3 +157,98 @@ class SketchAccumulator:
             l = np.zeros(0, np.uint64)
         self.features, self.locations = [], []
         return f, l
+
+
+class DeviceSketchAccumulator:
+    """SketchAccumulator variant whose (feature, tgt, win) stream stays
+    ON DEVICE — feeds ops.table_device.build_device_table so RefSeq-scale
+    builds never round-trip sketches or probe layouts through the host
+    (the reference's GPU insert pipeline keeps locations device-resident
+    the same way, src/gpu_hashmap.cu:190-230).
+
+    Sentinel feature slots (empty sketch lanes, padding windows) are NOT
+    masked here — masking would make shapes dynamic; they sort last in
+    build_device_table and are dropped there.
+    """
+
+    def __init__(self, k: int, sketchlen: int, batch: int = _BATCH):
+        self.k = k
+        self.sketchlen = sketchlen
+        self.batch = batch
+        self._q: collections.deque = collections.deque()
+        self._nwin = 0
+        self.chunks: list = []      # device (f, t, w) flats per dispatch
+
+    def add_target(self, wm: np.ndarray, vl: np.ndarray, tid: int):
+        if len(wm) == 0:
+            return
+        self._q.append((wm, vl, tid, 0))
+        self._nwin += len(wm)
+        while self._nwin >= self.batch:
+            self._flush(self.batch)
+
+    def _flush(self, nw: int):
+        take = []
+        left = nw
+        while left:
+            wm, vl, tid, win0 = self._q.popleft()
+            if len(wm) <= left:
+                take.append((wm, vl, tid, win0))
+                left -= len(wm)
+            else:
+                take.append((wm[:left], vl[:left], tid, win0))
+                self._q.appendleft((wm[left:], vl[left:], tid,
+                                    win0 + left))
+                left = 0
+        self._nwin -= nw
+        self._sketch_and_emit_device(take)
+
+    def _sketch_and_emit_device(self, take):
+        import jax.numpy as jnp
+        wm = np.concatenate([t[0] for t in take], axis=0)
+        vl = np.concatenate([t[1] for t in take])
+        tid = np.concatenate([
+            np.full(len(m), t_, np.int32) for (m, _v, t_, _w0) in take])
+        wid = np.concatenate([
+            w0 + np.arange(len(m), dtype=np.int32)
+            for (m, _v, _t, w0) in take])
+        n, w = wm.shape
+        sketcher = _device_sketcher(w, self.k, self.sketchlen)
+        for beg in range(0, n, _BATCH):
+            end = min(beg + _BATCH, n)
+            cur = end - beg
+            size = _pad_size(cur) if cur < _BATCH else _BATCH
+            if cur < size:
+                wpad = np.full((size, w), PAD_CODE, np.uint8)
+                wpad[:cur] = wm[beg:end]
+                vpad = np.zeros(size, np.int32)
+                vpad[:cur] = vl[beg:end]
+                tpad = np.zeros(size, np.int32)
+                tpad[:cur] = tid[beg:end]
+                wipad = np.zeros(size, np.int32)
+                wipad[:cur] = wid[beg:end]
+            else:
+                wpad, vpad = wm[beg:end], vl[beg:end]
+                tpad, wipad = tid[beg:end], wid[beg:end]
+            f = sketcher(jnp.asarray(wpad), jnp.asarray(vpad))
+            s = self.sketchlen
+            tdev = jnp.broadcast_to(jnp.asarray(tpad)[:, None],
+                                    (size, s)).reshape(-1)
+            wdev = jnp.broadcast_to(jnp.asarray(wipad)[:, None],
+                                    (size, s)).reshape(-1)
+            self.chunks.append((f.reshape(-1), tdev, wdev))
+
+    def finish_device(self):
+        """-> (features u32, tgt i32, win i32) flat device arrays
+        (sentinel features included; build_device_table drops them)."""
+        import jax.numpy as jnp
+        if self._nwin:
+            self._flush(self._nwin)
+        if not self.chunks:
+            z = jnp.zeros(0, jnp.int32)
+            return jnp.zeros(0, jnp.uint32), z, z
+        f = jnp.concatenate([c[0] for c in self.chunks])
+        t = jnp.concatenate([c[1] for c in self.chunks])
+        w = jnp.concatenate([c[2] for c in self.chunks])
+        self.chunks = []
+        return f, t, w

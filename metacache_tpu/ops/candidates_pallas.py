@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: fused per-row candidate generation.
+
+One VMEM-resident pass replaces the XLA chain
+  lax.sort (bitonic over HBM) -> walk-sweep shifts -> packed-key
+  suffix cummax -> top-k extraction
+of ops.rows.rows_to_result's walk + fast_top2 path. XLA's row sort
+round-trips HBM on every bitonic stage (measured ~10 GB/s effective at
+L=4064 — ~40 passes over the slot matrix), while this kernel keeps each
+row tile in VMEM for the whole sort network, the sweep and the scans;
+HBM traffic drops to one read of the slots plus a (rows, 128) result.
+
+Counterpart of the reference GPU's per-query match sorting + candidate
+sweep (bb_segsort + for_all_contiguous_window_ranges,
+src/gpu_result_processing.cuh:99-155); the algorithm mirrors
+ops.rows.rows_to_result exactly (same tie-breaking) and is parity-tested
+against it in tests/test_candidates_pallas.py.
+
+Because Pallas can mask every scan step by group id, the suffix max does
+NOT need rows.py's group-isolated packed key (hits*l2 - g*l2^2, which
+overflows i32 beyond L~192 and forces an i64 scan): the in-kernel key is
+plain hits * l2 + (l2-1-col) <= (walk_elems+1) * l2, always i32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32_MAX = np.int32(2**31 - 1)
+
+
+def _roll(x, shift, l):
+    return pltpu.roll(x, shift % l, 1)
+
+
+def _sort2_lanes(t, w):
+    """Ascending bitonic sort of each row's lanes by (t, w) lexicographic
+    (both i32; padding (I32_MAX, I32_MAX) ends up last)."""
+    n, l = t.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    k = 2
+    while k <= l:
+        j = k // 2
+        while j >= 1:
+            pt_u, pw_u = _roll(t, -j, l), _roll(w, -j, l)
+            pt_d, pw_d = _roll(t, j, l), _roll(w, j, l)
+            has_bit = (lane & j) != 0
+            pt = jnp.where(has_bit, pt_d, pt_u)
+            pw = jnp.where(has_bit, pw_d, pw_u)
+            ascending = (lane & k) == 0
+            keep_min = ascending ^ has_bit
+            le = (t < pt) | ((t == pt) & (w <= pw))
+            lo_t = jnp.where(le, t, pt)
+            lo_w = jnp.where(le, w, pw)
+            hi_t = jnp.where(le, pt, t)
+            hi_w = jnp.where(le, pw, w)
+            t = jnp.where(keep_min, lo_t, hi_t)
+            w = jnp.where(keep_min, lo_w, hi_w)
+            j //= 2
+        k *= 2
+    return t, w
+
+
+def _candidates_kernel(t_ref, w_ref, mwir_ref, out_ref, *,
+                       walk_elems, kk, l2):
+    t = t_ref[:]
+    w = w_ref[:]
+    n, l = t.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    mwir = mwir_ref[:]                                # (n, 1)
+
+    t, w = _sort2_lanes(t, w)
+    is_match = t != I32_MAX
+
+    # walk sweep: hits + carried begin window (rows.py walk path)
+    w_lo = w - (mwir - 1)
+    hits = jnp.ones((n, l), jnp.int32)
+    beg = w
+    for e in range(1, walk_elems):
+        te = _roll(t, e, l)
+        we = _roll(w, e, l)
+        ok = (lane >= e) & (te == t) & (we >= w_lo)
+        hits = hits + ok.astype(jnp.int32)
+        beg = jnp.where(ok, we, beg)     # last ok shift = smallest win
+
+    # group ids: inclusive prefix sum of new-target flags
+    prev_t = _roll(t, 1, l)
+    newt = (lane == 0) | (t != prev_t)
+    g = newt.astype(jnp.int32)
+    d = 1
+    while d < l:
+        g = g + jnp.where(lane >= d, _roll(g, d, l), 0)
+        d *= 2
+
+    # segmented suffix max of key within each target group
+    key = hits * l2 + (l2 - 1 - lane)
+    v = jnp.where(is_match, key, -1)
+    d = 1
+    while d < l:
+        vn = _roll(v, -d, l)
+        gn = _roll(g, -d, l)
+        ok = (lane < l - d) & (gn == g)
+        v = jnp.maximum(v, jnp.where(ok, vn, -1))
+        d *= 2
+    repkey = jnp.where(newt & is_match, v, -1)
+
+    # top-k groups by (hits desc, earliest best slot) == max key
+    shift = int(l2).bit_length() - 1
+    cols = []
+    for _ in range(kk):
+        best = jnp.max(repkey, axis=1, keepdims=True)    # (n, 1)
+        ok = best > 0
+        bestcol = jnp.where(ok, (l2 - 1) - (best & (l2 - 1)), 0)
+        sel = lane == bestcol
+        pick = lambda x, d_: jnp.where(
+            ok[:, 0], jnp.max(jnp.where(sel, x, jnp.int32(-2**31)),
+                              axis=1), d_)
+        cols.append(jnp.stack([
+            pick(t, -1),
+            jnp.where(ok[:, 0], best[:, 0] >> shift, 0),
+            pick(beg, 0),
+            pick(w, 0),
+        ], axis=1))
+        repkey = jnp.where(repkey == best, -1, repkey)
+
+    res = jnp.concatenate(cols, axis=1)                  # (n, 4*kk)
+    pad = out_ref.shape[1] - res.shape[1]
+    out_ref[:] = jnp.concatenate(
+        [res, jnp.zeros((n, pad), jnp.int32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("walk_elems",
+                                             "max_candidates", "tile"))
+def candidates_pallas(tgt: jax.Array, win: jax.Array, mwir: jax.Array,
+                      walk_elems: int, max_candidates: int = 2,
+                      tile: int = 0):
+    """(B, L) unsorted match slots -> per-row top-k candidates.
+
+    Returns (cand_tgt, cand_hits, cand_beg, cand_end), each (B, K) i32;
+    cand_tgt == -1 marks empty slots. L is padded to a power of two
+    internally (extra lanes hold the (I32_MAX, I32_MAX) padding the
+    sort sends last).
+    """
+    b, l = tgt.shape
+    kk = max_candidates
+    l2 = 1 << max(int(l - 1).bit_length(), 7)
+    if l2 != l:
+        padc = jnp.full((b, l2 - l), I32_MAX, jnp.int32)
+        tgt = jnp.concatenate([tgt, padc], axis=1)
+        win = jnp.concatenate([win, padc], axis=1)
+    if tile <= 0:
+        # keep the working set (~10 live arrays of (tile, l2) i32 plus
+        # Mosaic roll temporaries) well under the 16 MB VMEM scope:
+        # tile * l2 * 4B <= 256 KB => total stack ~5-8 MB
+        tile = max(8, min(256, (1 << 18) // (l2 * 4)))
+    while b % tile:
+        tile //= 2
+    grid = (b // tile,)
+    import contextlib
+    ctx = pltpu.force_tpu_interpret_mode() \
+        if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        out = _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b)
+    k4 = 4 * kk
+    res = out[:, :k4].reshape(b, kk, 4)
+    return res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3]
+
+
+def _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b):
+    return pl.pallas_call(
+        functools.partial(_candidates_kernel, walk_elems=walk_elems,
+                          kk=kk, l2=l2),
+        out_shape=jax.ShapeDtypeStruct((b, 128), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, l2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, l2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(tgt, win, mwir.reshape(b, 1))

@@ -47,7 +47,9 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    *, max_candidates: int,
                    walk_elems: int = 0,
                    dedup_walk: int = 0,
-                   fast_top2: bool = False) -> QueryResult:
+                   fast_top2: bool = False,
+                   fused_candidates: bool = False,
+                   emit_hits: bool = True) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
@@ -79,12 +81,36 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     b, l = tgt.shape
     kk = max_candidates
 
+    if (fused_candidates and fast_top2 and kk <= 4 and not dedup_walk
+            and 0 < walk_elems):
+        # one VMEM-resident Pallas pass: sort + sweep + top-k
+        # (ops.candidates_pallas) — callers must not need per-hit lists
+        # (emit_hits=False), since the sorted slots never reach HBM
+        assert not emit_hits, \
+            "fused_candidates cannot emit per-hit lists"
+        from .candidates_pallas import candidates_pallas
+        cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(
+            tgt, win, mwir, walk_elems=walk_elems, max_candidates=kk)
+        ntax = merge_tax_of_target.shape[0]
+        cand_tax = jnp.where(
+            cand_tgt >= 0,
+            merge_tax_of_target[jnp.clip(cand_tgt, 0, ntax - 1)], 0)
+        cls_tax = classify_candidates(
+            cand_tgt, cand_tax, cand_hits, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank)
+        dummy = jnp.zeros((1,), jnp.int32)
+        return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg,
+                           cand_end, cls_tax, dummy, dummy, dummy)
+
     # ---- per-row sort by (target, window) ------------------------------
     tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
     is_match = tgt != I32_MAX
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
-    hit_tgt_flat = tgt.reshape(-1)
-    hit_win_flat = win.reshape(-1)
+    if emit_hits:
+        hit_tgt_flat = tgt.reshape(-1)
+        hit_win_flat = win.reshape(-1)
+    else:
+        hit_tgt_flat = hit_win_flat = None
 
     carry_beg = False
     if 0 < dedup_walk:
@@ -251,9 +277,13 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
 
     # flat hit arrays for -allhits (row-major: qid = row index; always the
     # original pre-dedup sorted slots)
-    hit_qid = jnp.where(hit_tgt_flat.reshape(b, l) != I32_MAX,
-                        jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
-                        jnp.int32(b)).reshape(-1)
+    if hit_tgt_flat is None:
+        hit_qid = hit_tgt_flat = hit_win_flat = jnp.zeros((1,), jnp.int32)
+    else:
+        hit_qid = jnp.where(
+            hit_tgt_flat.reshape(b, l) != I32_MAX,
+            jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
+            jnp.int32(b)).reshape(-1)
     return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg, cand_end,
                        cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
@@ -278,45 +308,58 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
     b, l = tgt.shape
     l2 = 1 << int(l).bit_length()
     kb = l2 * l2
-    assert l * kb < 2**31, "fast_top2 needs L * 4^ceil(log2 L) < 2^31"
-    neg_inf = jnp.int32(-2**31 + 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    # group-isolated keys fit i32 only while l * l2^2 < 2^31 (~192
+    # slots); deep-bucket databases (spf up to 254 -> l ~ 4k) widen the
+    # scan to i64 (emulated on TPU: ~2x the cummax cost, still far below
+    # the three L-lane bitonic sorts this path replaces)
+    import contextlib
+    wide = l * kb >= 2**31
+    ctx = jax.enable_x64(True) if wide else contextlib.nullcontext()
+    with ctx:
+        # NOTE: the whole scan AND the extraction loop live inside the
+        # x64 scope — any op mixing an int64 array with a Python scalar
+        # outside it would silently demote (and truncate) to int32.
+        kdt = jnp.int64 if wide else jnp.int32
+        neg_inf = kdt(jnp.iinfo(kdt).min + 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
 
-    key = hits * l2 + (l2 - 1 - col)
-    prev_t = jnp.concatenate(
-        [jnp.full((b, 1), -1, jnp.int32), tgt[:, :-1]], axis=1)
-    newt = (col == 0) | (tgt != prev_t)
-    g = jnp.cumsum(newt.astype(jnp.int32), axis=1)
-    v = jnp.where(is_match, key - g * kb, neg_inf)
-    sufmax = jax.lax.cummax(v[:, ::-1], axis=1)[:, ::-1]
-    repkey = jnp.where(newt & is_match, sufmax + g * kb, neg_inf)
+        key = hits.astype(kdt) * l2 + (l2 - 1 - col)
+        prev_t = jnp.concatenate(
+            [jnp.full((b, 1), -1, jnp.int32), tgt[:, :-1]], axis=1)
+        newt = (col == 0) | (tgt != prev_t)
+        g = jnp.cumsum(newt.astype(kdt), axis=1)
+        v = jnp.where(is_match, key - g * kb, neg_inf)
+        sufmax = jax.lax.cummax(v[:, ::-1], axis=1)[:, ::-1]
+        repkey = jnp.where(newt & is_match, sufmax + g * kb, neg_inf)
 
-    shift = int(l2).bit_length() - 1
-    comp = repkey
-    c_tgt, c_tax, c_hits, c_beg, c_end = [], [], [], [], []
-    ntax = merge_tax_of_target.shape[0]
-    for _ in range(kk):
-        mx = comp.max(axis=1, keepdims=True)
-        ok = mx[:, 0] > 0
-        bestkey = jnp.where(ok, mx[:, 0], 0)
-        bestcol = jnp.clip(l2 - 1 - (bestkey & (l2 - 1)), 0, l - 1)
-        bc = bestcol[:, None]
-        t_b = jnp.take_along_axis(tgt, bc, axis=1)[:, 0]
-        w_b = jnp.take_along_axis(win, bc, axis=1)[:, 0]
-        lo_b = jnp.take_along_axis(lo, bc, axis=1)[:, 0]
-        if carry_beg:
-            beg_b = lo_b                       # begin window carried
-        else:
-            beg_b = jnp.take_along_axis(
-                win, jnp.clip(lo_b, 0, l - 1)[:, None], axis=1)[:, 0]
-        tg = jnp.where(ok, t_b, -1)
-        c_tgt.append(tg)
-        c_tax.append(jnp.where(
-            ok, merge_tax_of_target[jnp.clip(tg, 0, ntax - 1)], 0))
-        c_hits.append(jnp.where(ok, bestkey >> shift, 0))
-        c_beg.append(jnp.where(ok, beg_b, 0))
-        c_end.append(jnp.where(ok, w_b, 0))
-        comp = jnp.where(comp == mx, neg_inf, comp)
+        shift = int(l2).bit_length() - 1
+        comp = repkey
+        c_tgt, c_tax, c_hits, c_beg, c_end = [], [], [], [], []
+        ntax = merge_tax_of_target.shape[0]
+        for _ in range(kk):
+            mx = comp.max(axis=1, keepdims=True)
+            ok = mx[:, 0] > 0
+            bestkey = jnp.where(ok, mx[:, 0], 0)
+            bestcol = jnp.clip(l2 - 1 - (bestkey & (l2 - 1)),
+                               0, l - 1).astype(jnp.int32)
+            bc = bestcol[:, None]
+            t_b = jnp.take_along_axis(tgt, bc, axis=1)[:, 0]
+            w_b = jnp.take_along_axis(win, bc, axis=1)[:, 0]
+            lo_b = jnp.take_along_axis(lo, bc, axis=1)[:, 0]
+            if carry_beg:
+                beg_b = lo_b                   # begin window carried
+            else:
+                beg_b = jnp.take_along_axis(
+                    win, jnp.clip(lo_b, 0, l - 1)[:, None], axis=1)[:, 0]
+            tg = jnp.where(ok, t_b, -1)
+            c_tgt.append(tg)
+            c_tax.append(jnp.where(
+                ok, merge_tax_of_target[jnp.clip(tg, 0, ntax - 1)], 0))
+            c_hits.append(jnp.where(ok, bestkey >> shift,
+                                    0).astype(jnp.int32))
+            c_beg.append(jnp.where(ok, beg_b, 0))
+            c_end.append(jnp.where(ok, w_b, 0))
+            comp = jnp.where(comp == mx, neg_inf, comp)
 
     cand_tgt = jnp.stack(c_tgt, axis=1)
     cand_tax = jnp.stack(c_tax, axis=1)
@@ -327,9 +370,13 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
     cls_tax = classify_candidates(
         cand_tgt, cand_tax, cand_hits, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank)
-    hit_qid = jnp.where(hit_tgt_flat.reshape(b, l) != I32_MAX,
-                        jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
-                        jnp.int32(b)).reshape(-1)
+    if hit_tgt_flat is None:
+        hit_qid = hit_tgt_flat = hit_win_flat = jnp.zeros((1,), jnp.int32)
+    else:
+        hit_qid = jnp.where(
+            hit_tgt_flat.reshape(b, l) != I32_MAX,
+            jax.lax.broadcasted_iota(jnp.int32, (b, l), 0),
+            jnp.int32(b)).reshape(-1)
     return QueryResult(cand_tgt, cand_tax, cand_hits, cand_beg, cand_end,
                        cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
@@ -414,7 +461,8 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "num_parts", "dense",
-                     "walk_elems", "dedup_walk", "fast_top2"))
+                     "walk_elems", "dedup_walk", "fast_top2",
+                     "fused_candidates", "emit_hits"))
 def query_step_rows_multipart(windows, valid, mwir,
                               part_feats, part_offsets, part_ltgt,
                               part_lwin, merge_tax_of_target, lineages,
@@ -429,7 +477,9 @@ def query_step_rows_multipart(windows, valid, mwir,
                               dense: tuple = (),
                               walk_elems: int = 0,
                               dedup_walk: int = 0,
-                              fast_top2: bool = False) -> QueryResult:
+                              fast_top2: bool = False,
+                              fused_candidates: bool = False,
+                              emit_hits: bool = True) -> QueryResult:
     """Row-layout query over a multi-part database: sketch once, probe
     every part, concatenate per-query slot rows (reference probes every
     DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
@@ -453,7 +503,8 @@ def query_step_rows_multipart(windows, valid, mwir,
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk, fast_top2=fast_top2)
+        dedup_walk=dedup_walk, fast_top2=fast_top2,
+        fused_candidates=fused_candidates, emit_hits=emit_hits)
 
 
 @functools.partial(
@@ -462,7 +513,7 @@ def query_step_rows_multipart(windows, valid, mwir,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
-                     "fast_top2"))
+                     "fast_top2", "fused_candidates", "emit_hits"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -475,7 +526,9 @@ def query_step_rows(windows, valid, mwir,
                     use_pallas_sketch: bool = False,
                     walk_elems: int = 0,
                     dedup_walk: int = 0,
-                    fast_top2: bool = False) -> QueryResult:
+                    fast_top2: bool = False,
+                    fused_candidates: bool = False,
+                    emit_hits: bool = True) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -503,7 +556,7 @@ def query_step_rows(windows, valid, mwir,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
-                     "fast_top2"))
+                     "fast_top2", "fused_candidates"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -516,7 +569,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          use_pallas_sketch: bool = False,
                          walk_elems: int = 0,
                          dedup_walk: int = 0,
-                         fast_top2: bool = False):
+                         fast_top2: bool = False,
+                         fused_candidates: bool = False):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -537,7 +591,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
             max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk, fast_top2=fast_top2)
+            dedup_walk=dedup_walk, fast_top2=fast_top2,
+            fused_candidates=fused_candidates, emit_hits=False)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

@@ -1,0 +1,256 @@
+"""On-device feature-table construction (RefSeq-scale builds).
+
+The host path (ops.table.FeatureTable + fused_rows/fused_rows_two_tier)
+sorts and fills rows in NumPy and ships multi-GB layouts over the
+host->device link — minutes at 100M+ locations through this
+environment's TPU tunnel. Here the (feature, target, window) stream
+stays on the TPU from the sketch kernel onward:
+
+  1. one stable device sort by feature (~1 s for 133M pairs)
+  2. segment scans (cumsum/cummax/cummin) for bucket ids, in-bucket
+     columns, bucket sizes and overflow ids — all gather-free
+  3. HBM-chunked unique-destination scatters build the probe layouts in
+     place (head/overflow fused rows + bucket-row index)
+
+mirroring the reference's GPU-side bulk insert (gpu_hashmap.cu:190-230,
+warpcore insert + bb_segsort) rather than its host hashmap. Two tiny
+host syncs (distinct-feature count + bucket-size histogram) size the
+static output shapes.
+
+Layout parity: rows are bit-identical to ops.table.FeatureTable's
+fused_rows / fused_rows_two_tier / ops.probe.make_bucket_index for the
+same input stream (tests/test_table_device.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAX = jnp.iinfo(jnp.int32).max
+SENT = np.uint32(0xFFFFFFFF)   # sentinel feature (empty sketch slots)
+
+
+class DeviceTable(NamedTuple):
+    """Probe-ready device arrays (single part)."""
+    uniq: jax.Array          # (F,) u32 sorted distinct features
+    offsets: jax.Array       # (F+1,) i32 capped CSR offsets
+    head: jax.Array          # (F, 64+) i32 fused head rows
+    ovf: jax.Array           # (NOVF+1, ...) i32 overflow rows (row 0 dummy)
+    brows: jax.Array         # (2^bits, 64) i32 bucket-row probe index
+    bbits: int
+    nf: int                  # distinct features
+    spf: int                 # slots per feature (= min(max bucket, cap))
+    head_slots: int          # H (= spf when dense: ovf is a dummy row)
+    num_locations: int       # total capped locations
+
+
+def _chunked_scatter(out, rows, cols, vals, nch: int):
+    """out.at[rows, cols].set(vals) in nch sequential chunks (bounds the
+    scatter's index/update temporaries to chunk size; destinations are
+    unique so chunk order is irrelevant). Out-of-range rows/cols drop."""
+    n = rows.shape[0]
+    ch = -(-n // nch)
+    pad = ch * nch - n
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad,), out.shape[0],
+                                               rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+    def body(i, out):
+        r = jax.lax.dynamic_slice(rows, (i * ch,), (ch,))
+        c = jax.lax.dynamic_slice(cols, (i * ch,), (ch,))
+        v = jax.lax.dynamic_slice(vals, (i * ch,), (ch,))
+        return out.at[r, c].set(v, mode="drop", unique_indices=True)
+
+    return jax.lax.fori_loop(0, nch, body, out)
+
+
+def _segments(fs):
+    """Per-element segment scans over the feature-sorted stream:
+    -> (newf, r bucket id, col in-bucket position, size_el bucket size)."""
+    n = fs.shape[0]
+    prev = jnp.concatenate([fs[:1] ^ jnp.uint32(1), fs[:-1]])
+    newf = fs != prev
+    i = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    r = jnp.cumsum(newf.astype(jnp.int32)) - 1
+    first = jax.lax.cummax(jnp.where(newf, i, -1))
+    col = i - first
+    # next bucket's start (this bucket's end), via reverse cummin
+    nxt = jnp.concatenate(
+        [jnp.where(newf, i, IMAX)[1:], jnp.full((1,), n, jnp.int32)])
+    nxt = jax.lax.cummin(nxt[::-1])[::-1]
+    size_el = nxt - first
+    return newf, r, col, size_el
+
+
+@functools.partial(jax.jit, static_argnames=("presorted",))
+def _stage_sort(f, t, w, presorted: bool):
+    """Stable sort by feature; returns sorted triplet + (nf, maxb)."""
+    if presorted:
+        fs, ts, ws = jax.lax.sort((f, t, w), dimension=0, num_keys=1,
+                                  is_stable=True)
+    else:
+        fs, ts, ws = jax.lax.sort((f, t, w), dimension=0, num_keys=3)
+    newf, r, col, _ = _segments(fs)
+    valid = fs != SENT           # sentinel slots sort last; dropped
+    nf = jnp.sum((newf & valid).astype(jnp.int32))
+    maxb = jnp.max(jnp.where(valid, col, -1)) + 1
+    return fs, ts, ws, nf, maxb
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "cap", "nch"))
+def _stage_sizes(fs, nf: int, cap: int, nch: int):
+    """-> (sizes (nf,) capped bucket sizes, uniq (nf,) u32 features,
+    hist (cap+2,) bucket-size histogram)."""
+    n = fs.shape[0]
+    newf, r, col, size_el = _segments(fs)
+    capped = jnp.minimum(size_el, cap)
+    start_rows = jnp.where(newf, r, nf)
+    zcol = jnp.zeros((n,), jnp.int32)
+    sizes = _chunked_scatter(jnp.zeros((nf, 1), jnp.int32),
+                             start_rows, zcol, capped, nch).reshape(nf)
+    uniq = _chunked_scatter(jnp.zeros((nf, 1), jnp.uint32),
+                            start_rows, zcol, fs, nch).reshape(nf)
+    hist = jnp.bincount(jnp.where(newf & (fs != SENT), capped, cap + 1),
+                        length=cap + 2)
+    return sizes, uniq, hist
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "novf", "cap",
+                                             "head", "bits", "nch"))
+def _stage_rows(fs, ts, ws, sizes, uniq, nf: int, novf: int, cap: int,
+                head: int, bits: int, nch: int):
+    """Build head rows, overflow rows and the bucket-row index —
+    everything per-element is derived from scans (no big gathers)."""
+    n = fs.shape[0]
+    newf, r, col, size_el = _segments(fs)
+    over_el = jnp.minimum(size_el, cap) > head
+    # 1-based overflow row id of the current bucket (0 if not over)
+    ovfid_el = jnp.cumsum((newf & over_el).astype(jnp.int32))
+
+    hw = _pad64(3 + 2 * head)
+    headrows = jnp.zeros((nf, hw), jnp.int32)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
+    over_f = sizes > head
+    ovfid_f = jnp.where(over_f, jnp.cumsum(over_f.astype(jnp.int32)), 0)
+    headrows = headrows.at[fi, 0].set(
+        jax.lax.bitcast_convert_type(uniq, jnp.int32))
+    headrows = headrows.at[fi, 1].set(sizes)
+    headrows = headrows.at[fi, 2].set(ovfid_f)
+    rr = jnp.where(col < head, r, nf)
+    headrows = _chunked_scatter(headrows, rr, 3 + col, ts, nch)
+    headrows = _chunked_scatter(headrows, rr, 3 + head + col, ws, nch)
+
+    ow = cap - head
+    ocols = _pad64(2 * ow) if ow > 0 else 64
+    ovfrows = jnp.zeros((novf + 1, ocols), jnp.int32)
+    if ow > 0 and novf > 0:
+        in_ovf = (col >= head) & (col < cap) & over_el
+        orow = jnp.where(in_ovf, ovfid_el, novf + 1)
+        ocol = jnp.clip(col - head, 0, ow - 1)
+        ovfrows = _chunked_scatter(ovfrows, orow, ocol, ts, nch)
+        ovfrows = _chunked_scatter(ovfrows, orow, ow + ocol, ws, nch)
+
+    # bucket-row probe index (ops.probe.make_bucket_index layout:
+    # row h = [start, features...], width 64)
+    nb = 1 << bits
+    h = (uniq >> np.uint32(32 - bits)).astype(jnp.int32)
+    prev_h = jnp.concatenate([jnp.full((1,), -1, jnp.int32), h[:-1]])
+    newh = h != prev_h
+    firsth = jax.lax.cummax(jnp.where(newh, fi, -1))
+    local = fi - firsth
+    bstart = jnp.full((nb, 1), IMAX, jnp.int32)
+    bstart = _chunked_scatter(
+        bstart, jnp.where(newh, h, nb),
+        jnp.zeros((nf,), jnp.int32), fi, max(nch // 8, 1)).reshape(nb)
+    # empty buckets point at the next nonempty one (== searchsorted)
+    bstart = jnp.concatenate([bstart, jnp.full((1,), nf, jnp.int32)])
+    bstart = jax.lax.cummin(bstart[::-1])[::-1][:nb]
+    brows = jnp.full((nb, 64), -1, jnp.int32)
+    brows = brows.at[:, 0].set(bstart)
+    brows = _chunked_scatter(
+        brows, jnp.where(local < 63, h, nb), 1 + local,
+        jax.lax.bitcast_convert_type(uniq, jnp.int32),
+        max(nch // 8, 1))
+    maxspan = jnp.max(local) + 1
+    return headrows, ovfrows, brows, maxspan
+
+
+def _pad64(c: int) -> int:
+    return max(64, ((c + 7) // 8) * 8)
+
+
+def build_device_table(f, t, w, *, cap: int = 254,
+                       budget_bytes: int | None = None,
+                       presorted: bool = True,
+                       nch: int = 16) -> DeviceTable:
+    """(feature, tgt, win) device arrays -> probe-ready DeviceTable.
+
+    Two tiny host syncs size the static shapes (distinct-feature count,
+    bucket-size histogram); everything else stays on device. The head
+    width is chosen against `budget_bytes` like
+    FeatureTable.choose_layout: dense (head == spf, dummy overflow row)
+    when it fits, else the smallest fitting two-tier split.
+
+    `presorted=True` asserts the input stream is already ascending in
+    (tgt, win) within each feature (true for any sequential build
+    accumulation) — the stable feature sort then preserves it.
+    """
+    from ..utils.platform import hbm_budget_bytes
+    if budget_bytes is None:
+        budget_bytes = hbm_budget_bytes()
+    fs, ts, ws, nf_d, maxb_d = _stage_sort(f, t, w, presorted)
+    del f, t, w
+    nf = int(np.asarray(nf_d))
+    maxb = int(np.asarray(maxb_d))
+    spf = max(min(maxb, cap), 1)
+
+    sizes, uniq, hist_d = _stage_sizes(fs, nf=nf, cap=spf, nch=nch)
+    hist = np.asarray(hist_d)[:spf + 1]   # drop the non-start junk bin
+
+    def bytes_for(hd, n_over):
+        return (nf * _pad64(3 + 2 * hd) * 4 +
+                (n_over + 1) * _pad64(2 * (spf - hd)) * 4)
+
+    cum_over = np.cumsum(hist[::-1])[::-1]        # #buckets size >= idx
+    if bytes_for(spf, 0) <= budget_bytes:
+        head = spf                                 # dense: no overflow
+    else:
+        head = None
+        hcand = min(30, spf - 1)
+        best = None
+        while 0 < hcand < spf:
+            n_over = int(cum_over[hcand + 1])
+            b = bytes_for(hcand, n_over)
+            if b <= budget_bytes and (best is None or b < best[0]):
+                best = (b, hcand)
+            hcand += 16
+        if best is None:
+            raise MemoryError(
+                f"device table needs more HBM than the "
+                f"{budget_bytes/2**30:.1f} GiB budget at any head "
+                "width; use -table-shards / -parts or cull features")
+        head = best[1]
+
+    novf = int(cum_over[head + 1]) if head < spf else 0
+    bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
+    headrows, ovfrows, brows, maxspan_d = _stage_rows(
+        fs, ts, ws, sizes, uniq, nf=nf, novf=novf, cap=spf,
+        head=head, bits=bits, nch=nch)
+    maxspan = int(np.asarray(maxspan_d))
+    if maxspan > 63:
+        raise MemoryError(
+            f"bucket-row index span {maxspan} exceeds 63 lanes at "
+            f"bits={bits} (F={nf}); increase bits")
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(sizes)])
+    num_loc = int(np.asarray(offsets[-1]))
+    return DeviceTable(uniq=uniq, offsets=offsets,
+                       head=headrows, ovf=ovfrows, brows=brows,
+                       bbits=bits, nf=nf, spf=spf, head_slots=head,
+                       num_locations=num_loc)

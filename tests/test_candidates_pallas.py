@@ -1,0 +1,79 @@
+"""Fused Pallas candidate kernel vs rows_to_result (exact parity).
+
+The kernel replaces the sort + walk-sweep + fast_top2 chain of
+ops.rows.rows_to_result; these tests drive both over randomized slot
+rows (interpret mode on CPU) and assert identical candidates at small
+(toy, L=192) and deep-bucket (L=1536, i64-scan regime) widths.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from metacache_tpu.ops.candidates_pallas import candidates_pallas
+from metacache_tpu.ops.rows import I32_MAX, rows_to_result
+
+NR = 21
+
+
+def _random_slots(rng, b, l, ntgt, nwin, fill=0.6):
+    tgt = np.full((b, l), I32_MAX, np.int32)
+    win = np.full((b, l), I32_MAX, np.int32)
+    for i in range(b):
+        n = int(rng.integers(0, int(l * fill) + 1))
+        t = rng.integers(0, ntgt, n).astype(np.int32)
+        w = rng.integers(0, nwin, n).astype(np.int32)
+        tgt[i, :n] = t
+        win[i, :n] = w
+    return tgt, win
+
+
+def _lineages(ntgt):
+    lin = np.zeros((ntgt, NR), np.int32)
+    lin[:, 0] = -np.arange(ntgt) - 1
+    lin[:, 4] = np.arange(ntgt) // 2 + 100
+    lin[:, 20] = 1
+    return lin
+
+
+@pytest.mark.parametrize("b,l,ntgt,nwin,walk", [
+    (64, 192, 12, 40, 12),       # toy-bench shape
+    (16, 1536, 40, 500, 8),      # deep-bucket shape (i64 regime in XLA)
+])
+def test_candidates_pallas_parity(b, l, ntgt, nwin, walk):
+    rng = np.random.default_rng(11)
+    lin = _lineages(ntgt)
+    merge_tax = lin[:, 0].copy()
+    for trial in range(3):
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin)
+        mwir = np.full(b, 3, np.int32)
+        ref = rows_to_result(
+            jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+            jnp.asarray(merge_tax), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            max_candidates=2, walk_elems=walk, fast_top2=True)
+        with pltpu.force_tpu_interpret_mode():
+            ct, ch, cb, ce = candidates_pallas(
+                jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                walk_elems=walk, max_candidates=2)
+        np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
+                                      np.asarray(ct), err_msg="tgt")
+        np.testing.assert_array_equal(np.asarray(ref.cand_hits),
+                                      np.asarray(ch), err_msg="hits")
+        np.testing.assert_array_equal(np.asarray(ref.cand_beg),
+                                      np.asarray(cb), err_msg="beg")
+        np.testing.assert_array_equal(np.asarray(ref.cand_end),
+                                      np.asarray(ce), err_msg="end")
+
+
+def test_candidates_pallas_empty():
+    tgt = np.full((8, 192), I32_MAX, np.int32)
+    win = np.full((8, 192), I32_MAX, np.int32)
+    mwir = np.full(8, 3, np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ct, ch, cb, ce = candidates_pallas(
+            jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+            walk_elems=12, max_candidates=2)
+    assert (np.asarray(ct) == -1).all()
+    assert (np.asarray(ch) == 0).all()

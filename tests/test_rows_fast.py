@@ -81,6 +81,23 @@ def test_fast_top2_parity(maxcand, sweep):
                 err_msg=f"trial {trial} sweep {sweep} field {f}")
 
 
+def test_fast_top2_wide_rows_i64():
+    """L large enough that the packed key needs the int64 scan
+    (L * next_pow2(L)^2 >= 2^31 — the deep-bucket regime, spf ~ 254)."""
+    rng = np.random.default_rng(7)
+    b, l, ntgt = 8, 1536, 1200
+    lin = _lineages(ntgt)
+    # the group-isolation term g*kb must actually exceed int32 range
+    # (deep reads hit hundreds of distinct strain targets per row)
+    assert ntgt * (1 << l.bit_length()) ** 2 >= 2**31
+    tgt, win = _random_slots(rng, b, l, ntgt, nwin=500, fill=0.9)
+    mwir = rng.integers(2, 6, b).astype(np.int32)
+    slow = _run(tgt, win, mwir, lin, 2, False)
+    fast = _run(tgt, win, mwir, lin, 2, True)
+    for f in slow:
+        np.testing.assert_array_equal(slow[f], fast[f], err_msg=f)
+
+
 def test_fast_top2_empty_rows():
     lin = _lineages(4)
     tgt = np.full((8, 32), I32_MAX, np.int32)

@@ -1,0 +1,120 @@
+"""On-device table construction vs the host FeatureTable: exact parity.
+
+build_device_table must reproduce FeatureTable's fused_rows_two_tier /
+make_bucket_index layouts bit-for-bit for the same (feature, tgt, win)
+stream, including bucket capping and head/overflow splits.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metacache_tpu.ops.probe import make_bucket_index
+from metacache_tpu.ops.table import FeatureTable, pack_locations
+from metacache_tpu.ops.table_device import build_device_table
+
+
+def _stream(rng, n, nf_hint, ntgt, deep_every=7):
+    """Build-order (feature, tgt, win) stream: ascending (tgt, win),
+    some features very deep (strain-sharing), some singletons."""
+    feats = []
+    tgts = []
+    wins = []
+    pool = rng.integers(0, 2**32, nf_hint, dtype=np.uint32)
+    deep = pool[::deep_every]
+    w = 0
+    for t in range(ntgt):
+        for w in range(n // ntgt):
+            if rng.random() < 0.5:
+                f = deep[rng.integers(0, len(deep))]
+            else:
+                f = pool[rng.integers(0, len(pool))]
+            feats.append(f)
+            tgts.append(t)
+            wins.append(w)
+    return (np.asarray(feats, np.uint32), np.asarray(tgts, np.int32),
+            np.asarray(wins, np.int32))
+
+
+@pytest.mark.parametrize("cap,budget", [
+    (254, None),            # dense fits -> head == spf
+    (254, 1 << 20),         # force a two-tier split
+    (6, None),              # tight cap -> heavy truncation
+])
+def test_device_table_parity(cap, budget):
+    rng = np.random.default_rng(5)
+    f, t, w = _stream(rng, 6000, 300, 8)
+    ft = FeatureTable.build(f.copy(), pack_locations(t, w),
+                            max_locations_per_feature=cap,
+                            presorted_within_feature=True)
+    spf = max(min(ft.max_bucket_size, cap), 1)
+    if budget is None:
+        budget = 1 << 40
+    dt = build_device_table(jnp.asarray(f), jnp.asarray(t),
+                            jnp.asarray(w), cap=cap,
+                            budget_bytes=budget, nch=4)
+    assert dt.nf == ft.num_features
+    assert dt.spf == spf
+    assert dt.num_locations == ft.num_locations
+    np.testing.assert_array_equal(np.asarray(dt.uniq),
+                                  ft.unique_features)
+    np.testing.assert_array_equal(np.asarray(dt.offsets),
+                                  ft.offsets.astype(np.int32))
+    head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
+    got_head = np.asarray(dt.head)
+    np.testing.assert_array_equal(got_head, head)
+    if dt.head_slots < spf:
+        np.testing.assert_array_equal(np.asarray(dt.ovf), ovf)
+    brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
+    got = np.asarray(dt.brows)
+    assert bits == dt.bbits
+    # host rows may be wider than 64 only when spans exceed it (the
+    # device builder asserts they don't)
+    np.testing.assert_array_equal(got[:, 0], brows[:, 0])
+    np.testing.assert_array_equal(got[:, 1:], brows[:, 1:64])
+
+
+def test_device_table_empty_and_tiny():
+    f = np.asarray([7, 7, 7], np.uint32)
+    t = np.asarray([0, 1, 2], np.int32)
+    w = np.asarray([3, 4, 5], np.int32)
+    dt = build_device_table(jnp.asarray(f), jnp.asarray(t),
+                            jnp.asarray(w), cap=2,
+                            budget_bytes=1 << 30, nch=2)
+    assert dt.nf == 1 and dt.spf == 2 and dt.num_locations == 2
+    row = np.asarray(dt.head)[0]
+    assert row[0] == 7 and row[1] == 2
+
+
+def test_device_accumulator_end_to_end():
+    """DeviceSketchAccumulator + build_device_table == host
+    SketchAccumulator + FeatureTable over real sketched genomes."""
+    from metacache_tpu.config import SketchingOptions
+    from metacache_tpu.db.sketch_exec import (DeviceSketchAccumulator,
+                                              SketchAccumulator)
+    from metacache_tpu.ops import windows as W
+
+    rng = np.random.default_rng(9)
+    opt = SketchingOptions().resolved()
+    genomes = [rng.integers(0, 4, 40_000, dtype=np.uint8)
+               for _ in range(3)]
+    genomes.append(genomes[0].copy())          # a duplicate "strain"
+
+    hacc = SketchAccumulator(opt.kmerlen, opt.sketchlen)
+    dacc = DeviceSketchAccumulator(opt.kmerlen, opt.sketchlen)
+    for tid, g in enumerate(genomes):
+        wm, vl = W.sequence_windows(g, opt)
+        hacc.add_target(wm, vl, tid)
+        dacc.add_target(wm, vl, tid)
+    bf, bl = hacc.finish()
+    ft = FeatureTable.build(bf, bl, presorted_within_feature=True,
+                            max_locations_per_feature=3)
+    f, t, w = dacc.finish_device()
+    dt = build_device_table(f, t, w, cap=3, budget_bytes=1 << 40, nch=4)
+    assert dt.nf == ft.num_features
+    assert dt.num_locations == ft.num_locations
+    np.testing.assert_array_equal(np.asarray(dt.uniq),
+                                  ft.unique_features)
+    spf = max(min(ft.max_bucket_size, 3), 1)
+    head, _ = ft.fused_rows_two_tier(spf, dt.head_slots)
+    np.testing.assert_array_equal(np.asarray(dt.head), head)
