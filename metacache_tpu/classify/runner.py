@@ -320,10 +320,38 @@ class QueryRunner:
             dense_cap = int(_os.environ.get("MC_DENSE_LIMIT", 0)) or None
         except ValueError:
             pass
+        use_dev_layout = (
+            _os.environ.get("MC_DEVICE_LAYOUT", "1") != "0"
+            and self._mesh is None and self._tmesh is None)
         for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
             allow_dense = dense_cap is None or \
                 p.layout_bytes("dense", 0, spf) <= dense_cap
+            if use_dev_layout and p.num_features:
+                # build the probe rows ON DEVICE from the CSR stream
+                # (12 B/location crosses the link instead of the padded
+                # rows — the only way multi-GB parts stage in sane time
+                # through this environment's TPU tunnel)
+                try:
+                    from ..ops.table_device import device_layout_from_csr
+                    ltgt, lwin = unpack_locations(p.locations)
+                    dtab = device_layout_from_csr(
+                        p.unique_features, p.offsets, ltgt, lwin,
+                        cap=db.max_locations_per_feature or 254,
+                        budget_bytes=remaining,
+                        allow_dense=allow_dense)
+                    remaining -= dtab.layout_bytes
+                    self._tables.append((
+                        dtab.uniq, dtab.offsets, dtab.head, dtab.ovf,
+                        dtab.spf))
+                    self._dense.append(
+                        True if dtab.dense else
+                        ("two_tier", dtab.head_slots))
+                    self._prefix.append((dtab.brows, 0))
+                    self._prefix_bits.append(dtab.bbits)
+                    continue
+                except MemoryError:
+                    pass                      # CSR fallback below
             kind, hsl = p.choose_layout(spf, remaining, allow_dense)
             remaining -= p.layout_bytes(kind, hsl, spf)
             if kind == "dense":

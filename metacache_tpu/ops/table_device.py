@@ -44,8 +44,10 @@ class DeviceTable(NamedTuple):
     bbits: int
     nf: int                  # distinct features
     spf: int                 # slots per feature (= min(max bucket, cap))
-    head_slots: int          # H (= spf when dense: ovf is a dummy row)
+    head_slots: int          # H (== spf when dense)
     num_locations: int       # total capped locations
+    dense: bool = False      # head rows are the 1-gather dense layout
+    layout_bytes: int = 0    # device bytes of head+ovf rows
 
 
 def _chunked_scatter(out, rows, cols, vals, nch: int):
@@ -88,7 +90,8 @@ def _segments(fs):
     return newf, r, col, size_el
 
 
-@functools.partial(jax.jit, static_argnames=("presorted",))
+@functools.partial(jax.jit, static_argnames=("presorted",),
+                   donate_argnums=(0, 1, 2))
 def _stage_sort(f, t, w, presorted: bool):
     """Stable sort by feature; returns sorted triplet + (nf, maxb)."""
     if presorted:
@@ -122,18 +125,52 @@ def _stage_sizes(fs, nf: int, cap: int, nch: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nf", "novf", "cap",
-                                             "head", "bits", "nch"))
+                                             "head", "bits", "nch",
+                                             "dense"))
 def _stage_rows(fs, ts, ws, sizes, uniq, nf: int, novf: int, cap: int,
-                head: int, bits: int, nch: int):
+                head: int, bits: int, nch: int, dense: bool = False):
     """Build head rows, overflow rows and the bucket-row index —
     everything per-element is derived from scans (no big gathers)."""
-    n = fs.shape[0]
     newf, r, col, size_el = _segments(fs)
+    return _rows_impl(newf, r, col, size_el, ts, ws, sizes, uniq,
+                      nf=nf, novf=novf, cap=cap, head=head, bits=bits,
+                      nch=nch, dense=dense)
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "novf", "cap",
+                                             "head", "bits", "nch",
+                                             "dense"))
+def _stage_rows_csr(start, ts, ws, sizes, uniq, nf: int, novf: int,
+                    cap: int, head: int, bits: int, nch: int,
+                    dense: bool = False):
+    """_stage_rows for an already-sorted CSR stream: `start` marks the
+    first element of each bucket (scattered from offsets)."""
+    n = ts.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    r = jnp.cumsum(start.astype(jnp.int32)) - 1
+    first = jax.lax.cummax(jnp.where(start, i, -1))
+    col = i - first
+    nxt = jnp.concatenate(
+        [jnp.where(start, i, IMAX)[1:], jnp.full((1,), n, jnp.int32)])
+    nxt = jax.lax.cummin(nxt[::-1])[::-1]
+    size_el = nxt - first
+    return _rows_impl(start, r, col, size_el, ts, ws, sizes, uniq,
+                      nf=nf, novf=novf, cap=cap, head=head, bits=bits,
+                      nch=nch, dense=dense)
+
+
+def _rows_impl(newf, r, col, size_el, ts, ws, sizes, uniq, *, nf: int,
+               novf: int, cap: int, head: int, bits: int, nch: int,
+               dense: bool):
+    n = ts.shape[0]
     over_el = jnp.minimum(size_el, cap) > head
     # 1-based overflow row id of the current bucket (0 if not over)
     ovfid_el = jnp.cumsum((newf & over_el).astype(jnp.int32))
 
-    hw = _pad64(3 + 2 * head)
+    # dense layout: [f, count, tgt*W, win*W] (probe_rows dense=True,
+    # ONE gather); two-tier: [f, count, ovfid, tgt*H, win*H]
+    base = 2 if dense else 3
+    hw = _pad64(base + 2 * head)
     headrows = jnp.zeros((nf, hw), jnp.int32)
     fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
     over_f = sizes > head
@@ -141,10 +178,11 @@ def _stage_rows(fs, ts, ws, sizes, uniq, nf: int, novf: int, cap: int,
     headrows = headrows.at[fi, 0].set(
         jax.lax.bitcast_convert_type(uniq, jnp.int32))
     headrows = headrows.at[fi, 1].set(sizes)
-    headrows = headrows.at[fi, 2].set(ovfid_f)
+    if not dense:
+        headrows = headrows.at[fi, 2].set(ovfid_f)
     rr = jnp.where(col < head, r, nf)
-    headrows = _chunked_scatter(headrows, rr, 3 + col, ts, nch)
-    headrows = _chunked_scatter(headrows, rr, 3 + head + col, ws, nch)
+    headrows = _chunked_scatter(headrows, rr, base + col, ts, nch)
+    headrows = _chunked_scatter(headrows, rr, base + head + col, ws, nch)
 
     ow = cap - head
     ocols = _pad64(2 * ow) if ow > 0 else 64
@@ -214,6 +252,8 @@ def build_device_table(f, t, w, *, cap: int = 254,
     hist = np.asarray(hist_d)[:spf + 1]   # drop the non-start junk bin
 
     def bytes_for(hd, n_over):
+        if hd == spf:                              # dense layout
+            return nf * _pad64(2 + 2 * spf) * 4 + 64 * 4
         return (nf * _pad64(3 + 2 * hd) * 4 +
                 (n_over + 1) * _pad64(2 * (spf - hd)) * 4)
 
@@ -238,10 +278,11 @@ def build_device_table(f, t, w, *, cap: int = 254,
         head = best[1]
 
     novf = int(cum_over[head + 1]) if head < spf else 0
+    dense = head == spf
     bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
     headrows, ovfrows, brows, maxspan_d = _stage_rows(
         fs, ts, ws, sizes, uniq, nf=nf, novf=novf, cap=spf,
-        head=head, bits=bits, nch=nch)
+        head=head, bits=bits, nch=nch, dense=dense)
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(
@@ -253,4 +294,82 @@ def build_device_table(f, t, w, *, cap: int = 254,
     return DeviceTable(uniq=uniq, offsets=offsets,
                        head=headrows, ovf=ovfrows, brows=brows,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
-                       num_locations=num_loc)
+                       num_locations=num_loc, dense=dense,
+                       layout_bytes=bytes_for(head, novf))
+
+
+def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
+                           ltgt: np.ndarray, lwin: np.ndarray, *,
+                           cap: int = 254,
+                           budget_bytes: int | None = None,
+                           allow_dense: bool = True,
+                           nch: int = 16) -> DeviceTable:
+    """Stage a saved/loaded CSR table as device probe rows.
+
+    Uploads only the CSR stream (12 bytes/location) and builds the
+    fused-row layouts on device — the staged rows (up to ~8x the CSR
+    bytes after padding) never cross the host->device link. This is how
+    `query` stages multi-GB databases after load.
+    """
+    from ..utils.platform import hbm_budget_bytes
+    if budget_bytes is None:
+        budget_bytes = hbm_budget_bytes()
+    nf = len(uniq_host)
+    n = len(ltgt)
+    sizes_h = np.diff(offsets_host).astype(np.int32)
+    maxb = int(sizes_h.max()) if nf else 1
+    spf = max(min(maxb, cap), 1)
+    sizes_capped = np.minimum(sizes_h, spf).astype(np.int32)
+
+    def bytes_for(hd, n_over):
+        if hd == spf:
+            return nf * _pad64(2 + 2 * spf) * 4 + 64 * 4
+        return (nf * _pad64(3 + 2 * hd) * 4 +
+                (n_over + 1) * _pad64(2 * (spf - hd)) * 4)
+
+    hist = np.bincount(sizes_capped, minlength=spf + 1)
+    cum_over = np.cumsum(hist[::-1])[::-1]
+    if allow_dense and bytes_for(spf, 0) <= budget_bytes:
+        head = spf
+    else:
+        head = None
+        hcand = min(30, spf - 1)
+        best = None
+        while 0 < hcand < spf:
+            n_over = int(cum_over[hcand + 1])
+            b = bytes_for(hcand, n_over)
+            if b <= budget_bytes and (best is None or b < best[0]):
+                best = (b, hcand)
+            hcand += 16
+        if best is None:
+            raise MemoryError(
+                f"device layout needs more HBM than the "
+                f"{budget_bytes/2**30:.1f} GiB budget at any head "
+                "width; use -table-shards / -parts or cull features")
+        head = best[1]
+    novf = int(cum_over[head + 1]) if head < spf else 0
+    dense = head == spf
+
+    import jax.numpy as jnp
+    start = np.zeros(max(n, 1), bool)
+    start[offsets_host[:-1][sizes_h > 0]] = True
+    uniq = jnp.asarray(uniq_host)
+    sizes = jnp.asarray(sizes_capped)
+    bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
+    headrows, ovfrows, brows, maxspan_d = _stage_rows_csr(
+        jnp.asarray(start), jnp.asarray(ltgt.astype(np.int32)),
+        jnp.asarray(lwin.astype(np.int32)), sizes, uniq,
+        nf=nf, novf=novf, cap=spf, head=head, bits=bits, nch=nch,
+        dense=dense)
+    maxspan = int(np.asarray(maxspan_d))
+    if maxspan > 63:
+        raise MemoryError(
+            f"bucket-row index span {maxspan} exceeds 63 lanes at "
+            f"bits={bits} (F={nf})")
+    offsets = jnp.asarray(
+        np.concatenate([[0], np.cumsum(sizes_capped)]).astype(np.int32))
+    return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
+                       ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
+                       spf=spf, head_slots=head,
+                       num_locations=int(sizes_capped.sum()),
+                       dense=dense, layout_bytes=bytes_for(head, novf))

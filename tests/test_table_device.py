@@ -60,10 +60,13 @@ def test_device_table_parity(cap, budget):
                                   ft.unique_features)
     np.testing.assert_array_equal(np.asarray(dt.offsets),
                                   ft.offsets.astype(np.int32))
-    head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
-    got_head = np.asarray(dt.head)
-    np.testing.assert_array_equal(got_head, head)
-    if dt.head_slots < spf:
+    if dt.dense:
+        assert dt.head_slots == spf
+        np.testing.assert_array_equal(np.asarray(dt.head),
+                                      ft.fused_rows(spf))
+    else:
+        head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
+        np.testing.assert_array_equal(np.asarray(dt.head), head)
         np.testing.assert_array_equal(np.asarray(dt.ovf), ovf)
     brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
     got = np.asarray(dt.brows)
@@ -116,5 +119,37 @@ def test_device_accumulator_end_to_end():
     np.testing.assert_array_equal(np.asarray(dt.uniq),
                                   ft.unique_features)
     spf = max(min(ft.max_bucket_size, 3), 1)
-    head, _ = ft.fused_rows_two_tier(spf, dt.head_slots)
-    np.testing.assert_array_equal(np.asarray(dt.head), head)
+    want = ft.fused_rows(spf) if dt.dense else \
+        ft.fused_rows_two_tier(spf, dt.head_slots)[0]
+    np.testing.assert_array_equal(np.asarray(dt.head), want)
+
+
+def test_device_layout_from_csr_parity():
+    """CSR -> device rows == host fused rows, dense and two-tier."""
+    from metacache_tpu.ops.table import unpack_locations
+    from metacache_tpu.ops.table_device import device_layout_from_csr
+
+    rng = np.random.default_rng(3)
+    f, t, w = _stream(rng, 5000, 200, 6)
+    ft = FeatureTable.build(f.copy(), pack_locations(t, w),
+                            max_locations_per_feature=254,
+                            presorted_within_feature=True)
+    ltgt, lwin = unpack_locations(ft.locations)
+    spf = max(min(ft.max_bucket_size, 254), 1)
+    for budget in (1 << 40, 1 << 20):
+        dt = device_layout_from_csr(ft.unique_features, ft.offsets,
+                                    ltgt, lwin, cap=254,
+                                    budget_bytes=budget, nch=4)
+        assert dt.nf == ft.num_features
+        if dt.dense:
+            np.testing.assert_array_equal(np.asarray(dt.head),
+                                          ft.fused_rows(spf))
+        else:
+            head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
+            np.testing.assert_array_equal(np.asarray(dt.head), head)
+            np.testing.assert_array_equal(np.asarray(dt.ovf), ovf)
+        brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
+        np.testing.assert_array_equal(np.asarray(dt.brows)[:, 0],
+                                      brows[:, 0])
+        np.testing.assert_array_equal(np.asarray(dt.brows)[:, 1:],
+                                      brows[:, 1:64])

@@ -6,8 +6,8 @@ chosen against the measured HBM budget, deep-bucket query step (fused
 Pallas candidates kernel) — all on the real chip.
 
 DB shape (mimics RefSeq skew):
-  - 100 unique 1 Mbp genomes                (buckets ~1)
-  - 12 species x 48 strains x 1 Mbp        (buckets ~48)
+  - 64 unique 1 Mbp genomes                 (buckets ~1)
+  - 12 species x 52 strains x 1 Mbp        (buckets ~52)
   -  1 species x 256 strains x 1 Mbp       (buckets ~256 -> capped 254)
 """
 import os
@@ -33,8 +33,8 @@ from metacache_tpu.ops.rows import (_sketch_dispatch, probe_rows,  # noqa: E402
 from metacache_tpu.ops.table_device import build_device_table  # noqa: E402
 
 GLEN = 1_000_000
-UNIQUE = 100
-CLUSTERS = [(12, 48), (1, 256)]   # (bases, strains)
+UNIQUE = 64
+CLUSTERS = [(12, 52), (1, 256)]   # (bases, strains)
 MUT = 0.003
 RLEN = 100
 B = 8192
