@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: short-read classification throughput on one TPU chip.
+"""Benchmark: classification throughput on one TPU chip.
 
-Builds a synthetic strain-redundant reference database (16 base genomes x 4
-mutated strains x 1 Mbp = 64 Mbp, mimicking RefSeq strain redundancy so
-feature buckets have realistic depth), then measures steady-state device
-classification throughput for 100 bp reads (sketch -> probe -> gather ->
-sort -> candidate sweep -> LCA), reads/min.
+Two databases, both built AND staged entirely on device
+(ops.table_device — sketches never round-trip the host):
+
+1. toy strain DB (16 base genomes x 4 strains x 1 Mbp, max bucket ~12,
+   dense probe layout) — the round-1 headline metric, kept comparable.
+2. RefSeq-skew DB (64 unique + 12x52-strain + 1x256-strain x 1 Mbp =
+   944 Mbp, >= 1 GiB of locations, buckets saturating the 254 cap,
+   HBM-budgeted two-tier layout) — the scale-proof metric.
+
+Short 100 bp reads run through the production path: Pallas sketch ->
+bucket-row probe -> fused-row gather -> fused Pallas candidates kernel
+(sort+sweep+top-k in VMEM) -> LCA, SCAN_K batches per dispatch.
 
 Baseline: reference MetaCache-GPU ~300 M reads/min on 4x V100
 (README.md:7). vs_baseline = ours / 300e6 (single chip vs 4 GPUs).
 
 Prints ONE JSON line.
 """
+import gc
 import json
 import os
 import sys
@@ -21,32 +29,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-NUM_BASE = 16
-STRAINS = 4
-GENOME_LEN = 1_000_000
 READ_LEN = 100
 BATCH_READS = 8192
 SCAN_K = 64         # batches fused per device dispatch (lax.scan) —
                     # measured sweep (tools/profile_query.py): 16 -> 64
-                    # amortizes the ~1 ms fixed per-iteration cost
-                    # (5.28 -> 4.79 ms/batch); B=32768 regresses (probe
-                    # gathers lose locality), so 8192 stays the batch
+                    # amortizes the ~1 ms fixed per-iteration cost;
+                    # B=32768 regresses (probe gathers lose locality)
 WARMUP = 2
-ITERS = 8
+ITERS = 6
 
 
-def make_genomes(rng):
+def make_strain_genomes(rng, specs, glen):
+    """specs: list of (num_bases, strains_per_base, mutation_rate).
+    -> (genomes, species_id per genome) — strains of one base genome
+    share a species so ambiguous sibling-strain hits LCA to species."""
     genomes = []
-    for b in range(NUM_BASE):
-        base = rng.integers(0, 4, GENOME_LEN, dtype=np.uint8)
-        for s in range(STRAINS):
-            g = base.copy()
-            if s:
-                nmut = GENOME_LEN // 100
-                pos = rng.integers(0, GENOME_LEN, nmut)
-                g[pos] = rng.integers(0, 4, nmut, dtype=np.uint8)
-            genomes.append(g)
-    return genomes
+    species = []
+    sp = 0
+    for bases, strains, mut in specs:
+        for b in range(bases):
+            base = rng.integers(0, 4, glen, dtype=np.uint8)
+            for s in range(strains):
+                g = base if s == 0 else base.copy()
+                if s and mut:
+                    nmut = int(glen * mut)
+                    pos = rng.integers(0, glen, nmut)
+                    g[pos] = rng.integers(0, 4, nmut, dtype=np.uint8)
+                genomes.append(g)
+                species.append(sp)
+            sp += 1
+    return genomes, np.asarray(species, np.int32)
+
+
+def dense_tag(dt):
+    """probe_rows `dense` static tag for a DeviceTable layout."""
+    if dt.dense:
+        return "packed" if dt.packed else True
+    return ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed)
+
+
+def build_db(genomes, opt):
+    """Device sketch + on-device table construction."""
+    from metacache_tpu.db.sketch_exec import DeviceSketchAccumulator
+    from metacache_tpu.ops import windows as W
+    from metacache_tpu.ops.table_device import build_device_table
+    t0 = time.time()
+    acc = DeviceSketchAccumulator(opt.kmerlen, opt.sketchlen)
+    for tid, g in enumerate(genomes):
+        wm, vl = W.sequence_windows(g, opt)
+        acc.add_target(wm, vl, tid)
+    f, t, w = acc.finish_device()
+    dt = build_device_table(f, t, w, cap=254)
+    del f, t, w
+    return dt, time.time() - t0
 
 
 def main():
@@ -55,132 +90,105 @@ def main():
     import jax
     import jax.numpy as jnp
     from metacache_tpu.config import SketchingOptions
-    from metacache_tpu.db.sketch_exec import SketchAccumulator
-    from metacache_tpu.ops import windows as W
-    from metacache_tpu.ops.table import FeatureTable, unpack_locations
+    from metacache_tpu.ops.rows import (_sketch_dispatch, probe_rows,
+                                        rows_to_result)
 
     rng = np.random.default_rng(42)
     opt = SketchingOptions().resolved()
-
-    genomes = make_genomes(rng)
-    t_start = time.time()
-
-    # --- build DB on device (sketch) + sort-based table construction ----
-    # (same path the CLI build uses: cross-target batched device sketch,
-    # presorted radix table construction)
-    acc = SketchAccumulator(opt.kmerlen, opt.sketchlen)
-    for tid, g in enumerate(genomes):
-        wm, vl = W.sequence_windows(g, opt)
-        acc.add_target(wm, vl, tid)
-    bf, bl = acc.finish()
-    ft = FeatureTable.build(bf, bl, presorted_within_feature=True)
-    build_s = time.time() - t_start
-
-    ltgt, lwin = unpack_locations(ft.locations)
-    spf = min(ft.max_bucket_size, 255)
-    ntgt = len(genomes)
-    num_ranks = 21
-    lineages = np.zeros((ntgt, num_ranks), np.int32)
-    lineages[:, 0] = -np.arange(ntgt) - 1
-    lineages[:, 4] = np.arange(ntgt) // STRAINS + 100   # species per base
-    lineages[:, 20] = 1
-    merge_tax = lineages[:, 0].copy()
-
-    # --- sample reads, pre-stage batches (row layout: 1 window/read) ----
-    from metacache_tpu.ops.rows import query_step_rows as query_step
-    B = BATCH_READS
-    gsel = rng.integers(0, ntgt, B)
-    pos = rng.integers(0, GENOME_LEN - READ_LEN, B)
-    wins = np.full((B, 1, opt.winlen), 4, np.uint8)
-    for i in range(B):
-        rd = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN].copy()
-        nm = rng.poisson(READ_LEN / 100)      # ~1% sequencing errors
-        if nm:
-            mp = rng.integers(0, READ_LEN, nm)
-            rd[mp] = rng.integers(0, 4, nm, dtype=np.uint8)
-        wins[i, 0, :READ_LEN] = rd
-    valid = np.full((B, 1), READ_LEN, np.int32)
-    mwir = np.full(B, 2, np.int32)
-
-    from metacache_tpu.ops.probe import make_bucket_index
-    brows, bbits = make_bucket_index(ft.unique_features)
-    fused = ft.fused_rows(spf)
-    lt2, lw2 = fused, np.zeros((1,), np.int32)
-
-    # Stack SCAN_K batches and process them inside ONE jitted lax.scan —
-    # one dispatch + one small fetch per SCAN_K * BATCH_READS reads. This
-    # is the production infeed shape and it amortizes host<->device
-    # round-trip latency (the dominant cost through this environment's
-    # TPU tunnel, whose block_until_ready is also unreliable — fetching
-    # result bytes is the only trustworthy timing protocol).
-    import functools
-    from metacache_tpu.ops.rows import (probe_rows, rows_to_result,
-                                        _sketch_dispatch)
-    from metacache_tpu.ops.sketch_jax import sketch_windows
     use_pallas = jax.devices()[0].platform not in ("cpu",)
+    B = BATCH_READS
 
-    @functools.partial(jax.jit, static_argnames=())
-    def query_scan(wins_k, valid_k, mwir_k, tf, to, la, lb, ps, mt, lg):
-        def body(carry, xs):
-            w, v, m = xs
-            f = _sketch_dispatch(w.reshape(B, opt.winlen),
-                                 v.reshape(B), opt.kmerlen,
-                                 opt.sketchlen, use_pallas)
-            t, wn = probe_rows(f.reshape(B, opt.sketchlen), tf, to,
-                               la, lb, spf, ps, bbits, 0,
-                               dense=True)
-            res = rows_to_result(
-                t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                jnp.int32(19), jnp.int32(0), max_candidates=2,
-                walk_elems=2 * opt.sketchlen, fast_top2=True,
-                fused_candidates=use_pallas, emit_hits=False)
-            return carry, res.cls_tax
-        _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
-        return cls_k
+    def lineage_arrays(species):
+        ntgt = len(species)
+        lin = np.zeros((ntgt, 21), np.int32)
+        lin[:, 0] = -np.arange(ntgt) - 1
+        lin[:, 4] = species + 100
+        lin[:, 20] = 1
+        return lin, lin[:, 0].copy()
 
-    wins_k = jnp.asarray(np.broadcast_to(
-        wins[None], (SCAN_K,) + wins.shape).copy())
-    valid_k = jnp.asarray(np.broadcast_to(
-        valid[None], (SCAN_K,) + valid.shape).copy())
-    mwir_k = jnp.asarray(np.broadcast_to(
-        mwir[None], (SCAN_K,) + mwir.shape).copy())
-    targs = (jnp.asarray(ft.unique_features),
-             jnp.asarray(ft.offsets.astype(np.int32)),
-             jnp.asarray(lt2), jnp.asarray(lw2),
-             jnp.asarray(brows),
-             jnp.asarray(merge_tax), jnp.asarray(lineages))
+    def measure(dt, genomes, species, glen, iters=ITERS,
+                long_reads=False):
+        """-> dict of throughput results for one database."""
+        ntgt = len(genomes)
+        lineages, merge_tax = lineage_arrays(species)
+        mt, lg = jnp.asarray(merge_tax), jnp.asarray(lineages)
+        spf, bbits = dt.spf, dt.bbits
+        dense = dense_tag(dt)
 
-    cls_k = query_scan(wins_k, valid_k, mwir_k, *targs)
-    np.asarray(cls_k)
-    for _ in range(WARMUP):
-        np.asarray(query_scan(wins_k, valid_k, mwir_k, *targs))
+        rng2 = np.random.default_rng(7)
+        gsel = rng2.integers(0, ntgt, B)
+        pos = rng2.integers(0, glen - READ_LEN, B)
+        wins = np.full((B, 1, opt.winlen), 4, np.uint8)
+        for i in range(B):
+            rd = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN].copy()
+            nm = rng2.poisson(READ_LEN / 100)
+            if nm:
+                mp = rng2.integers(0, READ_LEN, nm)
+                rd[mp] = rng2.integers(0, 4, nm, dtype=np.uint8)
+            wins[i, 0, :READ_LEN] = rd
+        valid = np.full((B, 1), READ_LEN, np.int32)
+        mwir = np.full(B, 2, np.int32)
 
-    t0 = time.time()
-    prev = None
-    for _ in range(ITERS):
-        r = query_scan(wins_k, valid_k, mwir_k, *targs)
-        if prev is not None:
-            np.asarray(prev)
-        prev = r
-    cls = np.asarray(prev)[0]
-    dt = (time.time() - t0) / (ITERS * SCAN_K)
+        @jax.jit
+        def query_scan(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
+            def body(c, xs):
+                w, v, m = xs
+                fx = _sketch_dispatch(w.reshape(B, opt.winlen),
+                                      v.reshape(B), opt.kmerlen,
+                                      opt.sketchlen, use_pallas)
+                tt, wn = probe_rows(fx.reshape(B, opt.sketchlen), tf,
+                                    to, la, lb, spf, ps, bbits, 0,
+                                    dense=dense)
+                res = rows_to_result(
+                    tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
+                    jnp.int32(19), jnp.int32(0), max_candidates=2,
+                    walk_elems=2 * opt.sketchlen, fast_top2=True,
+                    fused_candidates=use_pallas, emit_hits=False)
+                return c, res.cls_tax
+            _, out = jax.lax.scan(body, 0, (wk, vk, mk))
+            return out
 
-    # sanity: most reads should classify
-    ok_any = np.mean(cls != 0)
+        wk = jnp.asarray(np.broadcast_to(
+            wins[None], (SCAN_K,) + wins.shape).copy())
+        vk = jnp.asarray(np.broadcast_to(
+            valid[None], (SCAN_K,) + valid.shape).copy())
+        mk = jnp.asarray(np.broadcast_to(
+            mwir[None], (SCAN_K,) + mwir.shape).copy())
+        targs = (dt.uniq, dt.offsets, dt.head, dt.ovf, dt.brows, mt, lg)
 
-    reads_per_min = B / dt * 60
+        cls = np.asarray(query_scan(wk, vk, mk, *targs))
+        for _ in range(WARMUP):
+            np.asarray(query_scan(wk, vk, mk, *targs))
+        t0 = time.time()
+        prev = None
+        for _ in range(iters):
+            r = query_scan(wk, vk, mk, *targs)
+            if prev is not None:
+                np.asarray(prev)
+            prev = r
+        np.asarray(prev)
+        dt_s = (time.time() - t0) / (iters * SCAN_K)
+        out = {
+            "reads_per_min": round(B / dt_s * 60),
+            "ms_per_batch": round(dt_s * 1000, 3),
+            "classified_fraction": round(float((cls[0] != 0).mean()), 4),
+        }
 
-    # --- long-read throughput (optional: never blocks the main metric) (reference CPU baseline: ~20M/min for
-    # 200bp-19kb reads, median 480bp; README.md:5) ---------------------
-    long_reads_per_min = 0.0
-    lcls = np.zeros((1, 1), np.int32)
-    LB, LLEN, WQ = 2048, 480, 5
-    try:
-        lsel = rng.integers(0, ntgt, LB)
-        lpos = rng.integers(0, GENOME_LEN - LLEN, LB)
+        if long_reads:
+            out["long"] = measure_long(dt, genomes, glen, mt, lg)
+        return out
+
+    def measure_long(dt, genomes, glen, mt, lg):
+        """480 bp long reads (5 windows, dedup-walk sweep)."""
+        from metacache_tpu.ops.windows import sequence_windows
+        LB, LLEN, WQ = 2048, 480, 5
+        spf, bbits = dt.spf, dt.bbits
+        dense = dense_tag(dt)
+        rng2 = np.random.default_rng(11)
+        lsel = rng2.integers(0, len(genomes), LB)
+        lpos = rng2.integers(0, glen - LLEN, LB)
         lwins = np.full((LB, WQ, opt.winlen), 4, np.uint8)
         lvalid = np.zeros((LB, WQ), np.int32)
-        from metacache_tpu.ops.windows import sequence_windows
         for i in range(LB):
             wm, vl = sequence_windows(
                 genomes[lsel[i]][lpos[i]:lpos[i] + LLEN], opt)
@@ -189,64 +197,105 @@ def main():
         lmwir = np.full(LB, 2 + LLEN // opt.winstride, np.int32)
 
         @jax.jit
-        def query_scan_long(wins_k, valid_k, mwir_k, tf, to, la, lb, ps,
-                            mt, lg):
-            def body(carry, xs):
+        def query_scan_long(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
+            def body(c, xs):
                 w, v, m = xs
-                f = _sketch_dispatch(w.reshape(LB * WQ, opt.winlen),
-                                     v.reshape(LB * WQ), opt.kmerlen,
-                                     opt.sketchlen, use_pallas)
-                f = f.reshape(LB, WQ * opt.sketchlen)
-                t, wn = probe_rows(f, tf, to, la, lb, spf, ps, bbits,
-                                   0, dense=True)
+                fx = _sketch_dispatch(w.reshape(LB * WQ, opt.winlen),
+                                      v.reshape(LB * WQ), opt.kmerlen,
+                                      opt.sketchlen, use_pallas)
+                fx = fx.reshape(LB, WQ * opt.sketchlen)
+                tt, wn = probe_rows(fx, tf, to, la, lb, spf, ps,
+                                    bbits, 0, dense=dense)
                 res = rows_to_result(
-                    t, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
+                    tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2,
-                    dedup_walk=2 + LLEN // opt.winstride, fast_top2=True)
-                return carry, res.cls_tax
-            _, cls_k = jax.lax.scan(body, 0, (wins_k, valid_k, mwir_k))
-            return cls_k
+                    dedup_walk=2 + LLEN // opt.winstride,
+                    fast_top2=True, emit_hits=False)
+                return c, res.cls_tax
+            _, out = jax.lax.scan(body, 0, (wk, vk, mk))
+            return out
 
-        lwk = jnp.asarray(np.broadcast_to(lwins[None],
-                                          (SCAN_K,) + lwins.shape).copy())
-        lvk = jnp.asarray(np.broadcast_to(lvalid[None],
-                                          (SCAN_K,) + lvalid.shape).copy())
-        lmk = jnp.asarray(np.broadcast_to(lmwir[None],
-                                          (SCAN_K,) + lmwir.shape).copy())
-        lcls = query_scan_long(lwk, lvk, lmk, *targs)
-        np.asarray(lcls)
+        k = max(SCAN_K // 4, 4)
+        lwk = jnp.asarray(np.broadcast_to(
+            lwins[None], (k,) + lwins.shape).copy())
+        lvk = jnp.asarray(np.broadcast_to(
+            lvalid[None], (k,) + lvalid.shape).copy())
+        lmk = jnp.asarray(np.broadcast_to(
+            lmwir[None], (k,) + lmwir.shape).copy())
+        targs = (dt.uniq, dt.offsets, dt.head, dt.ovf, dt.brows, mt, lg)
+        lcls = np.asarray(query_scan_long(lwk, lvk, lmk, *targs))
         t0 = time.time()
         prev = None
-        for _ in range(max(ITERS // 2, 2)):
+        it = max(ITERS // 2, 2)
+        for _ in range(it):
             r = query_scan_long(lwk, lvk, lmk, *targs)
             if prev is not None:
                 np.asarray(prev)
             prev = r
-        lcls = np.asarray(prev)
-        ldt = (time.time() - t0) / (max(ITERS // 2, 2) * SCAN_K)
-        long_reads_per_min = LB / ldt * 60
+        np.asarray(prev)
+        ldt = (time.time() - t0) / (it * k)
+        return {
+            "reads_per_min_480bp": round(LB / ldt * 60),
+            "classified_fraction": round(float((lcls[0] != 0).mean()),
+                                         4),
+        }
 
-    except Exception as e:
-        print(f'long-read bench skipped: {e}', file=sys.stderr)
+    # ------- 1. toy strain DB (round-1 comparable) ----------------------
+    GLEN = 1_000_000
+    genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)], GLEN)
+    dt_toy, build_toy_s = build_db(genomes, opt)
+    toy = measure(dt_toy, genomes, species, GLEN, long_reads=True)
+    toy_detail = {
+        "db_features": dt_toy.nf,
+        "db_locations": dt_toy.num_locations,
+        "build_seconds": round(build_toy_s, 1),
+        "max_bucket": dt_toy.spf,
+        "layout": "dense" if dt_toy.dense else
+                  f"two_tier(head={dt_toy.head_slots})",
+        **toy,
+    }
+    del dt_toy, genomes
+    gc.collect()
+
+    # ------- 2. RefSeq-skew DB (scale proof) ----------------------------
+    big_detail = {}
+    if os.environ.get("MC_BENCH_SMALL") != "1":
+        try:
+            genomes, species = make_strain_genomes(
+                rng, [(64, 1, 0.0), (12, 52, 0.003), (1, 256, 0.003)],
+                GLEN)
+            dt_big, build_big_s = build_db(genomes, opt)
+            big = measure(dt_big, genomes, species, GLEN,
+                          iters=max(ITERS // 2, 2))
+            big_detail = {
+                "total_mbp": len(genomes),
+                "db_features": dt_big.nf,
+                "db_locations": dt_big.num_locations,
+                "locations_gib": round(dt_big.num_locations * 8 / 2**30,
+                                       2),
+                "build_seconds": round(build_big_s, 1),
+                "max_bucket": dt_big.spf,
+                "layout": "dense" if dt_big.dense else
+                          f"two_tier(head={dt_big.head_slots})",
+                "layout_gib": round(dt_big.layout_bytes / 2**30, 2),
+                **big,
+            }
+            del dt_big, genomes
+        except Exception as e:          # scale section must never block
+            big_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     out = {
         "metric": "100bp read classification throughput (1 chip, "
-                  f"64x1Mbp strain-redundant DB, max bucket {spf})",
-        "value": round(reads_per_min),
+                  "64x1Mbp strain DB)",
+        "value": toy["reads_per_min"],
         "unit": "reads/min",
-        "vs_baseline": round(reads_per_min / 300e6, 4),
+        "vs_baseline": round(toy["reads_per_min"] / 300e6, 4),
         "detail": {
-            "ms_per_batch": round(dt * 1000, 3),
+            "toy_db": toy_detail,
+            "bigdb_944mbp_maxbucket254": big_detail,
             "batch_reads": B,
             "scan_batches_per_dispatch": SCAN_K,
-            "db_features": int(ft.num_features),
-            "db_locations": int(ft.num_locations),
-            "build_seconds": round(build_s, 1),
-            "classified_fraction": round(float(ok_any), 4),
-            "long_reads_480bp_per_min": round(long_reads_per_min),
-            "long_read_classified_fraction": round(
-                float((lcls[0] != 0).mean()), 4),
-            "devices": [str(d) for d in jax.devices()],
+            "devices": [str(d) for d in __import__("jax").devices()],
         },
     }
     print(json.dumps(out))

@@ -345,8 +345,10 @@ class QueryRunner:
                         dtab.uniq, dtab.offsets, dtab.head, dtab.ovf,
                         dtab.spf))
                     self._dense.append(
-                        True if dtab.dense else
-                        ("two_tier", dtab.head_slots))
+                        ("packed" if dtab.packed else True)
+                        if dtab.dense else
+                        ("two_tier", dtab.head_slots, dtab.packed,
+                         dtab.ovf_packed))
                     self._prefix.append((dtab.brows, 0))
                     self._prefix_bits.append(dtab.bbits)
                     continue

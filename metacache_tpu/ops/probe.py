@@ -70,9 +70,18 @@ def make_bucket_index(features: np.ndarray, bits: int | None = None):
 
 
 def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
-    """-> (idx i32, found bool) via one bucket-row gather + lane match."""
+    """-> (idx i32, found bool) via one bucket-row gather + lane match.
+
+    A 128-wide bucket_rows array is the pair-packed device layout
+    (ops.table_device: logical rows 2p/2p+1 in lanes 0-63/64-127 of
+    physical row p; host widths are 64, 65 or 1+2^k — never 128)."""
     h = (flat >> (32 - bits)).astype(jnp.int32)
-    row = bucket_rows[h]                       # ONE row gather
+    if bucket_rows.shape[1] == 128:
+        row2 = bucket_rows[h >> 1]
+        row = jnp.where((h & 1)[:, None] == 1, row2[:, 64:],
+                        row2[:, :64])
+    else:
+        row = bucket_rows[h]                   # ONE row gather
     flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
     match = row[:, 1:] == flat_i32[:, None]
     lanes = jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)

@@ -412,20 +412,32 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
             (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
             jnp.zeros_like(flat, dtype=bool)
     j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
+
+    def half_gather(arr, idx):
+        # pair-packed device rows: logical rows 2p/2p+1 in lanes
+        # 0-63/64-127 of physical row p (ops.table_device)
+        r2 = arr[idx >> 1]
+        return jnp.where((idx & 1)[:, None] == 1, r2[:, 64:],
+                         r2[:, :64])
+
     if isinstance(dense, tuple):
         # two-tier: head rows [feat, count, ovf_idx, tgt*H, win*H] in
         # loc_tgt, overflow rows [tgt*(C-H), win*(C-H)] in loc_win
         # (row 0 = dummy). 2 gathers for shallow buckets' worth of
-        # memory even when the worst bucket is C deep.
+        # memory even when the worst bucket is C deep. Optional 3rd/4th
+        # tuple entries flag pair-packed head/overflow rows.
         hsl = dense[1]
-        rows = loc_tgt[idx_c]                       # head gather
+        hpack = len(dense) > 2 and dense[2]
+        opack = len(dense) > 3 and dense[3]
+        rows = half_gather(loc_tgt, idx_c) if hpack else loc_tgt[idx_c]
         flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
         found = (rows[:, 0] == flat_i32) & \
             (flat != jnp.uint32(0xFFFFFFFF))
         cnt = jnp.where(found, rows[:, 1], 0)
         hit = j < cnt[:, None]
         ow = c - hsl
-        orow = loc_win[jnp.where(found, rows[:, 2], 0)]  # overflow gather
+        oidx = jnp.where(found, rows[:, 2], 0)
+        orow = half_gather(loc_win, oidx) if opack else loc_win[oidx]
         tgts = jnp.concatenate(
             [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
         wins = jnp.concatenate(
@@ -433,7 +445,8 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         tgts = jnp.where(hit, tgts, I32_MAX)
         wins = jnp.where(hit, wins, I32_MAX)
     elif dense:
-        rows = loc_tgt[idx_c]                       # ONE gather
+        rows = half_gather(loc_tgt, idx_c) if dense == "packed" \
+            else loc_tgt[idx_c]                     # ONE gather
         flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
         found = (rows[:, 0] == flat_i32) & \
             (flat != jnp.uint32(0xFFFFFFFF))

@@ -48,6 +48,8 @@ class DeviceTable(NamedTuple):
     num_locations: int       # total capped locations
     dense: bool = False      # head rows are the 1-gather dense layout
     layout_bytes: int = 0    # device bytes of head+ovf rows
+    packed: bool = False     # head: two 64-lane rows per 128-lane row
+    ovf_packed: bool = False # overflow rows likewise
 
 
 def _chunked_scatter(out, rows, cols, vals, nch: int):
@@ -113,39 +115,28 @@ def _stage_sizes(fs, nf: int, cap: int, nch: int):
     n = fs.shape[0]
     newf, r, col, size_el = _segments(fs)
     capped = jnp.minimum(size_el, cap)
-    start_rows = jnp.where(newf, r, nf)
+    # the sentinel bucket (padding elements + empty sketch slots) must
+    # not write its size into the first padding feature row
+    start_rows = jnp.where(newf & (fs != SENT), r, nf)
     zcol = jnp.zeros((n,), jnp.int32)
     sizes = _chunked_scatter(jnp.zeros((nf, 1), jnp.int32),
                              start_rows, zcol, capped, nch).reshape(nf)
-    uniq = _chunked_scatter(jnp.zeros((nf, 1), jnp.uint32),
+    # padding feature rows (beyond the real distinct count) stay SENT so
+    # they sort-order consistently and never match a probe
+    uniq = _chunked_scatter(jnp.full((nf, 1), SENT, jnp.uint32),
                             start_rows, zcol, fs, nch).reshape(nf)
     hist = jnp.bincount(jnp.where(newf & (fs != SENT), capped, cap + 1),
                         length=cap + 2)
     return sizes, uniq, hist
 
 
-@functools.partial(jax.jit, static_argnames=("nf", "novf", "cap",
-                                             "head", "bits", "nch",
-                                             "dense"))
-def _stage_rows(fs, ts, ws, sizes, uniq, nf: int, novf: int, cap: int,
-                head: int, bits: int, nch: int, dense: bool = False):
-    """Build head rows, overflow rows and the bucket-row index —
-    everything per-element is derived from scans (no big gathers)."""
-    newf, r, col, size_el = _segments(fs)
-    return _rows_impl(newf, r, col, size_el, ts, ws, sizes, uniq,
-                      nf=nf, novf=novf, cap=cap, head=head, bits=bits,
-                      nch=nch, dense=dense)
-
-
-@functools.partial(jax.jit, static_argnames=("nf", "novf", "cap",
-                                             "head", "bits", "nch",
-                                             "dense"))
-def _stage_rows_csr(start, ts, ws, sizes, uniq, nf: int, novf: int,
-                    cap: int, head: int, bits: int, nch: int,
-                    dense: bool = False):
-    """_stage_rows for an already-sorted CSR stream: `start` marks the
-    first element of each bucket (scattered from offsets)."""
-    n = ts.shape[0]
+def _marks_segments(marks):
+    """_segments from either a sorted feature stream (u32, sentinel-
+    aware) or precomputed bucket-start flags (bool, CSR path)."""
+    if marks.dtype == jnp.uint32:
+        return _segments(marks)
+    start = marks
+    n = start.shape[0]
     i = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     r = jnp.cumsum(start.astype(jnp.int32)) - 1
     first = jax.lax.cummax(jnp.where(start, i, -1))
@@ -154,48 +145,70 @@ def _stage_rows_csr(start, ts, ws, sizes, uniq, nf: int, novf: int,
         [jnp.where(start, i, IMAX)[1:], jnp.full((1,), n, jnp.int32)])
     nxt = jax.lax.cummin(nxt[::-1])[::-1]
     size_el = nxt - first
-    return _rows_impl(start, r, col, size_el, ts, ws, sizes, uniq,
-                      nf=nf, novf=novf, cap=cap, head=head, bits=bits,
-                      nch=nch, dense=dense)
+    return start, r, col, size_el
 
 
-def _rows_impl(newf, r, col, size_el, ts, ws, sizes, uniq, *, nf: int,
-               novf: int, cap: int, head: int, bits: int, nch: int,
-               dense: bool):
-    n = ts.shape[0]
-    over_el = jnp.minimum(size_el, cap) > head
-    # 1-based overflow row id of the current bucket (0 if not over)
-    ovfid_el = jnp.cumsum((newf & over_el).astype(jnp.int32))
+@functools.partial(jax.jit, static_argnames=("kind", "colbase", "head",
+                                             "cap", "nch", "nrows",
+                                             "pack"),
+                   donate_argnums=(0,))
+def _fill_span(rows, marks, vals, *, kind: str, colbase: int,
+               head: int, cap: int, nch: int, nrows: int,
+               pack: bool = False):
+    """One scatter pass writing `vals` into `rows` (donated: updated in
+    place). kind="head": bucket columns [0, head) at colbase+col of row
+    r; kind="ovf": columns [head, cap) of oversized buckets at
+    colbase+(col-head) of overflow row ovfid. Each pass is its own jit
+    so only ONE (rows, marks, vals) triple is resident at a time —
+    RefSeq-scale fills would exceed HBM in a single fused stage.
 
-    # dense layout: [f, count, tgt*W, win*W] (probe_rows dense=True,
-    # ONE gather); two-tier: [f, count, ovfid, tgt*H, win*H]
-    base = 2 if dense else 3
-    hw = _pad64(base + 2 * head)
-    headrows = jnp.zeros((nf, hw), jnp.int32)
-    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
-    over_f = sizes > head
-    ovfid_f = jnp.where(over_f, jnp.cumsum(over_f.astype(jnp.int32)), 0)
-    headrows = headrows.at[fi, 0].set(
-        jax.lax.bitcast_convert_type(uniq, jnp.int32))
-    headrows = headrows.at[fi, 1].set(sizes)
-    if not dense:
-        headrows = headrows.at[fi, 2].set(ovfid_f)
-    rr = jnp.where(col < head, r, nf)
-    headrows = _chunked_scatter(headrows, rr, base + col, ts, nch)
-    headrows = _chunked_scatter(headrows, rr, base + head + col, ws, nch)
-
-    ow = cap - head
-    ocols = _pad64(2 * ow) if ow > 0 else 64
-    ovfrows = jnp.zeros((novf + 1, ocols), jnp.int32)
-    if ow > 0 and novf > 0:
+    `pack=True`: two logical 64-lane rows share one physical 128-lane
+    row (logical row r -> physical (r >> 1, (r & 1) * 64 + col)); the
+    TPU's (8, 128) int32 tiling would otherwise pad 64-lane rows 2x.
+    `nrows` is the LOGICAL row count (must be even when packing)."""
+    newf, r, col, size_el = _marks_segments(marks)
+    if kind == "head":
+        rr = jnp.where(col < head, r, nrows)
+        cc = colbase + col
+    else:
+        over_el = jnp.minimum(size_el, cap) > head
+        ovfid_el = jnp.cumsum((newf & over_el).astype(jnp.int32))
         in_ovf = (col >= head) & (col < cap) & over_el
-        orow = jnp.where(in_ovf, ovfid_el, novf + 1)
-        ocol = jnp.clip(col - head, 0, ow - 1)
-        ovfrows = _chunked_scatter(ovfrows, orow, ocol, ts, nch)
-        ovfrows = _chunked_scatter(ovfrows, orow, ow + ocol, ws, nch)
+        rr = jnp.where(in_ovf, ovfid_el, nrows)
+        cc = colbase + jnp.clip(col - head, 0, max(cap - head - 1, 0))
+    if pack:
+        rr, cc = rr >> 1, (rr & 1) * 64 + cc
+    return _chunked_scatter(rows, rr, cc, vals, nch)
 
-    # bucket-row probe index (ops.probe.make_bucket_index layout:
-    # row h = [start, features...], width 64)
+
+@functools.partial(jax.jit, static_argnames=("hw", "dense", "head",
+                                             "pack"))
+def _head_init(sizes, uniq, hw: int, dense: bool, head: int,
+               pack: bool = False):
+    """Feature-row headers: [f, count(, ovfid)] + zeroed location lanes."""
+    nf = sizes.shape[0]
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
+    shape = (nf // 2, 128) if pack else (nf, hw)
+    headrows = jnp.zeros(shape, jnp.int32)
+    ri = fi >> 1 if pack else fi
+    cb = (fi & 1) * 64 if pack else jnp.zeros((nf,), jnp.int32)
+    headrows = headrows.at[ri, cb].set(
+        jax.lax.bitcast_convert_type(uniq, jnp.int32))
+    headrows = headrows.at[ri, cb + 1].set(sizes)
+    if not dense:
+        over_f = sizes > head
+        ovfid_f = jnp.where(over_f,
+                            jnp.cumsum(over_f.astype(jnp.int32)), 0)
+        headrows = headrows.at[ri, cb + 2].set(ovfid_f)
+    return headrows
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "nch"))
+def _brows_build(uniq, bits: int, nch: int):
+    """Bucket-row probe index (ops.probe.make_bucket_index layout:
+    row h = [start, features...], width 64) + max span check value."""
+    nf = uniq.shape[0]
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
     nb = 1 << bits
     h = (uniq >> np.uint32(32 - bits)).astype(jnp.int32)
     prev_h = jnp.concatenate([jnp.full((1,), -1, jnp.int32), h[:-1]])
@@ -205,22 +218,83 @@ def _rows_impl(newf, r, col, size_el, ts, ws, sizes, uniq, *, nf: int,
     bstart = jnp.full((nb, 1), IMAX, jnp.int32)
     bstart = _chunked_scatter(
         bstart, jnp.where(newh, h, nb),
-        jnp.zeros((nf,), jnp.int32), fi, max(nch // 8, 1)).reshape(nb)
-    # empty buckets point at the next nonempty one (== searchsorted)
-    bstart = jnp.concatenate([bstart, jnp.full((1,), nf, jnp.int32)])
+        jnp.zeros((nf,), jnp.int32), fi, nch).reshape(nb)
+    # empty buckets point at the next nonempty one (== searchsorted);
+    # sentinel padding rows land in the last bucket, whose scattered
+    # value (-1) equals the empty-lane fill
+    nreal = jnp.sum((uniq != SENT).astype(jnp.int32))
+    bstart = jnp.minimum(jnp.concatenate(
+        [bstart, jnp.full((1,), IMAX, jnp.int32)]), IMAX)
     bstart = jax.lax.cummin(bstart[::-1])[::-1][:nb]
-    brows = jnp.full((nb, 64), -1, jnp.int32)
-    brows = brows.at[:, 0].set(bstart)
+    bstart = jnp.minimum(bstart, nreal)
+    # packed: bucket rows 2p / 2p+1 share physical row p (lanes 0-63 /
+    # 64-127) — nb is a power of two, always even
+    brows = jnp.full((nb // 2, 128), -1, jnp.int32)
+    brows = brows.at[:, 0].set(bstart[0::2])
+    brows = brows.at[:, 64].set(bstart[1::2])
+    rr = jnp.where(local < 63, h, nb)
     brows = _chunked_scatter(
-        brows, jnp.where(local < 63, h, nb), 1 + local,
-        jax.lax.bitcast_convert_type(uniq, jnp.int32),
-        max(nch // 8, 1))
-    maxspan = jnp.max(local) + 1
-    return headrows, ovfrows, brows, maxspan
+        brows, rr >> 1, (rr & 1) * 64 + 1 + local,
+        jax.lax.bitcast_convert_type(uniq, jnp.int32), nch)
+    maxspan = jnp.max(jnp.where(uniq != SENT, local, 0)) + 1
+    return brows, maxspan
+
+
+def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
+                cap: int, head: int, bits: int, nch: int, dense: bool):
+    """Head rows, overflow rows and the bucket index via per-fill jits,
+    bounding concurrent HBM residency to one fill's working set.
+
+    `owned` is a [marks, ts, ws] list whose refs this function consumes
+    (callers must not keep their own) so each array frees right after
+    its last fill."""
+    marks, ts, ws = owned
+    owned.clear()
+    base = 2 if dense else 3
+    hw = _pad64(base + 2 * head)
+    pack = hw == 64 and nf % 2 == 0
+    ow = cap - head
+    ocols = _pad64(2 * ow) if ow > 0 else 64
+    novf_rows = novf + 2 if novf % 2 else novf + 1   # even when packing
+    opack = ocols == 64 and novf_rows % 2 == 0
+    # overflow rows first — while the (larger) head rows don't exist
+    # yet, keeping peak residency = max(head, ovf) + fill working set
+    ovfrows = jnp.zeros((novf_rows // 2, 128) if opack else
+                        (novf_rows, ocols), jnp.int32)
+    if ow > 0 and novf > 0:
+        ovfrows = _fill_span(ovfrows, marks, ts, kind="ovf", colbase=0,
+                             head=head, cap=cap, nch=nch,
+                             nrows=novf_rows, pack=opack)
+        ovfrows = _fill_span(ovfrows, marks, ws, kind="ovf",
+                             colbase=ow, head=head, cap=cap, nch=nch,
+                             nrows=novf_rows, pack=opack)
+    headrows = _head_init(sizes, uniq, hw=hw, dense=dense, head=head,
+                          pack=pack)
+    headrows = _fill_span(headrows, marks, ts, kind="head",
+                          colbase=base, head=head, cap=cap, nch=nch,
+                          nrows=nf, pack=pack)
+    ts = None
+    headrows = _fill_span(headrows, marks, ws, kind="head",
+                          colbase=base + head, head=head, cap=cap,
+                          nch=nch, nrows=nf, pack=pack)
+    ws = marks = None
+    brows, maxspan = _brows_build(uniq, bits=bits,
+                                  nch=max(nch // 8, 1))
+    return headrows, ovfrows, brows, maxspan, pack, opack
 
 
 def _pad64(c: int) -> int:
     return max(64, ((c + 7) // 8) * 8)
+
+
+def _quantize(n: int, min_bits: int) -> int:
+    """Round n up to ~3 significant bits so static shapes (and their
+    multi-minute remote compiles) are shared across database sizes;
+    padding elements/rows are sentinels that never match a probe."""
+    if n <= 0:
+        return 1 << min_bits
+    q = 1 << max(min_bits, n.bit_length() - 4)
+    return -(-n // q) * q
 
 
 def build_device_table(f, t, w, *, cap: int = 254,
@@ -242,20 +316,35 @@ def build_device_table(f, t, w, *, cap: int = 254,
     from ..utils.platform import hbm_budget_bytes
     if budget_bytes is None:
         budget_bytes = hbm_budget_bytes()
+    n = f.shape[0]
+    n_pad = _quantize(n, 14)
+    if n_pad != n:
+        import jax.numpy as _jnp
+        f = _jnp.concatenate(
+            [f, _jnp.full((n_pad - n,), SENT, _jnp.uint32)])
+        t = _jnp.concatenate([t, _jnp.zeros((n_pad - n,), _jnp.int32)])
+        w = _jnp.concatenate([w, _jnp.zeros((n_pad - n,), _jnp.int32)])
     fs, ts, ws, nf_d, maxb_d = _stage_sort(f, t, w, presorted)
     del f, t, w
     nf = int(np.asarray(nf_d))
     maxb = int(np.asarray(maxb_d))
     spf = max(min(maxb, cap), 1)
+    nf_pad = _quantize(nf, 12)
 
-    sizes, uniq, hist_d = _stage_sizes(fs, nf=nf, cap=spf, nch=nch)
+    sizes, uniq, hist_d = _stage_sizes(fs, nf=nf_pad, cap=spf, nch=nch)
     hist = np.asarray(hist_d)[:spf + 1]   # drop the non-start junk bin
 
     def bytes_for(hd, n_over):
+        # physical bytes: the TPU (8,128) int32 tiling pads the minor
+        # dim to 128 — 64-wide rows are pair-packed so logical==physical
+        def row_b(c):
+            return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64
+                                                        else 1)
         if hd == spf:                              # dense layout
-            return nf * _pad64(2 + 2 * spf) * 4 + 64 * 4
-        return (nf * _pad64(3 + 2 * hd) * 4 +
-                (n_over + 1) * _pad64(2 * (spf - hd)) * 4)
+            return nf_pad * row_b(_pad64(2 + 2 * spf)) + 512
+        return (nf_pad * row_b(_pad64(3 + 2 * hd)) +
+                (_quantize(n_over, 10) + 1) *
+                row_b(_pad64(2 * (spf - hd))))
 
     cum_over = np.cumsum(hist[::-1])[::-1]        # #buckets size >= idx
     if bytes_for(spf, 0) <= budget_bytes:
@@ -278,10 +367,13 @@ def build_device_table(f, t, w, *, cap: int = 254,
         head = best[1]
 
     novf = int(cum_over[head + 1]) if head < spf else 0
+    novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf
-    bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
-    headrows, ovfrows, brows, maxspan_d = _stage_rows(
-        fs, ts, ws, sizes, uniq, nf=nf, novf=novf, cap=spf,
+    bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 2))
+    owned = [fs, ts, ws]
+    del fs, ts, ws
+    headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
+        owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense)
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
@@ -295,7 +387,8 @@ def build_device_table(f, t, w, *, cap: int = 254,
                        head=headrows, ovf=ovfrows, brows=brows,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
                        num_locations=num_loc, dense=dense,
-                       layout_bytes=bytes_for(head, novf))
+                       layout_bytes=bytes_for(head, novf),
+                       packed=pack, ovf_packed=opack)
 
 
 def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
@@ -316,16 +409,22 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
         budget_bytes = hbm_budget_bytes()
     nf = len(uniq_host)
     n = len(ltgt)
+    nf_pad = _quantize(nf, 12)
+    n_pad = _quantize(n, 14)
     sizes_h = np.diff(offsets_host).astype(np.int32)
     maxb = int(sizes_h.max()) if nf else 1
     spf = max(min(maxb, cap), 1)
     sizes_capped = np.minimum(sizes_h, spf).astype(np.int32)
 
     def bytes_for(hd, n_over):
+        def row_b(c):
+            return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64
+                                                        else 1)
         if hd == spf:
-            return nf * _pad64(2 + 2 * spf) * 4 + 64 * 4
-        return (nf * _pad64(3 + 2 * hd) * 4 +
-                (n_over + 1) * _pad64(2 * (spf - hd)) * 4)
+            return nf_pad * row_b(_pad64(2 + 2 * spf)) + 512
+        return (nf_pad * row_b(_pad64(3 + 2 * hd)) +
+                (_quantize(n_over, 10) + 1) *
+                row_b(_pad64(2 * (spf - hd))))
 
     hist = np.bincount(sizes_capped, minlength=spf + 1)
     cum_over = np.cumsum(hist[::-1])[::-1]
@@ -348,28 +447,40 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
                 "width; use -table-shards / -parts or cull features")
         head = best[1]
     novf = int(cum_over[head + 1]) if head < spf else 0
+    novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf
 
     import jax.numpy as jnp
-    start = np.zeros(max(n, 1), bool)
+    # pad stream: extra elements are singleton buckets landing in the
+    # sentinel feature rows (harmless; see build_device_table)
+    start = np.ones(max(n_pad, 1), bool)
+    start[:n] = False
     start[offsets_host[:-1][sizes_h > 0]] = True
-    uniq = jnp.asarray(uniq_host)
-    sizes = jnp.asarray(sizes_capped)
-    bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
-    headrows, ovfrows, brows, maxspan_d = _stage_rows_csr(
-        jnp.asarray(start), jnp.asarray(ltgt.astype(np.int32)),
-        jnp.asarray(lwin.astype(np.int32)), sizes, uniq,
-        nf=nf, novf=novf, cap=spf, head=head, bits=bits, nch=nch,
-        dense=dense)
+    uniq = jnp.asarray(np.pad(uniq_host, (0, nf_pad - nf),
+                              constant_values=0xFFFFFFFF))
+    sizes = jnp.asarray(np.pad(sizes_capped, (0, nf_pad - nf)))
+    ltgt32 = np.zeros(n_pad, np.int32)
+    ltgt32[:n] = ltgt
+    lwin32 = np.zeros(n_pad, np.int32)
+    lwin32[:n] = lwin
+    bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 2))
+    owned = [jnp.asarray(start), jnp.asarray(ltgt32),
+             jnp.asarray(lwin32)]
+    del start, ltgt32, lwin32
+    headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
+        owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
+        head=head, bits=bits, nch=nch, dense=dense)
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(
             f"bucket-row index span {maxspan} exceeds 63 lanes at "
             f"bits={bits} (F={nf})")
-    offsets = jnp.asarray(
-        np.concatenate([[0], np.cumsum(sizes_capped)]).astype(np.int32))
+    offsets = jnp.asarray(np.concatenate(
+        [[0], np.cumsum(sizes_capped),
+         np.full(nf_pad - nf, sizes_capped.sum())]).astype(np.int32))
     return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
                        ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
                        spf=spf, head_slots=head,
                        num_locations=int(sizes_capped.sum()),
-                       dense=dense, layout_bytes=bytes_for(head, novf))
+                       dense=dense, layout_bytes=bytes_for(head, novf),
+                       packed=pack, ovf_packed=opack)

@@ -14,6 +14,14 @@ from metacache_tpu.ops.table import FeatureTable, pack_locations
 from metacache_tpu.ops.table_device import build_device_table
 
 
+def _unpack(arr, n=None):
+    """Undo pair-packing: (R, 128) -> (2R, 64); wider arrays unchanged."""
+    a = np.asarray(arr)
+    if a.ndim == 2 and a.shape[1] == 128:
+        a = a.reshape(-1, 64)
+    return a if n is None else a[:n]
+
+
 def _stream(rng, n, nf_hint, ntgt, deep_every=7):
     """Build-order (feature, tgt, win) stream: ascending (tgt, win),
     some features very deep (strain-sharing), some singletons."""
@@ -38,7 +46,7 @@ def _stream(rng, n, nf_hint, ntgt, deep_every=7):
 
 @pytest.mark.parametrize("cap,budget", [
     (254, None),            # dense fits -> head == spf
-    (254, 1 << 20),         # force a two-tier split
+    (254, 4 << 20),         # force a two-tier split
     (6, None),              # tight cap -> heavy truncation
 ])
 def test_device_table_parity(cap, budget):
@@ -53,28 +61,36 @@ def test_device_table_parity(cap, budget):
     dt = build_device_table(jnp.asarray(f), jnp.asarray(t),
                             jnp.asarray(w), cap=cap,
                             budget_bytes=budget, nch=4)
-    assert dt.nf == ft.num_features
+    nf = ft.num_features
+    assert dt.nf == nf
     assert dt.spf == spf
     assert dt.num_locations == ft.num_locations
-    np.testing.assert_array_equal(np.asarray(dt.uniq),
+    np.testing.assert_array_equal(np.asarray(dt.uniq)[:nf],
                                   ft.unique_features)
-    np.testing.assert_array_equal(np.asarray(dt.offsets),
+    assert (np.asarray(dt.uniq)[nf:] == 0xFFFFFFFF).all()
+    np.testing.assert_array_equal(np.asarray(dt.offsets)[:nf + 1],
                                   ft.offsets.astype(np.int32))
     if dt.dense:
         assert dt.head_slots == spf
-        np.testing.assert_array_equal(np.asarray(dt.head),
+        np.testing.assert_array_equal(_unpack(dt.head, nf),
                                       ft.fused_rows(spf))
     else:
         head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
-        np.testing.assert_array_equal(np.asarray(dt.head), head)
-        np.testing.assert_array_equal(np.asarray(dt.ovf), ovf)
+        np.testing.assert_array_equal(_unpack(dt.head, nf), head)
+        novf_used = head[:, 2].max() + 1
+        got_ovf = _unpack(dt.ovf) if dt.ovf_packed else \
+            np.asarray(dt.ovf)
+        np.testing.assert_array_equal(got_ovf[:novf_used, :ovf.shape[1]],
+                                      ovf)
     brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
-    got = np.asarray(dt.brows)
+    got = _unpack(dt.brows)
     assert bits == dt.bbits
     # host rows may be wider than 64 only when spans exceed it (the
-    # device builder asserts they don't)
+    # device builder asserts they don't); the last bucket row also
+    # holds the sentinel padding features, whose value (-1) equals the
+    # empty-lane fill, so it still compares equal
     np.testing.assert_array_equal(got[:, 0], brows[:, 0])
-    np.testing.assert_array_equal(got[:, 1:], brows[:, 1:64])
+    np.testing.assert_array_equal(got[:, 1:64], brows[:, 1:64])
 
 
 def test_device_table_empty_and_tiny():
@@ -85,7 +101,7 @@ def test_device_table_empty_and_tiny():
                             jnp.asarray(w), cap=2,
                             budget_bytes=1 << 30, nch=2)
     assert dt.nf == 1 and dt.spf == 2 and dt.num_locations == 2
-    row = np.asarray(dt.head)[0]
+    row = _unpack(dt.head)[0]
     assert row[0] == 7 and row[1] == 2
 
 
@@ -114,14 +130,15 @@ def test_device_accumulator_end_to_end():
                             max_locations_per_feature=3)
     f, t, w = dacc.finish_device()
     dt = build_device_table(f, t, w, cap=3, budget_bytes=1 << 40, nch=4)
-    assert dt.nf == ft.num_features
+    nf = ft.num_features
+    assert dt.nf == nf
     assert dt.num_locations == ft.num_locations
-    np.testing.assert_array_equal(np.asarray(dt.uniq),
+    np.testing.assert_array_equal(np.asarray(dt.uniq)[:nf],
                                   ft.unique_features)
     spf = max(min(ft.max_bucket_size, 3), 1)
     want = ft.fused_rows(spf) if dt.dense else \
         ft.fused_rows_two_tier(spf, dt.head_slots)[0]
-    np.testing.assert_array_equal(np.asarray(dt.head), want)
+    np.testing.assert_array_equal(_unpack(dt.head, nf), want)
 
 
 def test_device_layout_from_csr_parity():
@@ -136,20 +153,23 @@ def test_device_layout_from_csr_parity():
                             presorted_within_feature=True)
     ltgt, lwin = unpack_locations(ft.locations)
     spf = max(min(ft.max_bucket_size, 254), 1)
-    for budget in (1 << 40, 1 << 20):
+    for budget in (1 << 40, 4 << 20):
         dt = device_layout_from_csr(ft.unique_features, ft.offsets,
                                     ltgt, lwin, cap=254,
                                     budget_bytes=budget, nch=4)
-        assert dt.nf == ft.num_features
+        nf = ft.num_features
+        assert dt.nf == nf
         if dt.dense:
-            np.testing.assert_array_equal(np.asarray(dt.head),
+            np.testing.assert_array_equal(_unpack(dt.head, nf),
                                           ft.fused_rows(spf))
         else:
             head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
-            np.testing.assert_array_equal(np.asarray(dt.head), head)
-            np.testing.assert_array_equal(np.asarray(dt.ovf), ovf)
+            np.testing.assert_array_equal(_unpack(dt.head, nf), head)
+            got_ovf = _unpack(dt.ovf) if dt.ovf_packed else \
+                np.asarray(dt.ovf)
+            np.testing.assert_array_equal(
+                got_ovf[:head[:, 2].max() + 1, :ovf.shape[1]], ovf)
         brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
-        np.testing.assert_array_equal(np.asarray(dt.brows)[:, 0],
-                                      brows[:, 0])
-        np.testing.assert_array_equal(np.asarray(dt.brows)[:, 1:],
-                                      brows[:, 1:64])
+        got = _unpack(dt.brows)
+        np.testing.assert_array_equal(got[:, 0], brows[:, 0])
+        np.testing.assert_array_equal(got[:, 1:64], brows[:, 1:64])

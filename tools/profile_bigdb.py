@@ -108,7 +108,8 @@ def main():
     valid = np.full((B, 1), RLEN, np.int32)
     mwir = np.full(B, 2, np.int32)
     use_pallas = jax.devices()[0].platform not in ("cpu",)
-    dense = ("two_tier", dt.head_slots)
+    dense = ("packed" if dt.packed else True) if dt.dense else \
+        ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed)
     spf, bbits = dt.spf, dt.bbits
 
     @jax.jit
