@@ -143,7 +143,8 @@ def main():
                     tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2,
                     walk_elems=2 * opt.sketchlen, fast_top2=True,
-                    fused_candidates=use_pallas, emit_hits=False)
+                    fused_candidates=use_pallas and
+                    opt.sketchlen * spf >= 1024, emit_hits=False)
                 return c, res.cls_tax
             _, out = jax.lax.scan(body, 0, (wk, vk, mk))
             return out
@@ -215,7 +216,7 @@ def main():
             _, out = jax.lax.scan(body, 0, (wk, vk, mk))
             return out
 
-        k = max(SCAN_K // 4, 4)
+        k = SCAN_K
         lwk = jnp.asarray(np.broadcast_to(
             lwins[None], (k,) + lwins.shape).copy())
         lvk = jnp.asarray(np.broadcast_to(

@@ -464,14 +464,19 @@ class QueryRunner:
             return {"dedup_walk": m}
         return {}
 
-    def _fused_flags(self) -> dict:
+    # fused-kernel crossover: at small L, XLA's sort+sweep is cheaper
+    # than the Pallas kernel's launch/VMEM costs (measured 4.99 vs
+    # 5.47 ms/batch at L=192; at L=4064 the kernel wins by >2x)
+    FUSED_MIN_SLOTS = 1024
+
+    def _fused_flags(self, total_slots: int = 0) -> dict:
         """Fused Pallas candidate kernel + skip per-hit list outputs
         when -allhits is off (rows_to_result only fuses when the sweep
         is the walk and fast_top2 is on; harmless otherwise)."""
         if self.opt.output.analysis.show_all_hits:
             return {}
         out = {"emit_hits": False}
-        if self._fused_candidates:
+        if self._fused_candidates and                 total_slots >= self.FUSED_MIN_SLOTS:
             out["fused_candidates"] = True
         return out
 
@@ -925,7 +930,7 @@ class QueryRunner:
                 use_pallas_sketch=self._use_pallas_sketch,
                 **self._sweep_params(mwir, wq),
                 **self._fast_flag(wq * sk.sketchlen * spf),
-                **self._fused_flags())
+                **self._fused_flags(wq * sk.sketchlen * spf))
         from ..ops.rows import query_step_rows_multipart
         return query_step_rows_multipart(
             self._put(wmat), self._put(vmat), self._put(mwir),
@@ -943,7 +948,8 @@ class QueryRunner:
             **self._sweep_params(mwir, wq),
             **self._fast_flag(
                 wq * sk.sketchlen * sum(t[4] for t in self._tables)),
-            **self._fused_flags())
+            **self._fused_flags(
+                wq * sk.sketchlen * sum(t[4] for t in self._tables)))
 
     # ------------------------------------------------------------------
     def _dispatch_batch(self, batch: List[QueryRecord]):
@@ -998,7 +1004,8 @@ class QueryRunner:
             **self._sweep_params(mwir, 1),
             **self._fast_flag(sk.sketchlen * spf),
             **(dict(fused_candidates=True)
-               if self._fused_candidates else {}))
+               if self._fused_candidates and
+               sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))
 
     def _accumulate_summary(self, cls: np.ndarray, results):
         """Vectorized per-rank statistics from classified taxon ids."""

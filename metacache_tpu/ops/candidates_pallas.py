@@ -65,8 +65,58 @@ def _sort2_lanes(t, w):
     return t, w
 
 
+def _compact_runs(t, w, lane, l):
+    """Left-compact distinct (t, w) runs of each sorted row, returning
+    (t, w, cnt) with vacated lanes (I32_MAX, I32_MAX, 0).
+
+    Same bit-decomposed move scheme as the sketch kernel's
+    _compact_unique: each run start at lane i moves left by the number
+    of non-start lanes before i; destinations are strictly increasing,
+    so moving one shift-bit at a time never collides."""
+    n, _ = t.shape
+    prev_t = _roll(t, 1, l)
+    prev_w = _roll(w, 1, l)
+    start = (lane == 0) | (t != prev_t) | (w != prev_w)
+    # run length = next start - my lane (valid at starts): suffix min
+    s_pos = jnp.where(start, lane, l)
+    nxt = s_pos
+    d = 1
+    while d < l:
+        vn = _roll(nxt, -d, l)
+        nxt = jnp.minimum(nxt, jnp.where(lane < l - d, vn, l))
+        d *= 2
+    nxt = jnp.where(lane < l - 1, _roll(nxt, -1, l), l)  # exclusive
+    cnt = jnp.where(start, nxt - lane, 0)
+    # inclusive prefix count of starts -> destination lane
+    pc = start.astype(jnp.int32)
+    d = 1
+    while d < l:
+        pc = pc + jnp.where(lane >= d, _roll(pc, d, l), 0)
+        d *= 2
+    shift = jnp.where(start, lane - (pc - 1), 0)
+    vt = jnp.where(start, t, I32_MAX)
+    vw = jnp.where(start, w, I32_MAX)
+    vc = cnt
+    b = 1
+    while b < l:
+        sr = _roll(shift, -b, l)
+        arrive = (sr & b) != 0
+        depart = (shift & b) != 0
+        for name in range(3):
+            pass
+        vt = jnp.where(arrive, _roll(vt, -b, l),
+                       jnp.where(depart, I32_MAX, vt))
+        vw = jnp.where(arrive, _roll(vw, -b, l),
+                       jnp.where(depart, I32_MAX, vw))
+        vc = jnp.where(arrive, _roll(vc, -b, l),
+                       jnp.where(depart, 0, vc))
+        shift = jnp.where(arrive, sr, jnp.where(depart, 0, shift))
+        b *= 2
+    return vt, vw, vc
+
+
 def _candidates_kernel(t_ref, w_ref, mwir_ref, out_ref, *,
-                       walk_elems, kk, l2):
+                       walk_elems, kk, l2, dedup_walk=0):
     t = t_ref[:]
     w = w_ref[:]
     n, l = t.shape
@@ -74,18 +124,34 @@ def _candidates_kernel(t_ref, w_ref, mwir_ref, out_ref, *,
     mwir = mwir_ref[:]                                # (n, 1)
 
     t, w = _sort2_lanes(t, w)
-    is_match = t != I32_MAX
 
-    # walk sweep: hits + carried begin window (rows.py walk path)
-    w_lo = w - (mwir - 1)
-    hits = jnp.ones((n, l), jnp.int32)
-    beg = w
-    for e in range(1, walk_elems):
-        te = _roll(t, e, l)
-        we = _roll(w, e, l)
-        ok = (lane >= e) & (te == t) & (we >= w_lo)
-        hits = hits + ok.astype(jnp.int32)
-        beg = jnp.where(ok, we, beg)     # last ok shift = smallest win
+    if dedup_walk:
+        # long-read path: compact duplicate (t, w) runs, then sweep at
+        # most max(mwir) DISTINCT entries per range (rows.py dedup path)
+        t, w, cnt = _compact_runs(t, w, lane, l)
+        is_match = t != I32_MAX
+        w_lo = w - (mwir - 1)
+        hits = jnp.where(is_match, cnt, 0)
+        beg = w
+        for e in range(1, dedup_walk):
+            te = _roll(t, e, l)
+            we = _roll(w, e, l)
+            ce = _roll(cnt, e, l)
+            ok = (lane >= e) & is_match & (te == t) & (we >= w_lo)
+            hits = hits + jnp.where(ok, ce, 0)
+            beg = jnp.where(ok, we, beg)
+    else:
+        is_match = t != I32_MAX
+        # walk sweep: hits + carried begin window (rows.py walk path)
+        w_lo = w - (mwir - 1)
+        hits = jnp.ones((n, l), jnp.int32)
+        beg = w
+        for e in range(1, walk_elems):
+            te = _roll(t, e, l)
+            we = _roll(w, e, l)
+            ok = (lane >= e) & (te == t) & (we >= w_lo)
+            hits = hits + ok.astype(jnp.int32)
+            beg = jnp.where(ok, we, beg)  # last ok shift = smallest win
 
     # group ids: inclusive prefix sum of new-target flags
     prev_t = _roll(t, 1, l)
@@ -134,10 +200,11 @@ def _candidates_kernel(t_ref, w_ref, mwir_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("walk_elems",
-                                             "max_candidates", "tile"))
+                                             "max_candidates", "tile",
+                                             "dedup_walk"))
 def candidates_pallas(tgt: jax.Array, win: jax.Array, mwir: jax.Array,
-                      walk_elems: int, max_candidates: int = 2,
-                      tile: int = 0):
+                      walk_elems: int = 0, max_candidates: int = 2,
+                      tile: int = 0, dedup_walk: int = 0):
     """(B, L) unsorted match slots -> per-row top-k candidates.
 
     Returns (cand_tgt, cand_hits, cand_beg, cand_end), each (B, K) i32;
@@ -164,16 +231,18 @@ def candidates_pallas(tgt: jax.Array, win: jax.Array, mwir: jax.Array,
     ctx = pltpu.force_tpu_interpret_mode() \
         if jax.default_backend() == "cpu" else contextlib.nullcontext()
     with ctx:
-        out = _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b)
+        out = _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b,
+                    dedup_walk)
     k4 = 4 * kk
     res = out[:, :k4].reshape(b, kk, 4)
     return res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3]
 
 
-def _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b):
+def _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b,
+          dedup_walk=0):
     return pl.pallas_call(
         functools.partial(_candidates_kernel, walk_elems=walk_elems,
-                          kk=kk, l2=l2),
+                          kk=kk, l2=l2, dedup_walk=dedup_walk),
         out_shape=jax.ShapeDtypeStruct((b, 128), jnp.int32),
         grid=grid,
         in_specs=[

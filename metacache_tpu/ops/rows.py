@@ -81,16 +81,18 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     b, l = tgt.shape
     kk = max_candidates
 
-    if (fused_candidates and fast_top2 and kk <= 4 and not dedup_walk
-            and 0 < walk_elems):
-        # one VMEM-resident Pallas pass: sort + sweep + top-k
+    if (fused_candidates and fast_top2 and kk <= 4
+            and (0 < walk_elems or 0 < dedup_walk)):
+        # one VMEM-resident Pallas pass: sort + (dedup+)sweep + top-k
         # (ops.candidates_pallas) — callers must not need per-hit lists
         # (emit_hits=False), since the sorted slots never reach HBM
         assert not emit_hits, \
             "fused_candidates cannot emit per-hit lists"
         from .candidates_pallas import candidates_pallas
         cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(
-            tgt, win, mwir, walk_elems=walk_elems, max_candidates=kk)
+            tgt, win, mwir,
+            walk_elems=0 if dedup_walk else walk_elems,
+            dedup_walk=dedup_walk, max_candidates=kk)
         ntax = merge_tax_of_target.shape[0]
         cand_tax = jnp.where(
             cand_tgt >= 0,

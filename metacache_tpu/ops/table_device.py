@@ -240,8 +240,23 @@ def _brows_build(uniq, bits: int, nch: int):
     return brows, maxspan
 
 
+def _pack_auto(nf_rows: int) -> bool:
+    """Pair-pack 64-lane rows only when the tiling padding would waste
+    real memory (> ~0.5 GiB): the packed probe pays an extra half-select
+    per gather (~0.6 ms/batch measured on a toy DB), so small tables
+    stay unpacked. MC_PACK_ROWS=0/1 overrides."""
+    import os
+    env = os.environ.get("MC_PACK_ROWS")
+    if env in ("0", "1"):
+        return env == "1"
+    # unpacked 64-lane rows physically occupy 512 B each (tiling pads to
+    # 128 lanes); pack when that padding costs > ~3 GiB
+    return nf_rows * 512 > (3 << 30)
+
+
 def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
-                cap: int, head: int, bits: int, nch: int, dense: bool):
+                cap: int, head: int, bits: int, nch: int, dense: bool,
+                pack_rows: bool = True):
     """Head rows, overflow rows and the bucket index via per-fill jits,
     bounding concurrent HBM residency to one fill's working set.
 
@@ -252,7 +267,7 @@ def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
     owned.clear()
     base = 2 if dense else 3
     hw = _pad64(base + 2 * head)
-    pack = hw == 64 and nf % 2 == 0
+    pack = pack_rows and hw == 64 and nf % 2 == 0
     ow = cap - head
     ocols = _pad64(2 * ow) if ow > 0 else 64
     novf_rows = novf + 2 if novf % 2 else novf + 1   # even when packing
@@ -374,7 +389,8 @@ def build_device_table(f, t, w, *, cap: int = 254,
     del fs, ts, ws
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-        head=head, bits=bits, nch=nch, dense=dense)
+        head=head, bits=bits, nch=nch, dense=dense,
+        pack_rows=_pack_auto(nf_pad))
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(
@@ -469,7 +485,8 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     del start, ltgt32, lwin32
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-        head=head, bits=bits, nch=nch, dense=dense)
+        head=head, bits=bits, nch=nch, dense=dense,
+        pack_rows=_pack_auto(nf_pad))
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(

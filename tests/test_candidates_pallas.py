@@ -77,3 +77,41 @@ def test_candidates_pallas_empty():
             walk_elems=12, max_candidates=2)
     assert (np.asarray(ct) == -1).all()
     assert (np.asarray(ch) == 0).all()
+
+
+@pytest.mark.parametrize("b,l,ntgt,nwin,dwalk", [
+    (64, 192, 12, 18, 6),        # short windows, heavy duplicates
+    (16, 960, 40, 60, 8),        # long-read shape (5 windows x 16 x 12)
+])
+def test_candidates_pallas_dedup_parity(b, l, ntgt, nwin, dwalk):
+    """Dedup-walk mode (long reads) vs rows_to_result(dedup_walk=...)."""
+    rng = np.random.default_rng(23)
+    lin = _lineages(ntgt)
+    merge_tax = lin[:, 0].copy()
+    for trial in range(3):
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin, fill=0.7)
+        # force duplicate (t, w) runs like overlapping window sketches
+        dup = rng.random((b, l)) < 0.5
+        tgt2 = np.where(dup, np.roll(tgt, 1, axis=1), tgt)
+        win2 = np.where(dup, np.roll(win, 1, axis=1), win)
+        mask = tgt == np.int32(2**31 - 1)
+        tgt = np.where(mask, tgt, tgt2)
+        win = np.where(mask, win, win2)
+        mwir = np.full(b, dwalk, np.int32)
+        ref = rows_to_result(
+            jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+            jnp.asarray(merge_tax), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            max_candidates=2, dedup_walk=dwalk, fast_top2=True)
+        with pltpu.force_tpu_interpret_mode():
+            ct, ch, cb, ce = candidates_pallas(
+                jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                dedup_walk=dwalk, max_candidates=2)
+        np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
+                                      np.asarray(ct), err_msg="tgt")
+        np.testing.assert_array_equal(np.asarray(ref.cand_hits),
+                                      np.asarray(ch), err_msg="hits")
+        np.testing.assert_array_equal(np.asarray(ref.cand_beg),
+                                      np.asarray(cb), err_msg="beg")
+        np.testing.assert_array_equal(np.asarray(ref.cand_end),
+                                      np.asarray(ce), err_msg="end")
