@@ -320,6 +320,22 @@ class QueryRunner:
             dense_cap = int(_os.environ.get("MC_DENSE_LIMIT", 0)) or None
         except ValueError:
             pass
+        # parts already built device-resident (build+query fast path)
+        if getattr(db, "device_parts", None):
+            if self._tmesh is not None or self._mesh is not None:
+                raise RuntimeError(
+                    "device-resident build does not support -replicate/"
+                    "-table-shards yet; use a saved database")
+            for dtab in db.device_parts:
+                self._tables.append((dtab.uniq, dtab.offsets, dtab.head,
+                                     dtab.ovf, dtab.spf))
+                self._dense.append(
+                    ("packed" if dtab.packed else True)
+                    if dtab.dense else
+                    ("two_tier", dtab.head_slots, dtab.packed,
+                     dtab.ovf_packed))
+                self._prefix.append((dtab.brows, 0))
+                self._prefix_bits.append(dtab.bbits)
         use_dev_layout = (
             _os.environ.get("MC_DEVICE_LAYOUT", "1") != "0"
             and self._mesh is None and self._tmesh is None)

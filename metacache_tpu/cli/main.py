@@ -494,12 +494,16 @@ def mode_build_query(argv: List[str]) -> int:
     bopt.infiles += ab.positionals()
     if not bopt.infiles:
         raise CliError("No reference sequence files provided or found!")
+    aq = Args(query_args)
+    opt, out_file, _split = parse_query_options(aq)
+    # without -save-db the tables never need to exist on the host:
+    # build them device-resident (ops.table_device — multi-GB builds
+    # in seconds instead of minutes)
+    bopt.device_tables = (not save_db and opt.num_replicas == 1
+                          and opt.table_shards == 1)
     db = build_database(bopt)
     if save_db:
         db.save(save_db)
-
-    aq = Args(query_args)
-    opt, out_file, _split = parse_query_options(aq)
     infiles = _expand(aq.positionals())
     if not infiles:
         return interactive_query(db, opt)

@@ -43,6 +43,8 @@ class BuildOptions:
     max_part_bytes: int = 0    # -max-part-size GB cap per merged part
     reset_parents: bool = False
     seq_id_type: SequenceIdType = SequenceIdType.SMART
+    device_tables: bool = False   # build+query fast path: tables stay
+                                  # on device (no save/merge/culls)
 
 
 def find_taxon_id(name2tax: Dict[str, int], name: str) -> int:
@@ -165,6 +167,10 @@ def build_database(opt: BuildOptions,
     """End-to-end build (reference: add_to_database, building.cpp:603-667)."""
     if db is None:
         db = Database(opt.sketching)
+    if (opt.device_tables and opt.parts == 1 and not opt.max_part_bytes
+            and not opt.remove_overpopulated_features
+            and opt.max_ambig_per_feature <= 0 and not db.parts):
+        db.enable_device_build()
     if opt.max_locations_per_feature > 0:
         db.max_locations_per_feature = min(
             opt.max_locations_per_feature,

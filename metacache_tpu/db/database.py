@@ -43,13 +43,28 @@ class Database:
         self.parts: list[FeatureTable] = []
         self.max_locations_per_feature = MAX_SUPPORTED_LOCATIONS_PER_FEATURE
         # build-time accumulators, one per part
+        self._device_build = False
+        self.device_parts: list = []     # ops.table_device.DeviceTable
         self._pending = [self._new_accumulator()]
         self._use_device_sketcher = True
 
     def _new_accumulator(self):
-        from .sketch_exec import SketchAccumulator
         s = self.sketching
+        if self._device_build:
+            from .sketch_exec import DeviceSketchAccumulator
+            return DeviceSketchAccumulator(s.kmerlen, s.sketchlen)
+        from .sketch_exec import SketchAccumulator
         return SketchAccumulator(s.kmerlen, s.sketchlen)
+
+    def enable_device_build(self):
+        """Keep the whole build on device: sketches feed
+        ops.table_device.build_device_table directly (no host CSR, no
+        padded-row staging). For query-only databases (build+query):
+        save/modify/merge/culls need the host tables and are rejected.
+        """
+        assert not self.parts and len(self._pending) == 1
+        self._device_build = True
+        self._pending = [self._new_accumulator()]
 
     # -- properties ------------------------------------------------------
     @property
@@ -62,11 +77,13 @@ class Database:
 
     @property
     def feature_count(self) -> int:
-        return sum(p.num_features for p in self.parts)
+        return (sum(p.num_features for p in self.parts) +
+                sum(p.nf for p in self.device_parts))
 
     @property
     def location_count(self) -> int:
-        return sum(p.num_locations for p in self.parts)
+        return (sum(p.num_locations for p in self.parts) +
+                sum(p.num_locations for p in self.device_parts))
 
     def initialize_parts(self, n: int):
         self._pending = [self._new_accumulator() for _ in range(max(1, n))]
@@ -120,6 +137,17 @@ class Database:
         (reference: modify mode = incremental build resume,
         src/mode_build.cpp:74-87).
         """
+        if self._device_build:
+            from ..ops.table_device import build_device_table
+            for acc in self._pending:
+                f, t, w = acc.finish_device()
+                if f.shape[0]:
+                    self.device_parts.append(build_device_table(
+                        f, t, w, cap=self.max_locations_per_feature))
+                del f, t, w
+            self._pending = [self._new_accumulator()
+                             for _ in self._pending]
+            return
         new_parts = []
         for acc in self._pending:
             feats, locs = acc.finish()
@@ -184,6 +212,12 @@ class Database:
     # -- persistence -----------------------------------------------------
     def save(self, path: str):
         from ..utils import info as info_mod
+        if self.device_parts and not self.parts:
+            from ..cli.main import CliError
+            raise CliError(
+                "this database was built device-resident (build+query "
+                "fast path) and cannot be saved; rerun with -save-db "
+                "set from the start (host build) to persist it")
         info_mod.status(f"Writing database to {path} ...")
         meta = {
             "format": "metacache_tpu",
