@@ -694,7 +694,20 @@ class QueryRunner:
         if max_len > 1024:
             batch_reads = max(256, min(batch_reads,
                                        (64 << 20) // max_len))
+        scan_k = 0
+        if (self._summary_only() and len(self._tables) == 1
+                and self._mesh is None):
+            # same fused-scan summary path as single-end reads, with
+            # two windows per query (mate 1 + mate 2)
+            import os as _os
+            try:
+                scan_k = int(_os.environ.get("MC_SCAN_K", "8"))
+            except ValueError:
+                scan_k = 8
         pending = None
+        wl = self.sketching.winlen
+        buf: list = []
+        nbuf = 0
         while True:
             c1, l1, h1 = r1.read_batch_raw(batch_reads)
             c2, l2, h2 = r2.read_batch_raw(batch_reads)
@@ -714,7 +727,49 @@ class QueryRunner:
                 c2, l2 = c2[keep], l2[keep]
                 if len(l1) == 0:
                     continue
+            if scan_k > 1:
+                short = (l1 <= wl) & (l2 <= wl)
+                if not short.all():
+                    dispatched = self._dispatch_coded_pair(
+                        c1[~short], l1[~short], c2[~short], l2[~short],
+                        h1[~short])
+                    if pending is not None:
+                        self._collect_batch(*pending, results)
+                    pending = dispatched
+                    c1, l1 = c1[short], l1[short]
+                    c2, l2 = c2[short], l2[short]
+                    if len(l1) == 0:
+                        continue
+                buf.append((c1, l1, c2, l2))
+                nbuf += len(l1)
+                while nbuf >= scan_k * batch_reads:
+                    take = scan_k * batch_reads
+                    c1a = np.concatenate([x[0] for x in buf])
+                    l1a = np.concatenate([x[1] for x in buf])
+                    c2a = np.concatenate([x[2] for x in buf])
+                    l2a = np.concatenate([x[3] for x in buf])
+                    dispatched = ("scan", (take, self._dispatch_scan_pair(
+                        c1a[:take], l1a[:take], c2a[:take], l2a[:take],
+                        scan_k, batch_reads)))
+                    if pending is not None:
+                        self._collect_batch(*pending, results)
+                    pending = (None, dispatched)
+                    buf = [(c1a[take:], l1a[take:], c2a[take:],
+                            l2a[take:])]
+                    nbuf -= take
+                continue
             dispatched = self._dispatch_coded_pair(c1, l1, c2, l2, h1)
+            if pending is not None:
+                self._collect_batch(*pending, results)
+            pending = dispatched
+        if nbuf:
+            c1a = np.concatenate([x[0] for x in buf])
+            l1a = np.concatenate([x[1] for x in buf])
+            c2a = np.concatenate([x[2] for x in buf])
+            l2a = np.concatenate([x[3] for x in buf])
+            hdr_a = np.zeros((len(l1a), 1), np.uint8)
+            dispatched = self._dispatch_coded_pair(c1a, l1a, c2a, l2a,
+                                                   hdr_a)
             if pending is not None:
                 self._collect_batch(*pending, results)
             pending = dispatched
@@ -723,6 +778,47 @@ class QueryRunner:
         r1.close()
         r2.close()
         return True
+
+    def _dispatch_scan_pair(self, c1, l1, c2, l2, scan_k: int,
+                            bsz: int):
+        """Fused lax.scan dispatch over scan_k stacked short-PAIR
+        batches (two windows per query); returns (scan_k, bsz) taxa."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_scan
+        sk = self.sketching
+        opt = self.opt
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+        n = len(l1)
+        wmat = np.empty((n, 2, wl), np.uint8)
+        wmat[:, 0] = c1[:, :wl]
+        wmat[:, 1] = c2[:, :wl]
+        wmat = wmat.reshape(scan_k, bsz, 2, wl)
+        vmat = np.stack([np.where(l1 >= sk.kmerlen, l1, 0),
+                         np.where(l2 >= sk.kmerlen, l2, 0)],
+                        axis=1).astype(np.int32).reshape(scan_k, bsz, 2)
+        mwir = (2 + np.maximum(l1.astype(np.int64) + l2,
+                               opt.classify.insert_size_max)
+                // stride).astype(np.int32).reshape(scan_k, bsz)
+        tf, to, lt, lw, spf = self._tables[0]
+        ps, steps = self._prefix[0]
+        return query_step_rows_scan(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank), ps,
+            k=sk.kmerlen, sketchlen=sk.sketchlen, slots_per_feature=spf,
+            windows_per_query=2,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits[0], prefix_steps=steps,
+            dense=self._dense[0],
+            use_pallas_sketch=self._use_pallas_sketch,
+            **self._sweep_params(mwir.reshape(-1), 2),
+            **self._fast_flag(2 * sk.sketchlen * spf),
+            **(dict(fused_candidates=True)
+               if self._fused_candidates and
+               2 * sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))
 
     def run_pair_seq_native(self, path: str,
                             results: "ClassificationResults") -> bool:

@@ -32,8 +32,11 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+    MC_NATIVE=0 disables it (tests A/B the Python fallback paths)."""
     global _lib, _tried
+    if os.environ.get("MC_NATIVE") == "0":
+        return None
     if _lib is not None or _tried:
         return _lib
     _tried = True

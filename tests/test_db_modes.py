@@ -220,3 +220,72 @@ def test_two_tier_layout_end_to_end(tmp_path):
         return r.stdout
 
     assert q({}) == q({"MC_DENSE_LIMIT": "1"})
+
+
+def test_pairseq_odd_records_and_batch_carry(tmp_path):
+    """-pairseq with an ODD record count (trailing unpaired mate) and a
+    batch size that forces the native reader's odd-leftover carry: the
+    native fast path must equal the per-record Python reader."""
+    import subprocess
+    import sys as _sys
+    db = str(tmp_path / "db")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+
+    src = open(f"{DATA}/reads_pairseq.fa").read().strip().split("\n")
+    recs = ["\n".join(src[i:i + 2]) for i in range(0, len(src), 2)]
+    odd = tmp_path / "odd.fa"
+    # 3x the records + one extra -> odd count, crosses batch boundaries
+    odd.write_text("\n".join(recs * 3 + recs[:1]) + "\n")
+
+    def run(native):
+        env = dict(os.environ, MC_JAX_PLATFORM="cpu",
+                   MC_NATIVE="0" if not native else "1")
+        env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "-m", "metacache_tpu", "query", db,
+             str(odd), "-pairseq", "-tophits",
+             "-batch-size", "64"],
+            capture_output=True, env=env, cwd=os.path.dirname(HERE),
+            timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        return [l for l in r.stdout.decode().splitlines()
+                if "time" not in l and "speed" not in l
+                and str(tmp_path) not in l]
+
+    assert run(True) == run(False)
+
+
+def test_scan_fusion_summary_identical_paired(tmp_path):
+    """The fused-scan summary path for -pairfiles must match the
+    unfused paired dispatch exactly."""
+    import subprocess
+    import sys as _sys
+    db = str(tmp_path / "db")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    m1, m2 = tmp_path / "m1.fa", tmp_path / "m2.fa"
+    # enough pairs that the scan path actually fires (scan_k=3 stacks
+    # of batch_reads=1024) plus a leftover tail
+    m1.write_bytes(open(f"{DATA}/reads_pair1.fa", "rb").read() * 150)
+    m2.write_bytes(open(f"{DATA}/reads_pair2.fa", "rb").read() * 150)
+
+    def run_k(k):
+        env = dict(os.environ, MC_JAX_PLATFORM="cpu", MC_SCAN_K=str(k))
+        env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "-m", "metacache_tpu", "query", db,
+             str(m1), str(m2), "-pairfiles", "-no-map",
+             "-batch-size", "512"],
+            capture_output=True, env=env, cwd=os.path.dirname(HERE),
+            timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        return [l for l in r.stdout.decode().splitlines()
+                if "time" not in l and "speed" not in l
+                and str(tmp_path) not in l]
+
+    assert run_k(0) == run_k(3)
