@@ -289,3 +289,30 @@ def test_scan_fusion_summary_identical_paired(tmp_path):
                 and str(tmp_path) not in l]
 
     assert run_k(0) == run_k(3)
+
+
+def test_device_layout_staging_identical(tmp_path):
+    """query over a SAVED database staged via device CSR construction
+    (MC_DEVICE_LAYOUT=1, default) must byte-match host staging (=0)."""
+    import subprocess
+    import sys as _sys
+    db = str(tmp_path / "db")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy"])
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+
+    def run(dev):
+        env = dict(os.environ, MC_JAX_PLATFORM="cpu",
+                   MC_DEVICE_LAYOUT=dev)
+        env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [_sys.executable, "-m", "metacache_tpu", "query", db,
+             f"{DATA}/reads_single.fa", "-tophits", "-allhits"],
+            capture_output=True, env=env, cwd=os.path.dirname(HERE),
+            timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        return [l for l in r.stdout.decode().splitlines()
+                if "time" not in l and "speed" not in l]
+
+    assert run("1") == run("0")
