@@ -118,9 +118,10 @@ SYNOPSIS
 
 DESCRIPTION
 
-    Map sequences (short reads, long reads, genome fragments) to their
-    most likely taxon of origin. Every read is sketched like the
-    reference windows were; its features are probed against the
+    Assign each input sequence (short read, long read, or genome
+    fragment) to the taxon it most plausibly came from. Every read is
+    sketched the same
+    way the reference windows were; its features are probed against the
     feature table on the accelerator, matches are swept into contiguous
     window ranges per target, and the best candidates classify the read
     (lowest common ancestor when candidates are ambiguous).
