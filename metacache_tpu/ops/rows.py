@@ -42,6 +42,19 @@ def _sketch_dispatch(codes2d, valid, k, sketchlen, use_pallas):
 I32_MAX = np.int32(2**31 - 1)
 
 
+def _alt_runs(fused: bool, fast_top2: bool, walk_elems: int,
+              dedup_walk: int, feats_per_query: int, spf: int) -> int:
+    """Run length for alternating-direction probe emission (0 = off):
+    only useful when the fused candidates kernel will run (deep
+    buckets) and only valid when features-per-query is a power of two
+    (the padded row must tile into pow2-aligned runs)."""
+    if not (fused and fast_top2 and (walk_elems or dedup_walk)):
+        return 0
+    if spf <= 64 or feats_per_query & (feats_per_query - 1):
+        return 0
+    return 1 << (spf - 1).bit_length()
+
+
 def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    hits_min, hits_diff_frac, highest_rank, merge_rank,
                    *, max_candidates: int,
@@ -49,7 +62,8 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    dedup_walk: int = 0,
                    fast_top2: bool = False,
                    fused_candidates: bool = False,
-                   emit_hits: bool = True) -> QueryResult:
+                   emit_hits: bool = True,
+                   presorted_runs: int = 0) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
@@ -92,7 +106,8 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
         cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(
             tgt, win, mwir,
             walk_elems=0 if dedup_walk else walk_elems,
-            dedup_walk=dedup_walk, max_candidates=kk)
+            dedup_walk=dedup_walk, max_candidates=kk,
+            presorted=presorted_runs)
         ntax = merge_tax_of_target.shape[0]
         cand_tax = jnp.where(
             cand_tgt >= 0,
@@ -386,8 +401,14 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
                prefix_bits: int = 16, prefix_steps: int = 0,
-               dense: bool = False):
+               dense: bool = False, alt_runs: int = 0):
     """(B, F) features -> (B, F*C) match slots (tgt, win).
+
+    ``alt_runs=r`` (power of two >= C) pads each feature's slot segment
+    to r lanes and REVERSES odd-numbered features' segments, emitting
+    (B, F*r) slots as alternating asc/desc sorted runs — the bitonic
+    invariant that lets the fused candidates kernel skip its first
+    log2(r) sort phases (deep-bucket databases).
 
     With ``dense=True``, ``loc_tgt`` is a *fused* (F, 2+2C padded) row
     table [feature, count, tgt*C, win*C] (``loc_win`` is ignored): after
@@ -468,6 +489,17 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
         tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
         wins = jnp.where(hit, loc_win[li], I32_MAX)
+    if alt_runs:
+        rl = alt_runs
+        if rl > c:
+            padc = jnp.full((b * f, rl - c), I32_MAX, jnp.int32)
+            tgts = jnp.concatenate([tgts, padc], axis=1)
+            wins = jnp.concatenate([wins, padc], axis=1)
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (b * f, 1), 0) % f
+        odd = (fidx & 1) == 1
+        tgts = jnp.where(odd, jax.lax.rev(tgts, (1,)), tgts)
+        wins = jnp.where(odd, jax.lax.rev(wins, (1,)), wins)
+        return tgts.reshape(b, f * rl), wins.reshape(b, f * rl)
     return tgts.reshape(b, f * c), wins.reshape(b, f * c)
 
 
@@ -555,14 +587,19 @@ def query_step_rows(windows, valid, mwir,
                              valid.reshape(b * wq), k, sketchlen,
                              use_pallas_sketch)
     feats = feats.reshape(b, wq * sketchlen)
+    alt = _alt_runs(fused_candidates, fast_top2, walk_elems, dedup_walk,
+                    wq * sketchlen, slots_per_feature)
     tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                           loc_win, slots_per_feature, prefix_starts,
-                          prefix_bits, prefix_steps, dense)
+                          prefix_bits, prefix_steps, dense,
+                          alt_runs=alt)
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
-        dedup_walk=dedup_walk, fast_top2=fast_top2)
+        dedup_walk=dedup_walk, fast_top2=fast_top2,
+        fused_candidates=fused_candidates, emit_hits=emit_hits,
+        presorted_runs=alt)
 
 
 @functools.partial(
@@ -599,15 +636,19 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                                  vmat.reshape(b * wq), k, sketchlen,
                                  use_pallas_sketch)
         feats = feats.reshape(b, wq * sketchlen)
+        alt = _alt_runs(fused_candidates, fast_top2, walk_elems,
+                        dedup_walk, wq * sketchlen, slots_per_feature)
         tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                               loc_win, slots_per_feature, prefix_starts,
-                              prefix_bits, prefix_steps, dense)
+                              prefix_bits, prefix_steps, dense,
+                              alt_runs=alt)
         res = rows_to_result(
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
             max_candidates=max_candidates, walk_elems=walk_elems,
             dedup_walk=dedup_walk, fast_top2=fast_top2,
-            fused_candidates=fused_candidates, emit_hits=False)
+            fused_candidates=fused_candidates, emit_hits=False,
+            presorted_runs=alt)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

@@ -115,3 +115,52 @@ def test_candidates_pallas_dedup_parity(b, l, ntgt, nwin, dwalk):
                                       np.asarray(cb), err_msg="beg")
         np.testing.assert_array_equal(np.asarray(ref.cand_end),
                                       np.asarray(ce), err_msg="end")
+
+
+def test_candidates_pallas_presorted_runs_parity():
+    """presorted=r (alternating asc/desc r-lane runs, the probe's
+    alt_runs emission) must equal the full sort over the same slots."""
+    rng = np.random.default_rng(31)
+    b, f, r, ntgt = 32, 16, 64, 30
+    l = f * r
+    lin = _lineages(ntgt)
+    merge_tax = lin[:, 0].copy()
+    for trial in range(3):
+        tgt = np.full((b, f, r), I32_MAX, np.int64)
+        win = np.full((b, f, r), I32_MAX, np.int64)
+        for i in range(b):
+            for j in range(f):
+                n = int(rng.integers(0, r))
+                t = np.sort(rng.integers(0, ntgt, n))
+                w = rng.integers(0, 200, n)
+                # sort each run ascending by (t, w)
+                order = np.lexsort((w, t))
+                tgt[i, j, :n] = t[order]
+                win[i, j, :n] = w[order]
+        plain_t = tgt.reshape(b, l).astype(np.int32)
+        plain_w = win.reshape(b, l).astype(np.int32)
+        alt_t = tgt.copy()
+        alt_w = win.copy()
+        alt_t[:, 1::2] = alt_t[:, 1::2, ::-1]
+        alt_w[:, 1::2] = alt_w[:, 1::2, ::-1]
+        alt_t = alt_t.reshape(b, l).astype(np.int32)
+        alt_w = alt_w.reshape(b, l).astype(np.int32)
+        mwir = np.full(b, 3, np.int32)
+        ref = rows_to_result(
+            jnp.asarray(plain_t), jnp.asarray(plain_w),
+            jnp.asarray(mwir), jnp.asarray(merge_tax), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            max_candidates=2, walk_elems=10, fast_top2=True)
+        with pltpu.force_tpu_interpret_mode():
+            ct, ch, cb, ce = candidates_pallas(
+                jnp.asarray(alt_t), jnp.asarray(alt_w),
+                jnp.asarray(mwir), walk_elems=10, max_candidates=2,
+                presorted=r)
+        np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
+                                      np.asarray(ct), err_msg="tgt")
+        np.testing.assert_array_equal(np.asarray(ref.cand_hits),
+                                      np.asarray(ch), err_msg="hits")
+        np.testing.assert_array_equal(np.asarray(ref.cand_beg),
+                                      np.asarray(cb), err_msg="beg")
+        np.testing.assert_array_equal(np.asarray(ref.cand_end),
+                                      np.asarray(ce), err_msg="end")

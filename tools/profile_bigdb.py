@@ -119,13 +119,18 @@ def main():
             fx = _sketch_dispatch(w.reshape(B, opt.winlen),
                                   v.reshape(B), opt.kmerlen,
                                   opt.sketchlen, use_pallas)
+            from metacache_tpu.ops.rows import _alt_runs
+            alt = _alt_runs(use_pallas, True, 2 * opt.sketchlen, 0,
+                            opt.sketchlen, spf)
             tt, wn = probe_rows(fx.reshape(B, opt.sketchlen), tf, to,
-                                la, lb, spf, ps, bbits, 0, dense=dense)
+                                la, lb, spf, ps, bbits, 0, dense=dense,
+                                alt_runs=alt)
             res = rows_to_result(
                 tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                 jnp.int32(19), jnp.int32(0), max_candidates=2,
                 walk_elems=2 * opt.sketchlen, fast_top2=True,
-                fused_candidates=use_pallas, emit_hits=False)
+                fused_candidates=use_pallas, emit_hits=False,
+                presorted_runs=alt)
             return c, res.cls_tax
         _, out = jax.lax.scan(body, 0, (wk, vk, mk))
         return out
