@@ -767,7 +767,11 @@ class QueryRunner:
             l1a = np.concatenate([x[1] for x in buf])
             c2a = np.concatenate([x[2] for x in buf])
             l2a = np.concatenate([x[3] for x in buf])
-            hdr_a = np.zeros((len(l1a), 1), np.uint8)
+            # the buffered-scan path is only entered under _summary_only()
+            # (headers never printed); placeholder headers are safe here
+            assert self._summary_only(), \
+                "scan remainder flush requires summary-only output"
+            hdr_a = np.asarray([b""] * len(l1a), dtype=object)
             dispatched = self._dispatch_coded_pair(c1a, l1a, c2a, l2a,
                                                    hdr_a)
             if pending is not None:
@@ -926,12 +930,10 @@ class QueryRunner:
                              self._launch_rows(wmat, vmat, mwir, 2, k)))
         if (~short).any():
             lbuckets: Dict[int, list] = {}
-            nw_of = {}
             for i in np.nonzero(~short)[0]:
                 i = int(i)
                 nw = (win_ops.num_windows(int(l1[i]), sk) +
                       win_ops.num_windows(int(l2[i]), sk))
-                nw_of[i] = nw
                 lbuckets.setdefault(_bucket_wq(max(nw, 1)), []).append(i)
             for wq, idxs in sorted(lbuckets.items()):
                 rows = max(_round_up_pow2(len(idxs)), self._row_quantum)
@@ -1328,8 +1330,9 @@ class QueryRunner:
             # query time (reference: src/classification.cpp:384-426);
             # a missing/unreadable file skips the alignment display but
             # must not fail silently
-            print(f"WARNING: could not align against "
-                  f"{tax.source.filename}: {e}", file=sys.stderr)
+            from ..utils import info as info_mod
+            info_mod.error(f"WARNING: could not align against "
+                           f"{tax.source.filename}: {e}")
             return ""
 
     # ------------------------------------------------------------------

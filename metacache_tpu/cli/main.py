@@ -85,6 +85,10 @@ def _apply_info_level(a: Args) -> None:
         info_mod.set_level(info_mod.SILENT)
     if a.take_flag("-verbose"):
         info_mod.set_level(info_mod.VERBOSE)
+    if a.take_flag("-no-info", "-noinfo"):
+        info_mod.set_level(info_mod.SILENT)
+    if a.take_flag("-no-err", "-noerr", "-no-errors"):
+        info_mod.set_show_errors(False)
 
 
 def _parse_rank(s: str) -> Rank:
@@ -160,10 +164,19 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
     v = a.take_value("-max-part-size")
     if v:
         opt.max_part_bytes = int(float(v) * (1 << 30))
-    a.take_value("-max-load-fac")  # accepted, not needed for CSR tables
-    a.take_value("-threads")
+    if a.take_value("-max-load-fac", "-max-load-factor"):
+        from ..utils import info as info_mod
+        if info_mod.level() == info_mod.VERBOSE:
+            info_mod.status("note: -max-load-fac accepted for "
+                            "compatibility; CSR tables have no load "
+                            "factor")
+    if a.take_value("-threads"):
+        from ..utils import info as info_mod
+        if info_mod.level() == info_mod.VERBOSE:
+            info_mod.status("note: -threads accepted for compatibility;"
+                            " build parallelism is device-side")
     _apply_info_level(a)
-    opt.reset_parents = a.take_flag("-reset-taxa")
+    opt.reset_parents = a.take_flag("-reset-taxa", "-reset-parents")
     v = a.take_value("-sequence-id-format")
     if v:
         opt.seq_id_type = SequenceIdType(v.replace("-", "_"))
@@ -209,10 +222,10 @@ def parse_query_options(a: Args):
     v = a.take_value("-highest")
     if v:
         cl.highest_rank = v
-    v = a.take_value("-hitmin", "-hit-min", "-hits-min")
+    v = a.take_value("-hitmin", "-hit-min", "-hits-min", "-hitsmin")
     if v:
         cl.hits_min = int(v)
-    v = a.take_value("-hitdiff", "-hit-diff", "-hits-diff")
+    v = a.take_value("-hitdiff", "-hit-diff", "-hits-diff", "-hitsdiff")
     if v:
         cl.hits_diff_fraction = float(v) / 100.0
     v = a.take_value("-maxcand", "-max-cand")
@@ -227,7 +240,8 @@ def parse_query_options(a: Args):
 
     if a.take_flag("-pairfiles", "-pair-files", "-paired-files"):
         opt.pairing = PairingMode.FILES
-    if a.take_flag("-pairseq", "-pair-seq", "-paired-sequences"):
+    if a.take_flag("-pairseq", "-pair-seq", "-paired-seq",
+                   "-paired-sequences"):
         opt.pairing = PairingMode.SEQUENCES
 
     # formatting
@@ -266,11 +280,12 @@ def parse_query_options(a: Args):
     if a.take_flag("-align", "-alignment"):
         ana.show_alignment = True
     v = a.take_optional_value("-hits-per-ref", "-hits-per-seq",
-                              "-hits-per-tgt", missing="")
+                              "-hits-per-tgt", "-hits-per-target",
+                              missing="")
     if v is not None:
         ana.show_hits_per_target = True
         ana.target_mappings_file = v
-    v = a.take_optional_value("-abundances", missing="")
+    v = a.take_optional_value("-abundances", "-abundance", missing="")
     if v is not None:
         ana.show_tax_abundances = True
         ana.abundance_file = v
@@ -291,10 +306,10 @@ def parse_query_options(a: Args):
 
     v = a.take_value("-threads")
     opt.num_threads = int(v) if v else 1
-    v = a.take_value("-batch-size")
+    v = a.take_value("-batch-size", "-batchsize")
     if v:
         opt.batch_windows = int(v)
-    v = a.take_value("-query-limit")
+    v = a.take_value("-query-limit", "-querylimit")
     if v:
         opt.query_limit = int(v)
     v = a.take_value("-min-readlen")

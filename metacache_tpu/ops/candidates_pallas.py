@@ -109,8 +109,6 @@ def _compact_runs(t, w, lane, l):
         sr = _roll(shift, -b, l)
         arrive = (sr & b) != 0
         depart = (shift & b) != 0
-        for name in range(3):
-            pass
         vt = jnp.where(arrive, _roll(vt, -b, l),
                        jnp.where(depart, I32_MAX, vt))
         vw = jnp.where(arrive, _roll(vw, -b, l),

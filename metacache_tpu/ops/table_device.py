@@ -302,6 +302,30 @@ def _pad64(c: int) -> int:
     return max(64, ((c + 7) // 8) * 8)
 
 
+def _choose_head(spf, cum_over, bytes_for, budget_bytes, what):
+    """Smallest-footprint two-tier head width that fits the budget.
+
+    Sweeps narrow heads (6/14/22) as well as the 30+16k ladder so a
+    tight HBM budget can still fit a layout instead of erroring."""
+    cands = [h for h in (6, 14, 22) if 0 < h < spf]
+    hcand = min(30, spf - 1)
+    while 0 < hcand < spf:
+        cands.append(hcand)
+        hcand += 16
+    best = None
+    for hcand in cands:
+        n_over = int(cum_over[hcand + 1])
+        b = bytes_for(hcand, n_over)
+        if b <= budget_bytes and (best is None or b < best[0]):
+            best = (b, hcand)
+    if best is None:
+        raise MemoryError(
+            f"device {what} needs more HBM than the "
+            f"{budget_bytes/2**30:.1f} GiB budget at any head "
+            "width; use -table-shards / -parts or cull features")
+    return best[1]
+
+
 def _quantize(n: int, min_bits: int) -> int:
     """Round n up to ~3 significant bits so static shapes (and their
     multi-minute remote compiles) are shared across database sizes;
@@ -365,21 +389,8 @@ def build_device_table(f, t, w, *, cap: int = 254,
     if bytes_for(spf, 0) <= budget_bytes:
         head = spf                                 # dense: no overflow
     else:
-        head = None
-        hcand = min(30, spf - 1)
-        best = None
-        while 0 < hcand < spf:
-            n_over = int(cum_over[hcand + 1])
-            b = bytes_for(hcand, n_over)
-            if b <= budget_bytes and (best is None or b < best[0]):
-                best = (b, hcand)
-            hcand += 16
-        if best is None:
-            raise MemoryError(
-                f"device table needs more HBM than the "
-                f"{budget_bytes/2**30:.1f} GiB budget at any head "
-                "width; use -table-shards / -parts or cull features")
-        head = best[1]
+        head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
+                            "table")
 
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
@@ -447,21 +458,8 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     if allow_dense and bytes_for(spf, 0) <= budget_bytes:
         head = spf
     else:
-        head = None
-        hcand = min(30, spf - 1)
-        best = None
-        while 0 < hcand < spf:
-            n_over = int(cum_over[hcand + 1])
-            b = bytes_for(hcand, n_over)
-            if b <= budget_bytes and (best is None or b < best[0]):
-                best = (b, hcand)
-            hcand += 16
-        if best is None:
-            raise MemoryError(
-                f"device layout needs more HBM than the "
-                f"{budget_bytes/2**30:.1f} GiB budget at any head "
-                "width; use -table-shards / -parts or cull features")
-        head = best[1]
+        head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
+                            "layout")
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf

@@ -11,11 +11,25 @@ import sys
 
 SILENT, MODERATE, VERBOSE = 0, 1, 2
 _level = MODERATE
+_show_errors = True
 
 
 def set_level(level: int) -> None:
     global _level
     _level = level
+
+
+def set_show_errors(on: bool) -> None:
+    """-no-err / -noerr / -no-errors (reference: output.showErrors,
+    src/options.cpp:1268)."""
+    global _show_errors
+    _show_errors = on
+
+
+def error(msg: str) -> None:
+    """One error/warning line on stderr unless -no-err."""
+    if _show_errors:
+        print(msg, file=sys.stderr, flush=True)
 
 
 def level() -> int:
