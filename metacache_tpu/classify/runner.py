@@ -427,6 +427,29 @@ class QueryRunner:
              _jax.devices()[0].platform not in ("cpu",)) and
             self._mesh is None and self._tmesh is None)
 
+        # packed single-i32 slot encoding pk = (tgt << wbits) | win:
+        # halves the candidate sort's data movement (one key array
+        # instead of two) and collapses the sweep's same-target +
+        # window-range test into one compare (ops.candidates_pallas.
+        # _packed_kernel). Valid while the largest packed value fits
+        # i32 (I32_MAX reserved for padding); wbits carries one extra
+        # bit so the inter-target gap exceeds any (clamped) mwir.
+        self._pack_bits = 0
+        if (_os.environ.get("MC_PACK_SLOTS", "1") != "0"
+                and self._mesh is None and self._tmesh is None
+                and db.target_count > 0):
+            maxwin = 0
+            for dtab in (getattr(db, "device_parts", None) or []):
+                maxwin = max(maxwin, int(dtab.max_win))
+            for p in db.parts:
+                if p.num_locations:
+                    maxwin = max(maxwin, int(
+                        (p.locations & np.uint64(0xFFFFFFFF)).max()))
+            wbits = max(1, (2 * maxwin).bit_length())
+            pkmax = ((db.target_count - 1) << wbits) | maxwin
+            if pkmax < 2**31 - 1:
+                self._pack_bits = wbits
+
         # taxid -> rank lookup for the vectorized summary-only fast path
         ids, ranks = [], []
         for t in db.taxa.taxonomy.taxa.values():
@@ -818,6 +841,7 @@ class QueryRunner:
             prefix_bits=self._prefix_bits[0], prefix_steps=steps,
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
+            pack_bits=self._pack_bits,
             **self._sweep_params(mwir.reshape(-1), 2),
             **self._fast_flag(2 * sk.sketchlen * spf),
             **(dict(fused_candidates=True)
@@ -1042,6 +1066,7 @@ class QueryRunner:
                 max_candidates=k, prefix_bits=self._prefix_bits[0],
                 prefix_steps=steps, dense=self._dense[0],
                 use_pallas_sketch=self._use_pallas_sketch,
+                pack_bits=self._pack_bits,
                 **self._sweep_params(mwir, wq),
                 **self._fast_flag(wq * sk.sketchlen * spf),
                 **self._fused_flags(wq * sk.sketchlen * spf))
@@ -1059,6 +1084,7 @@ class QueryRunner:
             prefix_bits=tuple(self._prefix_bits),
             prefix_steps=tuple(p[1] for p in self._prefix),
             num_parts=len(self._tables), dense=tuple(self._dense),
+            pack_bits=self._pack_bits,
             **self._sweep_params(mwir, wq),
             **self._fast_flag(
                 wq * sk.sketchlen * sum(t[4] for t in self._tables)),
@@ -1115,6 +1141,7 @@ class QueryRunner:
             prefix_bits=self._prefix_bits[0], prefix_steps=steps,
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
+            pack_bits=self._pack_bits,
             **self._sweep_params(mwir, 1),
             **self._fast_flag(sk.sketchlen * spf),
             **(dict(fused_candidates=True)

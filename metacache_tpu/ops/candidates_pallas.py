@@ -72,6 +72,65 @@ def _sort2_lanes(t, w, presorted: int = 0):
     return t, w
 
 
+def _sort1_lanes(p, presorted: int = 0):
+    """Ascending bitonic sort of each row's lanes by a single i32 key
+    (padding I32_MAX ends up last). Half the rolls/selects of
+    _sort2_lanes — used with the packed (tgt << wbits | win) slot
+    encoding, whose order equals the (tgt, win) lexicographic order."""
+    n, l = p.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    k = 2 * presorted if presorted else 2
+    while k <= l:
+        j = k // 2
+        while j >= 1:
+            pu = _roll(p, -j, l)
+            pd = _roll(p, j, l)
+            pp = jnp.where((lane & j) != 0, pd, pu)
+            keep_min = ((lane & k) == 0) ^ ((lane & j) != 0)
+            p = jnp.where(keep_min, jnp.minimum(p, pp),
+                          jnp.maximum(p, pp))
+            j //= 2
+        k *= 2
+    return p
+
+
+def _compact_runs_packed(p, lane, l):
+    """Left-compact distinct packed-key runs of each sorted row,
+    returning (p, cnt) with vacated lanes (I32_MAX, 0). Single-key
+    variant of _compact_runs."""
+    n, _ = p.shape
+    start = (lane == 0) | (p != _roll(p, 1, l))
+    s_pos = jnp.where(start, lane, l)
+    nxt = s_pos
+    d = 1
+    while d < l:
+        vn = _roll(nxt, -d, l)
+        nxt = jnp.minimum(nxt, jnp.where(lane < l - d, vn, l))
+        d *= 2
+    nxt = jnp.where(lane < l - 1, _roll(nxt, -1, l), l)  # exclusive
+    cnt = jnp.where(start, nxt - lane, 0)
+    pc = start.astype(jnp.int32)
+    d = 1
+    while d < l:
+        pc = pc + jnp.where(lane >= d, _roll(pc, d, l), 0)
+        d *= 2
+    shift = jnp.where(start, lane - (pc - 1), 0)
+    vp = jnp.where(start, p, I32_MAX)
+    vc = cnt
+    b = 1
+    while b < l:
+        sr = _roll(shift, -b, l)
+        arrive = (sr & b) != 0
+        depart = (shift & b) != 0
+        vp = jnp.where(arrive, _roll(vp, -b, l),
+                       jnp.where(depart, I32_MAX, vp))
+        vc = jnp.where(arrive, _roll(vc, -b, l),
+                       jnp.where(depart, 0, vc))
+        shift = jnp.where(arrive, sr, jnp.where(depart, 0, shift))
+        b *= 2
+    return vp, vc
+
+
 def _compact_runs(t, w, lane, l):
     """Left-compact distinct (t, w) runs of each sorted row, returning
     (t, w, cnt) with vacated lanes (I32_MAX, I32_MAX, 0).
@@ -242,6 +301,148 @@ def candidates_pallas(tgt: jax.Array, win: jax.Array, mwir: jax.Array,
     with ctx:
         out = _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b,
                     dedup_walk, presorted)
+    k4 = 4 * kk
+    res = out[:, :k4].reshape(b, kk, 4)
+    return res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3]
+
+
+def _packed_kernel(p_ref, mwir_ref, out_ref, *, walk_elems, kk, l2,
+                   wbits, dedup_walk=0, presorted=0):
+    """Packed-slot variant: one i32 key pk = (tgt << wbits) | win.
+
+    The caller guarantees 2^wbits > 2 * maxwin (and clamps mwir to
+    maxwin + 1, which is semantically identity), so the sweep's
+    same-target + window-range test collapses to ONE compare:
+    pe >= pk - (mwir - 1) — a previous-target slot can never reach that
+    bound because the inter-target gap 2^wbits - maxwin exceeds any
+    clamped mwir. Half the sort traffic and ~half the sweep ops of the
+    two-array kernel."""
+    p = p_ref[:]
+    n, l = p.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    mwir = mwir_ref[:]                                # (n, 1)
+
+    p = _sort1_lanes(p, presorted)
+
+    if dedup_walk:
+        p, cnt = _compact_runs_packed(p, lane, l)
+        is_match = p != I32_MAX
+        lo_p = p - (mwir - 1)
+        hits = jnp.where(is_match, cnt, 0)
+        beg = p
+        for e in range(1, dedup_walk):
+            pe = _roll(p, e, l)
+            ce = _roll(cnt, e, l)
+            ok = (lane >= e) & is_match & (pe >= lo_p)
+            hits = hits + jnp.where(ok, ce, 0)
+            beg = jnp.where(ok, pe, beg)
+    else:
+        is_match = p != I32_MAX
+        lo_p = p - (mwir - 1)
+        hits = jnp.ones((n, l), jnp.int32)
+        beg = p
+        for e in range(1, walk_elems):
+            pe = _roll(p, e, l)
+            ok = (lane >= e) & (pe >= lo_p)
+            hits = hits + ok.astype(jnp.int32)
+            beg = jnp.where(ok, pe, beg)  # last ok shift = smallest win
+
+    # group ids: inclusive prefix sum of new-target flags
+    tq = jax.lax.shift_right_logical(p, wbits)
+    newt = (lane == 0) | (tq != _roll(tq, 1, l))
+    g = newt.astype(jnp.int32)
+    d = 1
+    while d < l:
+        g = g + jnp.where(lane >= d, _roll(g, d, l), 0)
+        d *= 2
+
+    # segmented suffix max of key within each target group
+    key = hits * l2 + (l2 - 1 - lane)
+    v = jnp.where(is_match, key, -1)
+    d = 1
+    while d < l:
+        vn = _roll(v, -d, l)
+        gn = _roll(g, -d, l)
+        ok = (lane < l - d) & (gn == g)
+        v = jnp.maximum(v, jnp.where(ok, vn, -1))
+        d *= 2
+    repkey = jnp.where(newt & is_match, v, -1)
+
+    # top-k groups by (hits desc, earliest best slot) == max key
+    shift = int(l2).bit_length() - 1
+    wmask = (1 << wbits) - 1
+    cols = []
+    for _ in range(kk):
+        best = jnp.max(repkey, axis=1, keepdims=True)    # (n, 1)
+        ok = best > 0
+        bestcol = jnp.where(ok, (l2 - 1) - (best & (l2 - 1)), 0)
+        sel = lane == bestcol
+        pick = lambda x, d_: jnp.where(
+            ok[:, 0], jnp.max(jnp.where(sel, x, jnp.int32(-2**31)),
+                              axis=1), d_)
+        cols.append(jnp.stack([
+            pick(tq, -1),
+            jnp.where(ok[:, 0], best[:, 0] >> shift, 0),
+            pick(beg, 0) & wmask,
+            pick(p, 0) & wmask,
+        ], axis=1))
+        repkey = jnp.where(repkey == best, -1, repkey)
+
+    res = jnp.concatenate(cols, axis=1)                  # (n, 4*kk)
+    pad = out_ref.shape[1] - res.shape[1]
+    out_ref[:] = jnp.concatenate(
+        [res, jnp.zeros((n, pad), jnp.int32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("walk_elems", "pack_bits",
+                                             "max_candidates", "tile",
+                                             "dedup_walk", "presorted"))
+def candidates_pallas_packed(pk: jax.Array, mwir: jax.Array,
+                             pack_bits: int,
+                             walk_elems: int = 0,
+                             max_candidates: int = 2,
+                             tile: int = 0, dedup_walk: int = 0,
+                             presorted: int = 0):
+    """(B, L) packed match slots pk = (tgt << pack_bits) | win ->
+    per-row top-k candidates (cand_tgt, cand_hits, cand_beg, cand_end).
+
+    Caller contract: 2^pack_bits > 2 * max_window AND mwir clamped to
+    max_window + 1; padding slots hold I32_MAX.
+    """
+    b, l = pk.shape
+    kk = max_candidates
+    l2 = 1 << max(int(l - 1).bit_length(), 7)
+    if l2 != l:
+        pk = jnp.concatenate(
+            [pk, jnp.full((b, l2 - l), I32_MAX, jnp.int32)], axis=1)
+    if tile <= 0:
+        tile = max(8, min(256, (1 << 18) // (l2 * 4)))
+    while b % tile:
+        tile //= 2
+    grid = (b // tile,)
+    import contextlib
+    ctx = pltpu.force_tpu_interpret_mode() \
+        if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    if presorted:
+        assert l % presorted == 0 and l == l2, \
+            "presorted runs must tile the padded row exactly"
+    with ctx:
+        out = pl.pallas_call(
+            functools.partial(_packed_kernel, walk_elems=walk_elems,
+                              kk=kk, l2=l2, wbits=pack_bits,
+                              dedup_walk=dedup_walk,
+                              presorted=presorted),
+            out_shape=jax.ShapeDtypeStruct((b, 128), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, l2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(pk, mwir.reshape(b, 1))
     k4 = 4 * kk
     res = out[:, :k4].reshape(b, kk, 4)
     return res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3]

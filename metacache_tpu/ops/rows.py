@@ -63,7 +63,8 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                    fast_top2: bool = False,
                    fused_candidates: bool = False,
                    emit_hits: bool = True,
-                   presorted_runs: int = 0) -> QueryResult:
+                   presorted_runs: int = 0,
+                   pack_bits: int = 0) -> QueryResult:
     """(B, L) per-query match slots -> candidates + classification.
 
     `tgt`/`win` hold I32_MAX in padding slots; `mwir` is (B,).
@@ -95,6 +96,14 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
     b, l = tgt.shape
     kk = max_candidates
 
+    if pack_bits:
+        # clamping mwir to 2^(wbits-1) is semantically identity (the
+        # caller guarantees 2^(wbits-1) > max window index, so the
+        # clamped range still covers every window of a target) and
+        # keeps the packed sweep's single-compare range test exact:
+        # the inter-target gap 2^wbits - maxwin always exceeds mwir - 1
+        mwir = jnp.minimum(mwir, jnp.int32(1 << (pack_bits - 1)))
+
     if (fused_candidates and fast_top2 and kk <= 4
             and (0 < walk_elems or 0 < dedup_walk)):
         # one VMEM-resident Pallas pass: sort + (dedup+)sweep + top-k
@@ -102,12 +111,21 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
         # (emit_hits=False), since the sorted slots never reach HBM
         assert not emit_hits, \
             "fused_candidates cannot emit per-hit lists"
-        from .candidates_pallas import candidates_pallas
-        cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(
-            tgt, win, mwir,
-            walk_elems=0 if dedup_walk else walk_elems,
-            dedup_walk=dedup_walk, max_candidates=kk,
-            presorted=presorted_runs)
+        if pack_bits:
+            from .candidates_pallas import candidates_pallas_packed
+            cand_tgt, cand_hits, cand_beg, cand_end = \
+                candidates_pallas_packed(
+                    tgt, mwir, pack_bits,
+                    walk_elems=0 if dedup_walk else walk_elems,
+                    dedup_walk=dedup_walk, max_candidates=kk,
+                    presorted=presorted_runs)
+        else:
+            from .candidates_pallas import candidates_pallas
+            cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(
+                tgt, win, mwir,
+                walk_elems=0 if dedup_walk else walk_elems,
+                dedup_walk=dedup_walk, max_candidates=kk,
+                presorted=presorted_runs)
         ntax = merge_tax_of_target.shape[0]
         cand_tax = jnp.where(
             cand_tgt >= 0,
@@ -120,7 +138,16 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
                            cand_end, cls_tax, dummy, dummy, dummy)
 
     # ---- per-row sort by (target, window) ------------------------------
-    tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
+    if pack_bits:
+        # packed single-key sort (pk order == (tgt, win) lexicographic),
+        # then unpack: identical downstream semantics at half the sort
+        pk = jax.lax.sort(tgt, dimension=1)
+        pad = pk == I32_MAX
+        tgt = jnp.where(pad, I32_MAX,
+                        jax.lax.shift_right_logical(pk, pack_bits))
+        win = jnp.where(pad, I32_MAX, pk & ((1 << pack_bits) - 1))
+    else:
+        tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
     is_match = tgt != I32_MAX
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
     if emit_hits:
@@ -401,8 +428,13 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
                prefix_bits: int = 16, prefix_steps: int = 0,
-               dense: bool = False, alt_runs: int = 0):
+               dense: bool = False, alt_runs: int = 0,
+               pack_bits: int = 0):
     """(B, F) features -> (B, F*C) match slots (tgt, win).
+
+    ``pack_bits=w`` returns (pk, pk) instead, with
+    pk = (tgt << w) | win and I32_MAX padding — the single-i32 slot
+    encoding consumed by rows_to_result(pack_bits=w).
 
     ``alt_runs=r`` (power of two >= C) pads each feature's slot segment
     to r lanes and REVERSES odd-numbered features' segments, emitting
@@ -489,6 +521,21 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
         tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
         wins = jnp.where(hit, loc_win[li], I32_MAX)
+    if pack_bits:
+        pk = jnp.where(tgts != I32_MAX, (tgts << pack_bits) | wins,
+                       I32_MAX)
+        if alt_runs:
+            rl = alt_runs
+            if rl > c:
+                pk = jnp.concatenate(
+                    [pk, jnp.full((b * f, rl - c), I32_MAX, jnp.int32)],
+                    axis=1)
+            fidx = jax.lax.broadcasted_iota(jnp.int32, (b * f, 1), 0) % f
+            pk = jnp.where((fidx & 1) == 1, jax.lax.rev(pk, (1,)), pk)
+            pk = pk.reshape(b, f * rl)
+        else:
+            pk = pk.reshape(b, f * c)
+        return pk, pk
     if alt_runs:
         rl = alt_runs
         if rl > c:
@@ -509,7 +556,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "num_parts", "dense",
                      "walk_elems", "dedup_walk", "fast_top2",
-                     "fused_candidates", "emit_hits"))
+                     "fused_candidates", "emit_hits", "pack_bits"))
 def query_step_rows_multipart(windows, valid, mwir,
                               part_feats, part_offsets, part_ltgt,
                               part_lwin, merge_tax_of_target, lineages,
@@ -526,7 +573,8 @@ def query_step_rows_multipart(windows, valid, mwir,
                               dedup_walk: int = 0,
                               fast_top2: bool = False,
                               fused_candidates: bool = False,
-                              emit_hits: bool = True) -> QueryResult:
+                              emit_hits: bool = True,
+                              pack_bits: int = 0) -> QueryResult:
     """Row-layout query over a multi-part database: sketch once, probe
     every part, concatenate per-query slot rows (reference probes every
     DB part and merge-sorts matches, src/host_hashmap.hpp:695-723)."""
@@ -541,7 +589,8 @@ def query_step_rows_multipart(windows, valid, mwir,
         t, wn = probe_rows(feats, part_feats[p], part_offsets[p],
                            part_ltgt[p], part_lwin[p],
                            slots_per_feature[p], part_prefix[p],
-                           bits, prefix_steps[p], dense[p])
+                           bits, prefix_steps[p], dense[p],
+                           pack_bits=pack_bits)
         tgts.append(t)
         wins_.append(wn)
     tgt = jnp.concatenate(tgts, axis=1)
@@ -551,7 +600,8 @@ def query_step_rows_multipart(windows, valid, mwir,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
         dedup_walk=dedup_walk, fast_top2=fast_top2,
-        fused_candidates=fused_candidates, emit_hits=emit_hits)
+        fused_candidates=fused_candidates, emit_hits=emit_hits,
+        pack_bits=pack_bits)
 
 
 @functools.partial(
@@ -560,7 +610,8 @@ def query_step_rows_multipart(windows, valid, mwir,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
-                     "fast_top2", "fused_candidates", "emit_hits"))
+                     "fast_top2", "fused_candidates", "emit_hits",
+                     "pack_bits"))
 def query_step_rows(windows, valid, mwir,
                     table_feats, table_offsets, loc_tgt, loc_win,
                     merge_tax_of_target, lineages,
@@ -575,7 +626,8 @@ def query_step_rows(windows, valid, mwir,
                     dedup_walk: int = 0,
                     fast_top2: bool = False,
                     fused_candidates: bool = False,
-                    emit_hits: bool = True) -> QueryResult:
+                    emit_hits: bool = True,
+                    pack_bits: int = 0) -> QueryResult:
     """Row-layout classification step.
 
     windows: (B, Wq, W) u8 — every query padded to Wq windows;
@@ -592,14 +644,14 @@ def query_step_rows(windows, valid, mwir,
     tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                           loc_win, slots_per_feature, prefix_starts,
                           prefix_bits, prefix_steps, dense,
-                          alt_runs=alt)
+                          alt_runs=alt, pack_bits=pack_bits)
     return rows_to_result(
         tgt, win, mwir, merge_tax_of_target, lineages,
         hits_min, hits_diff_frac, highest_rank, merge_rank,
         max_candidates=max_candidates, walk_elems=walk_elems,
         dedup_walk=dedup_walk, fast_top2=fast_top2,
         fused_candidates=fused_candidates, emit_hits=emit_hits,
-        presorted_runs=alt)
+        presorted_runs=alt, pack_bits=pack_bits)
 
 
 @functools.partial(
@@ -608,7 +660,7 @@ def query_step_rows(windows, valid, mwir,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
-                     "fast_top2", "fused_candidates"))
+                     "fast_top2", "fused_candidates", "pack_bits"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -622,7 +674,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          walk_elems: int = 0,
                          dedup_walk: int = 0,
                          fast_top2: bool = False,
-                         fused_candidates: bool = False):
+                         fused_candidates: bool = False,
+                         pack_bits: int = 0):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -641,14 +694,14 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
         tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                               loc_win, slots_per_feature, prefix_starts,
                               prefix_bits, prefix_steps, dense,
-                              alt_runs=alt)
+                              alt_runs=alt, pack_bits=pack_bits)
         res = rows_to_result(
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
             max_candidates=max_candidates, walk_elems=walk_elems,
             dedup_walk=dedup_walk, fast_top2=fast_top2,
             fused_candidates=fused_candidates, emit_hits=False,
-            presorted_runs=alt)
+            presorted_runs=alt, pack_bits=pack_bits)
         return carry, res.cls_tax
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))

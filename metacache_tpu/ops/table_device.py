@@ -50,6 +50,7 @@ class DeviceTable(NamedTuple):
     layout_bytes: int = 0    # device bytes of head+ovf rows
     packed: bool = False     # head: two 64-lane rows per 128-lane row
     ovf_packed: bool = False # overflow rows likewise
+    max_win: int = 0         # max window index over all locations
 
 
 def _chunked_scatter(out, rows, cols, vals, nch: int):
@@ -105,7 +106,8 @@ def _stage_sort(f, t, w, presorted: bool):
     valid = fs != SENT           # sentinel slots sort last; dropped
     nf = jnp.sum((newf & valid).astype(jnp.int32))
     maxb = jnp.max(jnp.where(valid, col, -1)) + 1
-    return fs, ts, ws, nf, maxb
+    maxw = jnp.max(jnp.where(valid, ws, 0))
+    return fs, ts, ws, nf, maxb, maxw
 
 
 @functools.partial(jax.jit, static_argnames=("nf", "cap", "nch"))
@@ -363,10 +365,11 @@ def build_device_table(f, t, w, *, cap: int = 254,
             [f, _jnp.full((n_pad - n,), SENT, _jnp.uint32)])
         t = _jnp.concatenate([t, _jnp.zeros((n_pad - n,), _jnp.int32)])
         w = _jnp.concatenate([w, _jnp.zeros((n_pad - n,), _jnp.int32)])
-    fs, ts, ws, nf_d, maxb_d = _stage_sort(f, t, w, presorted)
+    fs, ts, ws, nf_d, maxb_d, maxw_d = _stage_sort(f, t, w, presorted)
     del f, t, w
     nf = int(np.asarray(nf_d))
     maxb = int(np.asarray(maxb_d))
+    maxw = int(np.asarray(maxw_d))
     spf = max(min(maxb, cap), 1)
     nf_pad = _quantize(nf, 12)
 
@@ -415,7 +418,7 @@ def build_device_table(f, t, w, *, cap: int = 254,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
                        num_locations=num_loc, dense=dense,
                        layout_bytes=bytes_for(head, novf),
-                       packed=pack, ovf_packed=opack)
+                       packed=pack, ovf_packed=opack, max_win=maxw)
 
 
 def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,

@@ -164,3 +164,98 @@ def test_candidates_pallas_presorted_runs_parity():
                                       np.asarray(cb), err_msg="beg")
         np.testing.assert_array_equal(np.asarray(ref.cand_end),
                                       np.asarray(ce), err_msg="end")
+
+
+def _pack(tgt, win, wbits):
+    pk = (tgt.astype(np.int64) << wbits) | win
+    pk = np.where(tgt == np.int32(2**31 - 1), 2**31 - 1, pk)
+    return pk.astype(np.int32)
+
+
+@pytest.mark.parametrize("b,l,ntgt,nwin,walk", [
+    (64, 192, 12, 40, 12),
+    (16, 1536, 40, 500, 8),
+])
+def test_candidates_pallas_packed_walk_parity(b, l, ntgt, nwin, walk):
+    """Packed single-key kernel == two-array kernel (walk mode)."""
+    from metacache_tpu.ops.candidates_pallas import \
+        candidates_pallas_packed
+    rng = np.random.default_rng(47)
+    wbits = max(1, (2 * (nwin - 1)).bit_length())
+    for trial in range(3):
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin)
+        mwir = np.full(b, 3, np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            ref = candidates_pallas(
+                jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                walk_elems=walk, max_candidates=2)
+            got = candidates_pallas_packed(
+                jnp.asarray(_pack(tgt, win, wbits)), jnp.asarray(mwir),
+                wbits, walk_elems=walk, max_candidates=2)
+        for a, g, nm in zip(ref, got, ("tgt", "hits", "beg", "end")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(g),
+                                          err_msg=nm)
+
+
+@pytest.mark.parametrize("b,l,ntgt,nwin,dwalk", [
+    (64, 192, 12, 18, 6),
+    (16, 960, 40, 60, 8),
+])
+def test_candidates_pallas_packed_dedup_parity(b, l, ntgt, nwin, dwalk):
+    from metacache_tpu.ops.candidates_pallas import \
+        candidates_pallas_packed
+    rng = np.random.default_rng(53)
+    wbits = max(1, (2 * (nwin - 1)).bit_length())
+    for trial in range(3):
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin, fill=0.7)
+        dup = rng.random((b, l)) < 0.5
+        tgt2 = np.where(dup, np.roll(tgt, 1, axis=1), tgt)
+        win2 = np.where(dup, np.roll(win, 1, axis=1), win)
+        mask = tgt == np.int32(2**31 - 1)
+        tgt = np.where(mask, tgt, tgt2)
+        win = np.where(mask, win, win2)
+        mwir = np.full(b, dwalk, np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            ref = candidates_pallas(
+                jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+                dedup_walk=dwalk, max_candidates=2)
+            got = candidates_pallas_packed(
+                jnp.asarray(_pack(tgt, win, wbits)), jnp.asarray(mwir),
+                wbits, dedup_walk=dwalk, max_candidates=2)
+        for a, g, nm in zip(ref, got, ("tgt", "hits", "beg", "end")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(g),
+                                          err_msg=nm)
+
+
+def test_candidates_pallas_packed_presorted_parity():
+    """Packed kernel with alternating presorted runs == full sort."""
+    from metacache_tpu.ops.candidates_pallas import \
+        candidates_pallas_packed
+    rng = np.random.default_rng(59)
+    b, f, r, ntgt, nwin = 32, 16, 64, 30, 400
+    l = f * r
+    wbits = max(1, (2 * (nwin - 1)).bit_length())
+    for trial in range(2):
+        pk = np.full((b, f, r), 2**31 - 1, np.int32)
+        for i in range(b):
+            for j in range(f):
+                n = int(rng.integers(0, r + 1))
+                t = rng.integers(0, ntgt, n).astype(np.int64)
+                w = rng.integers(0, nwin, n).astype(np.int64)
+                v = np.sort((t << wbits) | w)
+                if j & 1:
+                    pk[i, j, r - n:] = v[::-1]
+                else:
+                    pk[i, j, :n] = v
+        pk = pk.reshape(b, l)
+        mwir = np.full(b, 3, np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            ref = candidates_pallas_packed(
+                jnp.asarray(pk), jnp.asarray(mwir), wbits,
+                walk_elems=10, max_candidates=2)
+            got = candidates_pallas_packed(
+                jnp.asarray(pk), jnp.asarray(mwir), wbits,
+                walk_elems=10, max_candidates=2, presorted=r)
+        for a, g, nm in zip(ref, got, ("tgt", "hits", "beg", "end")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(g),
+                                          err_msg=nm)

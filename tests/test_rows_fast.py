@@ -106,3 +106,25 @@ def test_fast_top2_empty_rows():
     fast = _run(tgt, win, mwir, lin, 2, True)
     assert (fast["cand_tgt"] == -1).all()
     assert (fast["cls_tax"] == 0).all()
+
+
+@pytest.mark.parametrize("sweep", [{}, {"walk_elems": 12},
+                                   {"dedup_walk": 6}])
+@pytest.mark.parametrize("fast", [False, True])
+def test_pack_bits_parity(sweep, fast):
+    """rows_to_result(pack_bits=w) over pk slots == unpacked path."""
+    rng = np.random.default_rng(67)
+    b, l, ntgt, nwin = 48, 192, 12, 40
+    wbits = max(1, (2 * (nwin - 1)).bit_length())
+    lin = _lineages(ntgt)
+    for trial in range(2):
+        tgt, win = _random_slots(rng, b, l, ntgt, nwin,
+                                 dup="dedup_walk" in sweep)
+        mwir = np.full(b, 5, np.int32)
+        ref = _run(tgt, win, mwir, lin, 2, fast, **sweep)
+        pk = (tgt.astype(np.int64) << wbits) | win
+        pk = np.where(tgt == I32_MAX, I32_MAX,
+                      pk).astype(np.int32)
+        got = _run(pk, pk, mwir, lin, 2, fast, pack_bits=wbits, **sweep)
+        for k in ref:
+            np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
