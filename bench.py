@@ -64,8 +64,11 @@ def make_strain_genomes(rng, specs, glen):
 def dense_tag(dt):
     """probe_rows `dense` static tag for a DeviceTable layout."""
     if dt.dense:
+        if dt.slot_bits:
+            return f"pk{dt.slot_bits}" + ("p" if dt.packed else "")
         return "packed" if dt.packed else True
-    return ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed)
+    return ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed,
+            dt.slot_bits)
 
 
 def build_db(genomes, opt):
@@ -114,6 +117,7 @@ def main():
         mt, lg = jnp.asarray(merge_tax), jnp.asarray(lineages)
         spf, bbits = dt.spf, dt.bbits
         dense = dense_tag(dt)
+        pkb = dt.slot_bits          # packed slot keys (= storage bits)
 
         rng2 = np.random.default_rng(7)
         gsel = rng2.integers(0, ntgt, B)
@@ -142,13 +146,14 @@ def main():
                                 opt.sketchlen, spf)
                 tt, wn = probe_rows(fx.reshape(B, opt.sketchlen), tf,
                                     to, la, lb, spf, ps, bbits, 0,
-                                    dense=dense, alt_runs=alt)
+                                    dense=dense, alt_runs=alt,
+                                    pack_bits=pkb)
                 res = rows_to_result(
                     tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2,
                     walk_elems=2 * opt.sketchlen, fast_top2=True,
                     fused_candidates=fused, emit_hits=False,
-                    presorted_runs=alt)
+                    presorted_runs=alt, pack_bits=pkb)
                 return c, res.cls_tax
             _, out = jax.lax.scan(body, 0, (wk, vk, mk))
             return out
@@ -189,6 +194,7 @@ def main():
         LB, LLEN, WQ = 2048, 480, 5
         spf, bbits = dt.spf, dt.bbits
         dense = dense_tag(dt)
+        pkb = dt.slot_bits
         rng2 = np.random.default_rng(11)
         lsel = rng2.integers(0, len(genomes), LB)
         lpos = rng2.integers(0, glen - LLEN, LB)
@@ -209,13 +215,21 @@ def main():
                                       v.reshape(LB * WQ), opt.kmerlen,
                                       opt.sketchlen, use_pallas)
                 fx = fx.reshape(LB, WQ * opt.sketchlen)
+                from metacache_tpu.ops.rows import _alt_runs
+                use_pallas = jax.default_backend() != "cpu"
+                alt = _alt_runs(use_pallas, True, 0,
+                                2 + LLEN // opt.winstride,
+                                WQ * opt.sketchlen, spf)
                 tt, wn = probe_rows(fx, tf, to, la, lb, spf, ps,
-                                    bbits, 0, dense=dense)
+                                    bbits, 0, dense=dense,
+                                    alt_runs=alt, pack_bits=pkb)
                 res = rows_to_result(
                     tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
                     jnp.int32(19), jnp.int32(0), max_candidates=2,
                     dedup_walk=2 + LLEN // opt.winstride,
-                    fast_top2=True, emit_hits=False)
+                    fast_top2=True, emit_hits=False,
+                    fused_candidates=use_pallas,
+                    presorted_runs=alt, pack_bits=pkb)
                 return c, res.cls_tax
             _, out = jax.lax.scan(body, 0, (wk, vk, mk))
             return out

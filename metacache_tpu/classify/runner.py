@@ -200,6 +200,17 @@ class _ShardedRows:
         return v
 
 
+
+def _device_dense_tag(dtab):
+    """probe_rows `dense` static tag for a DeviceTable layout."""
+    if dtab.dense:
+        if dtab.slot_bits:
+            return f"pk{dtab.slot_bits}" + ("p" if dtab.packed else "")
+        return "packed" if dtab.packed else True
+    return ("two_tier", dtab.head_slots, dtab.packed, dtab.ovf_packed,
+            dtab.slot_bits)
+
+
 class QueryRunner:
     """Holds device-resident database state across query runs."""
 
@@ -329,11 +340,7 @@ class QueryRunner:
             for dtab in db.device_parts:
                 self._tables.append((dtab.uniq, dtab.offsets, dtab.head,
                                      dtab.ovf, dtab.spf))
-                self._dense.append(
-                    ("packed" if dtab.packed else True)
-                    if dtab.dense else
-                    ("two_tier", dtab.head_slots, dtab.packed,
-                     dtab.ovf_packed))
+                self._dense.append(_device_dense_tag(dtab))
                 self._prefix.append((dtab.brows, 0))
                 self._prefix_bits.append(dtab.bbits)
         use_dev_layout = (
@@ -360,11 +367,7 @@ class QueryRunner:
                     self._tables.append((
                         dtab.uniq, dtab.offsets, dtab.head, dtab.ovf,
                         dtab.spf))
-                    self._dense.append(
-                        ("packed" if dtab.packed else True)
-                        if dtab.dense else
-                        ("two_tier", dtab.head_slots, dtab.packed,
-                         dtab.ovf_packed))
+                    self._dense.append(_device_dense_tag(dtab))
                     self._prefix.append((dtab.brows, 0))
                     self._prefix_bits.append(dtab.bbits)
                     continue

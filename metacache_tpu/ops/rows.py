@@ -475,15 +475,19 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         return jnp.where((idx & 1)[:, None] == 1, r2[:, 64:],
                          r2[:, :64])
 
+    slot_bits = 0            # >0: gathered rows hold packed pk slots
+    pks = None
     if isinstance(dense, tuple):
-        # two-tier: head rows [feat, count, ovf_idx, tgt*H, win*H] in
-        # loc_tgt, overflow rows [tgt*(C-H), win*(C-H)] in loc_win
-        # (row 0 = dummy). 2 gathers for shallow buckets' worth of
-        # memory even when the worst bucket is C deep. Optional 3rd/4th
-        # tuple entries flag pair-packed head/overflow rows.
+        # two-tier: head rows [feat, count, ovf_idx, slots*H] in
+        # loc_tgt, overflow rows [slots*(C-H)] in loc_win (row 0 =
+        # dummy). 2 gathers for shallow buckets' worth of memory even
+        # when the worst bucket is C deep. Slots are (tgt, win) lane
+        # pairs, or ONE pk lane each when dense[4] = slot_bits > 0.
+        # dense[2]/dense[3] flag pair-packed head/overflow rows.
         hsl = dense[1]
         hpack = len(dense) > 2 and dense[2]
         opack = len(dense) > 3 and dense[3]
+        slot_bits = dense[4] if len(dense) > 4 else 0
         rows = half_gather(loc_tgt, idx_c) if hpack else loc_tgt[idx_c]
         flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
         found = (rows[:, 0] == flat_i32) & \
@@ -493,22 +497,38 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         ow = c - hsl
         oidx = jnp.where(found, rows[:, 2], 0)
         orow = half_gather(loc_win, oidx) if opack else loc_win[oidx]
-        tgts = jnp.concatenate(
-            [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
-        wins = jnp.concatenate(
-            [rows[:, 3 + hsl:3 + 2 * hsl], orow[:, ow:2 * ow]], axis=1)
-        tgts = jnp.where(hit, tgts, I32_MAX)
-        wins = jnp.where(hit, wins, I32_MAX)
+        if slot_bits:
+            pks = jnp.concatenate(
+                [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
+            pks = jnp.where(hit, pks, I32_MAX)
+        else:
+            tgts = jnp.concatenate(
+                [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
+            wins = jnp.concatenate(
+                [rows[:, 3 + hsl:3 + 2 * hsl], orow[:, ow:2 * ow]],
+                axis=1)
+            tgts = jnp.where(hit, tgts, I32_MAX)
+            wins = jnp.where(hit, wins, I32_MAX)
     elif dense:
-        rows = half_gather(loc_tgt, idx_c) if dense == "packed" \
-            else loc_tgt[idx_c]                     # ONE gather
+        if isinstance(dense, str) and dense.startswith("pk"):
+            # "pk<bits>" / "pk<bits>p" (pair-packed): dense rows with
+            # packed slots [feat, count, pk*C]
+            slot_bits = int(dense[2:].rstrip("p"))
+            rows = half_gather(loc_tgt, idx_c) \
+                if dense.endswith("p") else loc_tgt[idx_c]
+        else:
+            rows = half_gather(loc_tgt, idx_c) if dense == "packed" \
+                else loc_tgt[idx_c]                 # ONE gather
         flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
         found = (rows[:, 0] == flat_i32) & \
             (flat != jnp.uint32(0xFFFFFFFF))
         cnt = jnp.where(found, rows[:, 1], 0)
         hit = j < cnt[:, None]
-        tgts = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
-        wins = jnp.where(hit, rows[:, 2 + c:2 + 2 * c], I32_MAX)
+        if slot_bits:
+            pks = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
+        else:
+            tgts = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
+            wins = jnp.where(hit, rows[:, 2 + c:2 + 2 * c], I32_MAX)
     else:
         cnt = jnp.where(
             found,
@@ -521,9 +541,24 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         li = jnp.minimum(off[:, None] + j, max(loc_tgt.shape[0] - 1, 0))
         tgts = jnp.where(hit, loc_tgt[li], I32_MAX)
         wins = jnp.where(hit, loc_win[li], I32_MAX)
+    if pks is not None and not pack_bits:
+        # caller wants (tgt, win) from slot-packed storage: unpack
+        pad_ = pks == I32_MAX
+        tgts = jnp.where(pad_, I32_MAX,
+                         jax.lax.shift_right_logical(pks, slot_bits))
+        wins = jnp.where(pad_, I32_MAX, pks & ((1 << slot_bits) - 1))
     if pack_bits:
-        pk = jnp.where(tgts != I32_MAX, (tgts << pack_bits) | wins,
-                       I32_MAX)
+        if pks is None:
+            pk = jnp.where(tgts != I32_MAX, (tgts << pack_bits) | wins,
+                           I32_MAX)
+        elif slot_bits == pack_bits:
+            pk = pks
+        else:
+            # re-base the storage encoding onto the caller's wbits
+            pk = jnp.where(
+                pks == I32_MAX, I32_MAX,
+                (jax.lax.shift_right_logical(pks, slot_bits)
+                 << pack_bits) | (pks & ((1 << slot_bits) - 1)))
         if alt_runs:
             rl = alt_runs
             if rl > c:

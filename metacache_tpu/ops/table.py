@@ -233,11 +233,14 @@ class FeatureTable:
         return lt2, lw2
 
     def _fill_rows(self, out, col_t: int, col_w: int, width: int,
-                   skip: int = 0, rows_sel=None):
+                   skip: int = 0, rows_sel=None, slot_bits: int = 0):
         """Scatter CSR locations [skip, skip+width) of selected buckets
         into out[:, col_t:...] / out[:, col_w:...] without materializing
         a full (F, max_bucket) dense matrix (RefSeq-scale tables would
-        need tens of GB of host scratch otherwise)."""
+        need tens of GB of host scratch otherwise).
+
+        ``slot_bits > 0``: write packed pk = (tgt << bits) | win into
+        col_t lanes only (col_w ignored) — one lane per slot."""
         if not self.num_features:
             return
         ltgt, lwin = unpack_locations(self.locations)
@@ -254,11 +257,18 @@ class FeatureTable:
         np.cumsum(sizes[:-1], out=starts[1:])
         cols = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
         src = np.repeat(self.offsets[:-1][rows_sel] + skip, sizes) + cols
-        out[rows, col_t + cols] = ltgt[src]
-        out[rows, col_w + cols] = lwin[src]
+        if slot_bits:
+            out[rows, col_t + cols] = ((ltgt[src].astype(np.int64)
+                                        << slot_bits)
+                                       | lwin[src]).astype(np.int32)
+        else:
+            out[rows, col_t + cols] = ltgt[src]
+            out[rows, col_w + cols] = lwin[src]
 
-    def fused_rows(self, width: int):
-        """One gatherable row per feature: [feature, count, tgt*W, win*W].
+    def fused_rows(self, width: int, slot_bits: int = 0):
+        """One gatherable row per feature: [feature, count, tgt*W, win*W]
+        — or [feature, count, pk*W] when ``slot_bits > 0`` (packed
+        single-lane slots, half the row bytes).
 
         A single row gather then yields everything the probe needs —
         membership check, bucket size and all locations — instead of
@@ -266,7 +276,8 @@ class FeatureTable:
         Row width = 2 + 2*width, padded to a multiple of 8 lanes.
         """
         f = max(self.num_features, 1)
-        cols = 2 + 2 * width
+        spl = 1 if slot_bits else 2
+        cols = 2 + spl * width
         # XLA's TPU row gather has a fast path only at >= 64 lanes
         # (measured: width 32 costs 3.4x width 64 for the same rows)
         cols_pad = max(64, ((cols + 7) // 8) * 8)
@@ -275,10 +286,12 @@ class FeatureTable:
             out[:, 0] = self.unique_features.view(np.int32)
             out[:, 1] = np.minimum(np.diff(self.offsets),
                                    width).astype(np.int32)
-            self._fill_rows(out, 2, 2 + width, width)
+            self._fill_rows(out, 2, 2 + width, width,
+                            slot_bits=slot_bits)
         return out
 
-    def fused_rows_two_tier(self, width: int, head_width: int):
+    def fused_rows_two_tier(self, width: int, head_width: int,
+                            slot_bits: int = 0):
         """Two-tier fused rows for skewed bucket-size distributions.
 
         Head: one row per feature [feature, count, ovf_idx, tgt*H, win*H]
@@ -293,22 +306,24 @@ class FeatureTable:
         """
         h = head_width
         f = max(self.num_features, 1)
-        cols_pad = max(64, ((3 + 2 * h + 7) // 8) * 8)
+        spl = 1 if slot_bits else 2
+        cols_pad = max(64, ((3 + spl * h + 7) // 8) * 8)
         head = np.zeros((f, cols_pad), np.int32)
         sizes = np.minimum(np.diff(self.offsets), width).astype(np.int32) \
             if self.num_features else np.zeros(1, np.int32)
         if self.num_features:
             head[:, 0] = self.unique_features.view(np.int32)
             head[:, 1] = sizes
-            self._fill_rows(head, 3, 3 + h, h)
+            self._fill_rows(head, 3, 3 + h, h, slot_bits=slot_bits)
         over = np.nonzero(sizes > h)[0]
         ow = width - h
-        ocols_pad = max(64, ((2 * ow + 7) // 8) * 8)
+        ocols_pad = max(64, ((spl * ow + 7) // 8) * 8)
         ovf = np.zeros((len(over) + 1, ocols_pad), np.int32)
         if len(over) and ow > 0:
             head[over, 2] = np.arange(1, len(over) + 1, dtype=np.int32)
             self._fill_rows(ovf[1:], 0, ow, ow, skip=h,
-                            rows_sel=over.astype(np.int64))
+                            rows_sel=over.astype(np.int64),
+                            slot_bits=slot_bits)
         return head, ovf
 
     def prefix_index(self, bits: int | None = None):

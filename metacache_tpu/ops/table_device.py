@@ -51,6 +51,8 @@ class DeviceTable(NamedTuple):
     packed: bool = False     # head: two 64-lane rows per 128-lane row
     ovf_packed: bool = False # overflow rows likewise
     max_win: int = 0         # max window index over all locations
+    slot_bits: int = 0       # >0: rows store pk = (tgt << bits) | win
+                             # in ONE lane per slot (half the bytes)
 
 
 def _chunked_scatter(out, rows, cols, vals, nch: int):
@@ -107,7 +109,8 @@ def _stage_sort(f, t, w, presorted: bool):
     nf = jnp.sum((newf & valid).astype(jnp.int32))
     maxb = jnp.max(jnp.where(valid, col, -1)) + 1
     maxw = jnp.max(jnp.where(valid, ws, 0))
-    return fs, ts, ws, nf, maxb, maxw
+    maxt = jnp.max(jnp.where(valid, ts, 0))
+    return fs, ts, ws, nf, maxb, maxw, maxt
 
 
 @functools.partial(jax.jit, static_argnames=("nf", "cap", "nch"))
@@ -205,6 +208,26 @@ def _head_init(sizes, uniq, hw: int, dense: bool, head: int,
     return headrows
 
 
+@functools.partial(jax.jit, static_argnames=("wbits",),
+                   donate_argnums=(0, 1))
+def _pack_stream(ts, ws, wbits: int):
+    """(tgt, win) location stream -> packed pk stream (donates both)."""
+    return (ts << wbits) | ws
+
+
+def slot_pack_bits(maxwin: int, maxtgt: int) -> int:
+    """wbits for the packed slot encoding, or 0 when it cannot fit i32.
+
+    One extra bit of window headroom keeps the inter-target gap larger
+    than any clamped mwir (see ops.candidates_pallas._packed_kernel)."""
+    import os
+    if os.environ.get("MC_PACK_STORE", "1") == "0":
+        return 0
+    wbits = max(1, (2 * maxwin).bit_length())
+    pkmax = (maxtgt << wbits) | maxwin
+    return wbits if pkmax < 2**31 - 1 else 0
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "nch"))
 def _brows_build(uniq, bits: int, nch: int):
     """Bucket-row probe index (ops.probe.make_bucket_index layout:
@@ -258,22 +281,29 @@ def _pack_auto(nf_rows: int) -> bool:
 
 def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
                 cap: int, head: int, bits: int, nch: int, dense: bool,
-                pack_rows: bool = True):
+                pack_rows: bool = True, slot_bits: int = 0):
     """Head rows, overflow rows and the bucket index via per-fill jits,
     bounding concurrent HBM residency to one fill's working set.
 
     `owned` is a [marks, ts, ws] list whose refs this function consumes
     (callers must not keep their own) so each array frees right after
-    its last fill."""
+    its last fill.
+
+    ``slot_bits > 0``: rows store packed pk = (tgt << slot_bits) | win
+    in ONE lane per slot — half the layout bytes, half the fills."""
     marks, ts, ws = owned
     owned.clear()
     base = 2 if dense else 3
-    hw = _pad64(base + 2 * head)
+    spl = 1 if slot_bits else 2        # lanes per slot
+    hw = _pad64(base + spl * head)
     pack = pack_rows and hw == 64 and nf % 2 == 0
     ow = cap - head
-    ocols = _pad64(2 * ow) if ow > 0 else 64
+    ocols = _pad64(spl * ow) if ow > 0 else 64
     novf_rows = novf + 2 if novf % 2 else novf + 1   # even when packing
     opack = ocols == 64 and novf_rows % 2 == 0
+    if slot_bits:
+        ts = _pack_stream(ts, ws, slot_bits)
+        ws = None
     # overflow rows first — while the (larger) head rows don't exist
     # yet, keeping peak residency = max(head, ovf) + fill working set
     ovfrows = jnp.zeros((novf_rows // 2, 128) if opack else
@@ -282,18 +312,20 @@ def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
         ovfrows = _fill_span(ovfrows, marks, ts, kind="ovf", colbase=0,
                              head=head, cap=cap, nch=nch,
                              nrows=novf_rows, pack=opack)
-        ovfrows = _fill_span(ovfrows, marks, ws, kind="ovf",
-                             colbase=ow, head=head, cap=cap, nch=nch,
-                             nrows=novf_rows, pack=opack)
+        if not slot_bits:
+            ovfrows = _fill_span(ovfrows, marks, ws, kind="ovf",
+                                 colbase=ow, head=head, cap=cap,
+                                 nch=nch, nrows=novf_rows, pack=opack)
     headrows = _head_init(sizes, uniq, hw=hw, dense=dense, head=head,
                           pack=pack)
     headrows = _fill_span(headrows, marks, ts, kind="head",
                           colbase=base, head=head, cap=cap, nch=nch,
                           nrows=nf, pack=pack)
     ts = None
-    headrows = _fill_span(headrows, marks, ws, kind="head",
-                          colbase=base + head, head=head, cap=cap,
-                          nch=nch, nrows=nf, pack=pack)
+    if not slot_bits:
+        headrows = _fill_span(headrows, marks, ws, kind="head",
+                              colbase=base + head, head=head, cap=cap,
+                              nch=nch, nrows=nf, pack=pack)
     ws = marks = None
     brows, maxspan = _brows_build(uniq, bits=bits,
                                   nch=max(nch // 8, 1))
@@ -304,16 +336,23 @@ def _pad64(c: int) -> int:
     return max(64, ((c + 7) // 8) * 8)
 
 
-def _choose_head(spf, cum_over, bytes_for, budget_bytes, what):
+def _choose_head(spf, cum_over, bytes_for, budget_bytes, what,
+                 slot_packed: bool = False):
     """Smallest-footprint two-tier head width that fits the budget.
 
-    Sweeps narrow heads (6/14/22) as well as the 30+16k ladder so a
-    tight HBM budget can still fit a layout instead of erroring."""
-    cands = [h for h in (6, 14, 22) if 0 < h < spf]
-    hcand = min(30, spf - 1)
+    Sweeps narrow heads as well as a row-width ladder (61 + 32k slots
+    when slot-packed: 3 meta lanes + H slots fill 64-lane rows exactly;
+    30 + 16k otherwise) so a tight HBM budget can still fit a layout
+    instead of erroring."""
+    if slot_packed:
+        cands = [h for h in (13, 29, 45) if 0 < h < spf]
+        hcand, step = min(61, spf - 1), 32
+    else:
+        cands = [h for h in (6, 14, 22) if 0 < h < spf]
+        hcand, step = min(30, spf - 1), 16
     while 0 < hcand < spf:
         cands.append(hcand)
-        hcand += 16
+        hcand += step
     best = None
     for hcand in cands:
         n_over = int(cum_over[hcand + 1])
@@ -337,6 +376,21 @@ def _quantize(n: int, min_bits: int) -> int:
     q = 1 << max(min_bits, n.bit_length() - 4)
     return -(-n // q) * q
 
+
+
+def _bytes_for_fn(nf_pad, spf, spl):
+    """Physical layout bytes for head width hd + n_over overflow rows;
+    spl = lanes per slot (1 when slot-packed, 2 otherwise)."""
+    def row_b(c):
+        return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64 else 1)
+
+    def bytes_for(hd, n_over):
+        if hd == spf:                              # dense layout
+            return nf_pad * row_b(_pad64(2 + spl * spf)) + 512
+        return (nf_pad * row_b(_pad64(3 + spl * hd)) +
+                (_quantize(n_over, 10) + 1) *
+                row_b(_pad64(spl * (spf - hd))))
+    return bytes_for
 
 def build_device_table(f, t, w, *, cap: int = 254,
                        budget_bytes: int | None = None,
@@ -365,35 +419,28 @@ def build_device_table(f, t, w, *, cap: int = 254,
             [f, _jnp.full((n_pad - n,), SENT, _jnp.uint32)])
         t = _jnp.concatenate([t, _jnp.zeros((n_pad - n,), _jnp.int32)])
         w = _jnp.concatenate([w, _jnp.zeros((n_pad - n,), _jnp.int32)])
-    fs, ts, ws, nf_d, maxb_d, maxw_d = _stage_sort(f, t, w, presorted)
+    fs, ts, ws, nf_d, maxb_d, maxw_d, maxt_d = _stage_sort(
+        f, t, w, presorted)
     del f, t, w
     nf = int(np.asarray(nf_d))
     maxb = int(np.asarray(maxb_d))
     maxw = int(np.asarray(maxw_d))
+    maxt = int(np.asarray(maxt_d))
     spf = max(min(maxb, cap), 1)
     nf_pad = _quantize(nf, 12)
+    slot_bits = slot_pack_bits(maxw, maxt)
 
     sizes, uniq, hist_d = _stage_sizes(fs, nf=nf_pad, cap=spf, nch=nch)
     hist = np.asarray(hist_d)[:spf + 1]   # drop the non-start junk bin
 
-    def bytes_for(hd, n_over):
-        # physical bytes: the TPU (8,128) int32 tiling pads the minor
-        # dim to 128 — 64-wide rows are pair-packed so logical==physical
-        def row_b(c):
-            return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64
-                                                        else 1)
-        if hd == spf:                              # dense layout
-            return nf_pad * row_b(_pad64(2 + 2 * spf)) + 512
-        return (nf_pad * row_b(_pad64(3 + 2 * hd)) +
-                (_quantize(n_over, 10) + 1) *
-                row_b(_pad64(2 * (spf - hd))))
+    bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2)
 
     cum_over = np.cumsum(hist[::-1])[::-1]        # #buckets size >= idx
     if bytes_for(spf, 0) <= budget_bytes:
         head = spf                                 # dense: no overflow
     else:
         head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
-                            "table")
+                            "table", slot_packed=bool(slot_bits))
 
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
@@ -404,7 +451,7 @@ def build_device_table(f, t, w, *, cap: int = 254,
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense,
-        pack_rows=_pack_auto(nf_pad))
+        pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(
@@ -418,7 +465,8 @@ def build_device_table(f, t, w, *, cap: int = 254,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
                        num_locations=num_loc, dense=dense,
                        layout_bytes=bytes_for(head, novf),
-                       packed=pack, ovf_packed=opack, max_win=maxw)
+                       packed=pack, ovf_packed=opack, max_win=maxw,
+                       slot_bits=slot_bits)
 
 
 def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
@@ -445,16 +493,11 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     maxb = int(sizes_h.max()) if nf else 1
     spf = max(min(maxb, cap), 1)
     sizes_capped = np.minimum(sizes_h, spf).astype(np.int32)
+    maxw = int(lwin.max()) if n else 0
+    maxt = int(ltgt.max()) if n else 0
+    slot_bits = slot_pack_bits(maxw, maxt)
 
-    def bytes_for(hd, n_over):
-        def row_b(c):
-            return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64
-                                                        else 1)
-        if hd == spf:
-            return nf_pad * row_b(_pad64(2 + 2 * spf)) + 512
-        return (nf_pad * row_b(_pad64(3 + 2 * hd)) +
-                (_quantize(n_over, 10) + 1) *
-                row_b(_pad64(2 * (spf - hd))))
+    bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2)
 
     hist = np.bincount(sizes_capped, minlength=spf + 1)
     cum_over = np.cumsum(hist[::-1])[::-1]
@@ -462,7 +505,7 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
         head = spf
     else:
         head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
-                            "layout")
+                            "layout", slot_packed=bool(slot_bits))
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf
@@ -487,7 +530,7 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense,
-        pack_rows=_pack_auto(nf_pad))
+        pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
     maxspan = int(np.asarray(maxspan_d))
     if maxspan > 63:
         raise MemoryError(
@@ -501,4 +544,5 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
                        spf=spf, head_slots=head,
                        num_locations=int(sizes_capped.sum()),
                        dense=dense, layout_bytes=bytes_for(head, novf),
-                       packed=pack, ovf_packed=opack)
+                       packed=pack, ovf_packed=opack, max_win=maxw,
+                       slot_bits=slot_bits)

@@ -14,10 +14,14 @@ from metacache_tpu.ops.table import FeatureTable, pack_locations
 from metacache_tpu.ops.table_device import build_device_table
 
 
-def _unpack(arr, n=None):
-    """Undo pair-packing: (R, 128) -> (2R, 64); wider arrays unchanged."""
+def _unpack(arr, n=None, packed=None):
+    """Undo pair-packing: (R, 128) -> (2R, 64); wider arrays unchanged.
+    `packed` overrides the width heuristic (slot-packed layouts can
+    have genuine 128-lane rows)."""
     a = np.asarray(arr)
-    if a.ndim == 2 and a.shape[1] == 128:
+    if packed is None:
+        packed = a.ndim == 2 and a.shape[1] == 128
+    if packed:
         a = a.reshape(-1, 64)
     return a if n is None else a[:n]
 
@@ -72,14 +76,16 @@ def test_device_table_parity(cap, budget):
                                   ft.offsets.astype(np.int32))
     if dt.dense:
         assert dt.head_slots == spf
-        np.testing.assert_array_equal(_unpack(dt.head, nf),
-                                      ft.fused_rows(spf))
+        np.testing.assert_array_equal(
+            _unpack(dt.head, nf, dt.packed),
+            ft.fused_rows(spf, dt.slot_bits))
     else:
-        head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
-        np.testing.assert_array_equal(_unpack(dt.head, nf), head)
+        head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots,
+                                           dt.slot_bits)
+        np.testing.assert_array_equal(
+            _unpack(dt.head, nf, dt.packed), head)
         novf_used = head[:, 2].max() + 1
-        got_ovf = _unpack(dt.ovf) if dt.ovf_packed else \
-            np.asarray(dt.ovf)
+        got_ovf = _unpack(dt.ovf, packed=dt.ovf_packed)
         np.testing.assert_array_equal(got_ovf[:novf_used, :ovf.shape[1]],
                                       ovf)
     brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
@@ -136,9 +142,10 @@ def test_device_accumulator_end_to_end():
     np.testing.assert_array_equal(np.asarray(dt.uniq)[:nf],
                                   ft.unique_features)
     spf = max(min(ft.max_bucket_size, 3), 1)
-    want = ft.fused_rows(spf) if dt.dense else \
-        ft.fused_rows_two_tier(spf, dt.head_slots)[0]
-    np.testing.assert_array_equal(_unpack(dt.head, nf), want)
+    want = ft.fused_rows(spf, dt.slot_bits) if dt.dense else \
+        ft.fused_rows_two_tier(spf, dt.head_slots, dt.slot_bits)[0]
+    np.testing.assert_array_equal(_unpack(dt.head, nf, dt.packed),
+                                  want)
 
 
 def test_device_layout_from_csr_parity():
@@ -160,13 +167,15 @@ def test_device_layout_from_csr_parity():
         nf = ft.num_features
         assert dt.nf == nf
         if dt.dense:
-            np.testing.assert_array_equal(_unpack(dt.head, nf),
-                                          ft.fused_rows(spf))
+            np.testing.assert_array_equal(
+                _unpack(dt.head, nf, dt.packed),
+                ft.fused_rows(spf, dt.slot_bits))
         else:
-            head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots)
-            np.testing.assert_array_equal(_unpack(dt.head, nf), head)
-            got_ovf = _unpack(dt.ovf) if dt.ovf_packed else \
-                np.asarray(dt.ovf)
+            head, ovf = ft.fused_rows_two_tier(spf, dt.head_slots,
+                                               dt.slot_bits)
+            np.testing.assert_array_equal(
+                _unpack(dt.head, nf, dt.packed), head)
+            got_ovf = _unpack(dt.ovf, packed=dt.ovf_packed)
             np.testing.assert_array_equal(
                 got_ovf[:head[:, 2].max() + 1, :ovf.shape[1]], ovf)
         brows, bits = make_bucket_index(ft.unique_features, dt.bbits)
