@@ -259,11 +259,91 @@ def main():
                                          4),
         }
 
+    def measure_e2e(genomes, glen):
+        """File-to-output throughput: FASTA on disk -> native C++
+        reader -> 2-bit packed infeed -> device scan -> summary stats
+        (and a -tophits per-read-output variant), through the real CLI
+        plumbing (build_database + map_queries_to_targets). This is the
+        number comparable to the reference's 110M reads/min (its
+        benchmarks are end-to-end from files)."""
+        import subprocess
+        import tempfile
+        from metacache_tpu.cli.main import Args, parse_query_options
+        from metacache_tpu.classify.runner import (
+            ClassificationResults, map_queries_to_targets)
+        from metacache_tpu.db.build import BuildOptions, build_database
+
+        tmp = tempfile.mkdtemp(prefix="mc_e2e_")
+        gfa = os.path.join(tmp, "genomes.fa")
+        b2a = np.frombuffer(b"ACGT", np.uint8)
+        with open(gfa, "wb") as fh:
+            for i, g in enumerate(genomes):
+                fh.write(b">g%d\n" % i)
+                fh.write(b2a[g].tobytes())
+                fh.write(b"\n")
+        nreads = int(os.environ.get("MC_BENCH_E2E_READS", 2_000_000))
+        rfa = os.path.join(tmp, "reads.fa")
+        rng3 = np.random.default_rng(13)
+        gsel = rng3.integers(0, len(genomes), nreads)
+        pos = rng3.integers(0, glen - READ_LEN, nreads)
+        with open(rfa, "wb") as fh:
+            chunk = 65536
+            for c0 in range(0, nreads, chunk):
+                rows = []
+                for i in range(c0, min(c0 + chunk, nreads)):
+                    rd = genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
+                    rows.append(b">r%d\n%s\n" % (i, b2a[rd].tobytes()))
+                fh.write(b"".join(rows))
+
+        bopt = BuildOptions(infiles=[gfa], device_tables=True)
+        db = build_database(bopt)
+
+        def run(flags, infile, n):
+            opt, _, _ = parse_query_options(Args(list(flags)))
+            devnull = open(os.devnull, "w")
+            results = ClassificationResults(devnull, devnull, devnull)
+            t0 = time.time()
+            map_queries_to_targets([infile], db, opt, results)
+            dt = time.time() - t0
+            devnull.close()
+            return round(n / dt * 60), dt
+
+        os.environ.setdefault("MC_SCAN_K", "16")
+        # warm the compile caches on a small prefix file
+        wfa = os.path.join(tmp, "warm.fa")
+        with open(rfa, "rb") as src, open(wfa, "wb") as dst:
+            dst.write(src.read(1 << 20))
+        run(["-no-map", "-no-summary", "-no-query-params"], wfa, 1)
+
+        rpm_sum, dt_sum = run(
+            ["-no-map", "-no-summary", "-no-query-params"], rfa, nreads)
+        ntop = min(nreads, 500_000)
+        tfa = os.path.join(tmp, "reads_top.fa")
+        with open(rfa, "rb") as src, open(tfa, "wb") as dst:
+            for _ in range(2 * ntop):
+                dst.write(src.readline())
+        rpm_top, dt_top = run(
+            ["-tophits", "-no-summary", "-no-query-params"], tfa, ntop)
+        subprocess.run(["rm", "-rf", tmp], check=False)
+        return {
+            "e2e_reads_per_min": rpm_sum,
+            "e2e_seconds": round(dt_sum, 2),
+            "e2e_reads": nreads,
+            "e2e_tophits_reads_per_min": rpm_top,
+            "e2e_tophits_reads": ntop,
+        }
+
     # ------- 1. toy strain DB (round-1 comparable) ----------------------
     GLEN = 1_000_000
     genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)], GLEN)
     dt_toy, build_toy_s = build_db(genomes, opt)
     toy = measure(dt_toy, genomes, species, GLEN, long_reads=True)
+    del dt_toy
+    gc.collect()
+    try:
+        toy["e2e"] = measure_e2e(genomes, GLEN)
+    except Exception as e:           # e2e section must never block
+        toy["e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     toy_detail = {
         "db_features": dt_toy.nf,
         "db_locations": dt_toy.num_locations,
@@ -273,7 +353,7 @@ def main():
                   f"two_tier(head={dt_toy.head_slots})",
         **toy,
     }
-    del dt_toy, genomes
+    del genomes
     gc.collect()
 
     # ------- 2. RefSeq-skew DB (scale proof) ----------------------------

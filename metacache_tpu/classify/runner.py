@@ -453,6 +453,13 @@ class QueryRunner:
             if pkmax < 2**31 - 1:
                 self._pack_bits = wbits
 
+        # 2-bit packed infeed for the single-end scan path (the
+        # host->device link is the end-to-end bottleneck on thin
+        # links); MC_PACK_INFEED=0 disables
+        self._infeed_packed = (
+            _os.environ.get("MC_PACK_INFEED", "1") != "0"
+            and self._mesh is None and self._tmesh is None)
+
         # taxid -> rank lookup for the vectorized summary-only fast path
         ids, ranks = [], []
         for t in db.taxa.taxonomy.taxa.values():
@@ -647,6 +654,14 @@ class QueryRunner:
                     continue
             if scan_k > 1:
                 short = lens <= self.sketching.winlen
+                if self._infeed_packed and short.any():
+                    # reads with ambiguous chars (code 4) cannot 2-bit
+                    # pack: send them through the unpacked path
+                    wl = self.sketching.winlen
+                    pos = np.arange(min(codes.shape[1], wl))
+                    has_n = ((codes[:, :wl] >= 4) &
+                             (pos[None, :] < lens[:, None])).any(axis=1)
+                    short = short & ~has_n
                 if not short.all():
                     dispatched = self._dispatch_coded(
                         codes[~short], lens[~short], headers[~short])
@@ -1124,8 +1139,19 @@ class QueryRunner:
         opt = self.opt
         wl = sk.winlen
         stride = self.db.sketching.winstride
-        wmat = np.ascontiguousarray(codes[:, :wl]).reshape(
-            scan_k, bsz, 1, wl)
+        if self._infeed_packed:
+            # 2-bit pack (4 bases/byte): quarters the h2d transfer.
+            # Callers route reads containing ambiguous characters
+            # through the unpacked per-batch path.
+            wl4 = -(-wl // 4)
+            c4 = np.zeros((len(lens), wl4 * 4), np.uint8)
+            c4[:, :wl] = codes[:, :wl] & 3
+            wmat = (c4[:, 0::4] | (c4[:, 1::4] << 2) |
+                    (c4[:, 2::4] << 4) | (c4[:, 3::4] << 6)).reshape(
+                        scan_k, bsz, 1, wl4)
+        else:
+            wmat = np.ascontiguousarray(codes[:, :wl]).reshape(
+                scan_k, bsz, 1, wl)
         vmat = np.where(lens >= sk.kmerlen, lens, 0).astype(
             np.int32).reshape(scan_k, bsz, 1)
         mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
@@ -1145,6 +1171,7 @@ class QueryRunner:
             dense=self._dense[0],
             use_pallas_sketch=self._use_pallas_sketch,
             pack_bits=self._pack_bits,
+            infeed_packed=self._infeed_packed,
             **self._sweep_params(mwir, 1),
             **self._fast_flag(sk.sketchlen * spf),
             **(dict(fused_candidates=True)

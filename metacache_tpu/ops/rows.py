@@ -695,7 +695,8 @@ def query_step_rows(windows, valid, mwir,
                      "windows_per_query", "max_candidates",
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
-                     "fast_top2", "fused_candidates", "pack_bits"))
+                     "fast_top2", "fused_candidates", "pack_bits",
+                     "infeed_packed"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -710,16 +711,31 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          dedup_walk: int = 0,
                          fast_top2: bool = False,
                          fused_candidates: bool = False,
-                         pack_bits: int = 0):
+                         pack_bits: int = 0,
+                         infeed_packed: bool = False):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
     (K, B) classified taxon ids only (the summary fast path needs no
-    candidate details)."""
+    candidate details).
+
+    ``infeed_packed``: windows_k holds 2-bit-packed codes (4 bases per
+    byte, N-free reads only — the host routes reads containing
+    ambiguous characters through the unpacked path); unpacked on
+    device. Quarters the host->device transfer, which is what bounds
+    end-to-end throughput on thin links."""
     kk, b, wq, w = windows_k.shape[0], windows_k.shape[1],         windows_k.shape[2], windows_k.shape[3]
+    if infeed_packed:
+        w = w * 4
 
     def body(carry, xs):
         wmat, vmat, mw = xs
+        if infeed_packed:
+            # (b, wq, w/4) u8 -> (b, wq, w) codes 0..3; content past a
+            # window's valid length is ignored by the sketcher
+            shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+            wmat = ((wmat[..., None] >> shifts) &
+                    jnp.uint8(3)).reshape(b, wq, w)
         feats = _sketch_dispatch(wmat.reshape(b * wq, w),
                                  vmat.reshape(b * wq), k, sketchlen,
                                  use_pallas_sketch)

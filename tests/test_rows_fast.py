@@ -128,3 +128,46 @@ def test_pack_bits_parity(sweep, fast):
         got = _run(pk, pk, mwir, lin, 2, fast, pack_bits=wbits, **sweep)
         for k in ref:
             np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+
+def test_scan_infeed_packed_parity():
+    """query_step_rows_scan(infeed_packed=True) over 2-bit packed codes
+    == the unpacked scan on the same reads."""
+    import jax.numpy as jnp
+    from metacache_tpu.ops.rows import query_step_rows_scan
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+
+    rng = np.random.default_rng(71)
+    K, B, WL = 2, 16, 128
+    # tiny table from random (feature, tgt, win) stream
+    f = rng.integers(0, 2**32, 400, dtype=np.uint32)
+    t = np.sort(rng.integers(0, 8, 400)).astype(np.int32)
+    w = rng.integers(0, 50, 400).astype(np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=16)
+    lin = _lineages(8)
+    codes = rng.integers(0, 4, (K, B, 1, WL), dtype=np.uint8)
+    lens = np.full((K, B, 1), 100, np.int32)
+    mwir = np.full((K, B), 2, np.int32)
+    c4 = codes.reshape(K, B, 1, WL // 4, 4)
+    packed = (c4[..., 0] | (c4[..., 1] << 2) | (c4[..., 2] << 4) |
+              (c4[..., 3] << 6))
+    spf = max(min(ft.max_bucket_size, 16), 1)
+    fused = ft.fused_rows(spf)
+    args = (jnp.asarray(ft.unique_features),
+            jnp.asarray(ft.offsets.astype(np.int32)),
+            jnp.asarray(fused), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19),
+            jnp.int32(0), None)
+    kw = dict(k=16, sketchlen=16, slots_per_feature=spf,
+              windows_per_query=1, max_candidates=2, dense=True,
+              walk_elems=8, fast_top2=True)
+    ref = query_step_rows_scan(jnp.asarray(codes), jnp.asarray(lens),
+                               jnp.asarray(mwir), *args, **kw)
+    got = query_step_rows_scan(jnp.asarray(packed), jnp.asarray(lens),
+                               jnp.asarray(mwir), *args,
+                               infeed_packed=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
