@@ -216,7 +216,6 @@ def main():
                                       opt.sketchlen, use_pallas)
                 fx = fx.reshape(LB, WQ * opt.sketchlen)
                 from metacache_tpu.ops.rows import _alt_runs
-                use_pallas = jax.default_backend() != "cpu"
                 alt = _alt_runs(use_pallas, True, 0,
                                 2 + LLEN // opt.winstride,
                                 WQ * opt.sketchlen, spf)
@@ -308,7 +307,6 @@ def main():
             devnull.close()
             return round(n / dt * 60), dt
 
-        os.environ.setdefault("MC_SCAN_K", "16")
         # warm the compile caches on a small prefix file
         wfa = os.path.join(tmp, "warm.fa")
         with open(rfa, "rb") as src, open(wfa, "wb") as dst:
@@ -338,12 +336,6 @@ def main():
     genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)], GLEN)
     dt_toy, build_toy_s = build_db(genomes, opt)
     toy = measure(dt_toy, genomes, species, GLEN, long_reads=True)
-    del dt_toy
-    gc.collect()
-    try:
-        toy["e2e"] = measure_e2e(genomes, GLEN)
-    except Exception as e:           # e2e section must never block
-        toy["e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     toy_detail = {
         "db_features": dt_toy.nf,
         "db_locations": dt_toy.num_locations,
@@ -351,8 +343,14 @@ def main():
         "max_bucket": dt_toy.spf,
         "layout": "dense" if dt_toy.dense else
                   f"two_tier(head={dt_toy.head_slots})",
-        **toy,
     }
+    del dt_toy
+    gc.collect()
+    try:
+        toy["e2e"] = measure_e2e(genomes, GLEN)
+    except Exception as e:           # e2e section must never block
+        toy["e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    toy_detail.update(toy)
     del genomes
     gc.collect()
 

@@ -17,6 +17,7 @@ map_queries_to_targets_default, src/classification.cpp:747-860):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 import time
 from typing import Dict, List, Optional
@@ -36,6 +37,32 @@ from . import classification as cls_mod
 from . import output as out_mod
 from .output import MapViewMode, OutputFormatting, cpp_num
 from .stats import ClassificationStatistics
+
+
+@functools.cache
+def _rank_hist_jit():
+    """Summary rank histogram ON DEVICE: d2h shrinks from one i32 per
+    read to NUM_RANKS+1 ints per scan dispatch (the d2h link runs at
+    ~16 MB/s in this environment). Bit-identical to the host math in
+    QueryRunner._accumulate_summary."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def hist(cls, n, taxid_sorted, rank_of):
+        cls = cls.reshape(-1)
+        m = cls.shape[0]
+        nt = taxid_sorted.shape[0]
+        pos = jnp.searchsorted(taxid_sorted, cls).astype(jnp.int32)
+        pos = jnp.minimum(pos, nt - 1)
+        found = (taxid_sorted[pos] == cls) & (cls != 0)
+        ranks = jnp.where(found, rank_of[pos].astype(jnp.int32),
+                          jnp.int32(NUM_RANKS))       # Rank.NONE
+        valid = jax.lax.broadcasted_iota(jnp.int32, (m,), 0) < n
+        ranks = jnp.where(valid, ranks, jnp.int32(NUM_RANKS + 1))
+        return jnp.bincount(ranks, length=NUM_RANKS + 2)[:NUM_RANKS + 1]
+
+    return hist
 
 
 @dataclasses.dataclass
@@ -469,8 +496,19 @@ class QueryRunner:
             ids.append(t.id)
             ranks.append(int(t.rank))
         order = np.argsort(ids) if ids else np.zeros(0, np.int64)
-        self._taxid_sorted = np.asarray(ids, np.int64)[order]             if ids else np.zeros(0, np.int64)
-        self._rank_of_taxid = np.asarray(ranks, np.uint8)[order]             if ids else np.zeros(0, np.uint8)
+        self._taxid_sorted = np.asarray(ids, np.int64)[order] \
+            if ids else np.zeros(0, np.int64)
+        self._rank_of_taxid = np.asarray(ranks, np.uint8)[order] \
+            if ids else np.zeros(0, np.uint8)
+        # device copies for the on-device summary histogram (taxon ids
+        # always fit i32 here because classified taxa come from the
+        # i32-clipped lineage arrays)
+        self._hist_dev = None
+        if len(self._taxid_sorted) and \
+                int(np.abs(self._taxid_sorted).max()) < 2**31:
+            self._hist_dev = (
+                _dev(self._taxid_sorted.astype(np.int32)),
+                _dev(self._rank_of_taxid.astype(np.int32)))
 
     @property
     def _row_quantum(self) -> int:
@@ -636,6 +674,21 @@ class QueryRunner:
                 scan_k = int(_os.environ.get("MC_SCAN_K", "8"))
             except ValueError:
                 scan_k = 8
+        if scan_k > 1 and self._infeed_packed:
+            # the C++ reader emits the exact 2-bit packed device infeed;
+            # zero per-read host transforms remain on the hot path.
+            # Stack size targets ~8 MB per h2d transfer: the link's
+            # ~45 ms fixed cost only amortizes above that (measured
+            # 39 MB/s plateau at >= 8 MB in this environment)
+            import os as _os
+            if _os.environ.get("MC_SCAN_K") is None:
+                scan_k = 32
+            try:
+                self._run_scan_native_packed(
+                    reader, max(batch_reads, 8192), scan_k, results)
+                return True
+            finally:
+                reader.close()
         pending = None
         buf: list = []      # (codes, lens) short-read chunks for the scan
         nbuf = 0
@@ -703,6 +756,77 @@ class QueryRunner:
             self._collect_batch(*pending, results)
         reader.close()
         return True
+
+    def _run_scan_native_packed(self, reader, batch_reads: int,
+                                scan_k: int, results):
+        """Summary fast path fed by the native packed reader.
+
+        Clean short reads arrive from C++ already in the device infeed
+        layout (2-bit packed rows); the host only buffers, length-filters
+        and stacks them. Long/ambiguous reads ride the generic coded
+        path. The scan remainder pads to a full stack; its payload
+        carries the real read count so padded rows never enter the
+        summary."""
+        import collections as _cl
+        opt = self.opt
+        wl = self.sketching.winlen
+        pending: _cl.deque = _cl.deque()
+        DEPTH = 3   # in-flight dispatches (h2d overlaps device compute)
+
+        def flush(dispatched):
+            while len(pending) >= DEPTH:
+                self._collect_batch(*pending.popleft(), results)
+            pending.append(dispatched)
+
+        def scan_dispatch(pa, la, n):
+            # crop rows to the stack's max read length (8-byte quantum
+            # -> few static shapes): reads shorter than winlen shrink
+            # the h2d transfer proportionally
+            q = min(-(-int(la.max(initial=0)) // 16) * 4, pa.shape[1]) \
+                if n else 4
+            return (None, ("scan", (n, self._dispatch_scan(
+                np.ascontiguousarray(pa[:, :max(q, 4)]), la,
+                scan_k, batch_reads, prepacked=True))))
+
+        buf: list = []
+        nbuf = 0
+        take = scan_k * batch_reads
+        while True:
+            packed, plens, scodes, slens, sheaders, consumed = \
+                reader.read_batch_packed(4 * batch_reads, wl)
+            if consumed == 0:
+                break
+            if opt.min_read_length > 0 or opt.max_read_length:
+                keep = plens >= opt.min_read_length
+                if opt.max_read_length:
+                    keep &= plens <= opt.max_read_length
+                packed, plens = packed[keep], plens[keep]
+                skeep = slens >= opt.min_read_length
+                if opt.max_read_length:
+                    skeep &= slens <= opt.max_read_length
+                scodes, slens = scodes[skeep], slens[skeep]
+                sheaders = sheaders[skeep]
+            if len(slens):
+                flush(self._dispatch_coded(scodes, slens, sheaders))
+            if len(plens):
+                buf.append((packed, plens))
+                nbuf += len(plens)
+            while nbuf >= take:
+                pa = np.concatenate([c for c, _ in buf])
+                la = np.concatenate([l for _, l in buf])
+                flush(scan_dispatch(pa[:take], la[:take], take))
+                buf = [(pa[take:], la[take:])]
+                nbuf -= take
+        if nbuf:
+            pa = np.concatenate([c for c, _ in buf])
+            la = np.concatenate([l for _, l in buf])
+            n = len(la)
+            pa = np.concatenate(
+                [pa, np.zeros((take - n, pa.shape[1]), np.uint8)])
+            la = np.concatenate([la, np.zeros(take - n, np.int32)])
+            flush(scan_dispatch(pa, la, n))
+        while pending:
+            self._collect_batch(*pending.popleft(), results)
 
     def run_pair_files_native(self, path1: str, path2: str,
                               results: "ClassificationResults") -> bool:
@@ -1125,21 +1249,38 @@ class QueryRunner:
         kind, payload = dispatched
         if kind == "scan":
             n, cls_dev = payload
-            self._accumulate_summary(
-                np.asarray(cls_dev).reshape(-1)[:n], results)
+            if self._hist_dev is not None:
+                import jax.numpy as jnp
+                hist = np.asarray(_rank_hist_jit()(
+                    cls_dev, jnp.int32(n), *self._hist_dev))
+                results.statistics.assigned_ += hist.astype(np.int64)
+                results.query_count += n
+            else:
+                self._accumulate_summary(
+                    np.asarray(cls_dev).reshape(-1)[:n], results)
             return
         self._collect_batch_rows(batch, payload, results)
 
-    def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int):
+    def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int,
+                       prepacked: bool = False):
         """One fused lax.scan dispatch over scan_k stacked short-read
-        batches; returns the (scan_k, bsz) classified-taxon device array."""
+        batches; returns the (scan_k, bsz) classified-taxon device array.
+
+        ``prepacked``: codes already hold the 2-bit packed infeed rows
+        (4 bases/byte) as emitted by the native packed reader."""
         import jax.numpy as jnp
         from ..ops.rows import query_step_rows_scan
         sk = self.sketching
         opt = self.opt
         wl = sk.winlen
         stride = self.db.sketching.winstride
-        if self._infeed_packed:
+        if prepacked:
+            # rows may be cropped to the batch's max read length
+            # (quantized) — the unpacked window narrows with them, which
+            # is fine: the sketcher masks by valid length and pads lanes
+            wmat = np.ascontiguousarray(codes).reshape(
+                scan_k, bsz, 1, codes.shape[1])
+        elif self._infeed_packed:
             # 2-bit pack (4 bases/byte): quarters the h2d transfer.
             # Callers route reads containing ambiguous characters
             # through the unpacked per-batch path.

@@ -55,6 +55,14 @@ def get_lib():
     lib.fastx_read_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.fastx_read_packed.restype = ctypes.c_int64
+    lib.fastx_read_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.encode_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                  ctypes.c_void_p]
     lib.fastx_scan.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
@@ -122,6 +130,37 @@ class NativeFastxReader:
         """-> (codes, lens, headers list[str])."""
         codes, lens, headers = self.read_batch_raw(max_reads)
         return codes, lens, [decode_header(h) for h in headers]
+
+    def read_batch_packed(self, max_reads: int, winlen: int,
+                          side_cap: int = 4096):
+        """Summary-fast-path read: clean short reads arrive 2-bit packed
+        (the exact device infeed layout), long/ambiguous reads arrive
+        unpacked in a side stream for the generic path.
+
+        -> (packed (np, ceil(winlen/4)) u8, plens (np,) i32,
+            scodes (ns, max_len) u8, slens (ns,) i32,
+            sheaders (ns, header_cap) u8, consumed int).
+        consumed == 0 signals EOF."""
+        ps = (winlen + 3) // 4
+        packed = np.empty((max_reads, ps), np.uint8)
+        plens = np.empty(max_reads, np.int32)
+        scodes = np.empty((side_cap, self.max_len), np.uint8)
+        slens = np.empty(side_cap, np.int32)
+        sheaders = np.empty((side_cap, self.header_cap), np.uint8)
+        onp = ctypes.c_int64(0)
+        ons = ctypes.c_int64(0)
+        consumed = self.lib.fastx_read_packed(
+            self.h, max_reads, winlen,
+            packed.ctypes.data_as(ctypes.c_void_p),
+            plens.ctypes.data_as(ctypes.c_void_p),
+            side_cap, self.max_len,
+            scodes.ctypes.data_as(ctypes.c_void_p),
+            slens.ctypes.data_as(ctypes.c_void_p),
+            sheaders.ctypes.data_as(ctypes.c_void_p), self.header_cap,
+            ctypes.byref(onp), ctypes.byref(ons))
+        n, s = int(onp.value), int(ons.value)
+        return (packed[:n], plens[:n], scodes[:s], slens[:s],
+                sheaders[:s], int(consumed))
 
     def close(self):
         if self.h:

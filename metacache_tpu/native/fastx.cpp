@@ -166,6 +166,102 @@ int64_t fastx_read_batch(void* h, int64_t max_reads, int64_t max_len,
     return n;
 }
 
+// Summary-fast-path reader: reads up to max_reads records and splits them
+// into two streams.
+//   clean reads (len <= winlen, no ambiguous character): 2-bit packed,
+//     4 bases/byte little-endian within the byte (base 4j in bits 0-1 of
+//     byte j) into `packed` (max_reads, ceil(winlen/4)); true length into
+//     `plens`. This is exactly the device infeed consumed by
+//     query_step_rows_scan(infeed_packed=True) — zero host transforms.
+//   everything else (long reads, reads with N): unpacked codes into the
+//     side buffer `scodes` (side_cap, side_max_len) + `slens` +
+//     NUL-terminated `sheaders`, for the generic per-batch path.
+// Stops early when either stream fills. Returns records consumed;
+// *out_npacked / *out_nside give the per-stream counts.
+int64_t fastx_read_packed(void* h, int64_t max_reads, int32_t winlen,
+                          uint8_t* packed, int32_t* plens,
+                          int64_t side_cap, int64_t side_max_len,
+                          uint8_t* scodes, int32_t* slens,
+                          char* sheaders, int64_t header_cap,
+                          int64_t* out_npacked, int64_t* out_nside) {
+    Reader* r = (Reader*)h;
+    const int64_t pstride = (winlen + 3) / 4;
+    std::string line;
+    std::string tmp;          // decoded codes of the current record
+    int64_t np = 0, ns = 0, consumed = 0;
+    while (np < max_reads && ns < side_cap) {
+        int c = r->peekc();
+        if (c < 0) break;
+        if (c != '>' && c != '@') { r->getline(line); continue; }
+        bool fastq = (c == '@');
+        r->getline(line);
+        size_t hl = line.size() > 1 ? line.size() - 1 : 0;
+        if ((int64_t)hl >= header_cap) hl = header_cap - 1;
+        // headers are only kept for side-buffer reads; stash a copy
+        std::string hdr(line.data() + (line.empty() ? 0 : 1), hl);
+
+        tmp.clear();
+        bool has_n = false;
+        if (!fastq) {
+            for (;;) {
+                int p = r->peekc();
+                if (p < 0 || p == '>' || p == '@') break;
+                r->getline(line);
+                for (char ch : line) {
+                    if ((unsigned char)ch <= ' ') continue;
+                    uint8_t code = kCodes.t[(uint8_t)ch];
+                    has_n |= (code >= 4);
+                    tmp.push_back((char)code);
+                }
+            }
+        } else {
+            for (;;) {
+                int p = r->peekc();
+                if (p < 0 || p == '+') break;
+                r->getline(line);
+                for (char ch : line) {
+                    if ((unsigned char)ch <= ' ') continue;
+                    uint8_t code = kCodes.t[(uint8_t)ch];
+                    has_n |= (code >= 4);
+                    tmp.push_back((char)code);
+                }
+            }
+            if (r->peekc() == '+') {
+                r->getline(line);
+                int64_t q = 0;
+                while (q < (int64_t)tmp.size()) {
+                    if (!r->getline(line)) break;
+                    q += (int64_t)line.size();
+                }
+            }
+        }
+        int64_t len = (int64_t)tmp.size();
+        ++consumed;
+        if (!has_n && len <= winlen) {
+            uint8_t* out = packed + np * pstride;
+            memset(out, 0, pstride);
+            for (int64_t i = 0; i < len; ++i)
+                out[i >> 2] |= (uint8_t)(tmp[i] << ((i & 3) * 2));
+            plens[np] = (int32_t)len;
+            ++np;
+        } else {
+            uint8_t* out = scodes + ns * side_max_len;
+            int64_t keep = len < side_max_len ? len : side_max_len;
+            memcpy(out, tmp.data(), keep);
+            memset(out + keep, 4, side_max_len - keep);
+            slens[ns] = (int32_t)len;
+            size_t copy = hdr.size();
+            if ((int64_t)copy >= header_cap) copy = header_cap - 1;
+            memcpy(sheaders + ns * header_cap, hdr.data(), copy);
+            sheaders[ns * header_cap + copy] = '\0';
+            ++ns;
+        }
+    }
+    *out_npacked = np;
+    *out_nside = ns;
+    return consumed;
+}
+
 // One-pass scan: record count and maximum sequence length (used to decide
 // whether the fixed-width batch reader can represent a file exactly).
 void fastx_scan(const char* path, int64_t* out_count, int64_t* out_maxlen) {

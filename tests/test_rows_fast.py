@@ -171,3 +171,94 @@ def test_scan_infeed_packed_parity():
                                jnp.asarray(mwir), *args,
                                infeed_packed=True, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_native_packed_reader_parity(tmp_path):
+    """fastx_read_packed == raw reader + host 2-bit packing, and its
+    side stream carries exactly the long/ambiguous reads."""
+    from metacache_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp_path / "r.fa"
+    recs = []
+    for i in range(500):
+        ln = int(rng.integers(20, 140))
+        seq = b2a[rng.integers(0, 4, ln)].tobytes()
+        if i % 11 == 0:
+            seq = seq[:4] + b"N" + seq[5:]
+        if i % 23 == 0:
+            seq = b2a[rng.integers(0, 4, 300)].tobytes()
+        recs.append(b">r%d x\n" % i + seq + b"\n")
+    fa.write_bytes(b"".join(recs))
+    wl = 127
+    rd = native.NativeFastxReader(str(fa), max_len=512)
+    pk, pl, sc, sl, sh, consumed = rd.read_batch_packed(1000, wl)
+    rd.close()
+    assert consumed == 500
+    rd2 = native.NativeFastxReader(str(fa), max_len=512)
+    codes, lens, _ = rd2.read_batch_raw(1000)
+    rd2.close()
+    pos = np.arange(min(codes.shape[1], wl))
+    has_n = ((codes[:, :wl] >= 4) &
+             (pos[None, :] < lens[:, None])).any(axis=1)
+    clean = (lens <= wl) & ~has_n
+    assert clean.sum() == len(pl) and (lens[clean] == pl).all()
+    assert (~clean).sum() == len(sl) and (lens[~clean] == sl).all()
+    wl4 = -(-wl // 4)
+    c4 = np.zeros((int(clean.sum()), wl4 * 4), np.uint8)
+    c4[:, :wl] = codes[clean, :wl] & 3
+    ref = (c4[:, 0::4] | (c4[:, 1::4] << 2) | (c4[:, 2::4] << 4) |
+           (c4[:, 3::4] << 6))
+    np.testing.assert_array_equal(ref, pk)
+    np.testing.assert_array_equal(sc[:, :wl], codes[~clean][:, :wl])
+
+
+def test_scan_native_packed_summary_parity(tmp_path, monkeypatch):
+    """The native packed-reader summary loop (device rank histogram)
+    produces the same per-rank counts as the unpacked scan path."""
+    from metacache_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    from metacache_tpu.cli.main import Args, parse_query_options
+    from metacache_tpu.classify.runner import (ClassificationResults,
+                                               map_queries_to_targets)
+    from metacache_tpu.db.build import BuildOptions, build_database
+    monkeypatch.setenv("MC_SCAN_K", "2")
+    rng = np.random.default_rng(9)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    genomes = [rng.integers(0, 4, 20000, dtype=np.uint8)
+               for _ in range(4)]
+    gfa = tmp_path / "g.fa"
+    with open(gfa, "wb") as fh:
+        for i, g in enumerate(genomes):
+            fh.write(b">g%d\n" % i + b2a[g].tobytes() + b"\n")
+    rfa = tmp_path / "r.fa"
+    with open(rfa, "wb") as fh:
+        for i in range(700):
+            gs = int(rng.integers(0, 4))
+            p = int(rng.integers(0, 20000 - 160))
+            ln = int(rng.integers(60, 160))
+            sq = b2a[genomes[gs][p:p + ln]].tobytes()
+            if i % 13 == 0:
+                sq = sq[:3] + b"N" + sq[4:]
+            fh.write(b">r%d\n" % i + sq + b"\n")
+    db = build_database(BuildOptions(infiles=[str(gfa)]))
+
+    def run(packed: str):
+        monkeypatch.setenv("MC_PACK_INFEED", packed)
+        qopt, _, _ = parse_query_options(
+            Args(["-no-map", "-no-query-params"]))
+        import io
+        out = io.StringIO()
+        res = ClassificationResults(out, out, out)
+        map_queries_to_targets([str(rfa)], db, qopt, res)
+        return res.query_count, res.statistics.assigned_.copy()
+
+    qa, ha = run("1")
+    qb, hb = run("0")
+    assert qa == qb == 700
+    np.testing.assert_array_equal(ha, hb)
