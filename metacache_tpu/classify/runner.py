@@ -83,7 +83,11 @@ class AnalysisOptions:
 class EvaluationOptions:
     precision: bool = False
     taxon_coverage: bool = False
+    # -ground-truth sets both; -precision/-taxon-coverage only determine
+    # (reference: options.cpp:1093-1112 — showGroundTruth is a separate
+    # flag from determineGroundTruth)
     determine_ground_truth: bool = False
+    show_ground_truth: bool = False
 
 
 @dataclasses.dataclass
@@ -98,7 +102,7 @@ class OutputOptions:
     # convenience accessors used by the formatting layer
     @property
     def show_ground_truth(self):
-        return self.evaluate.determine_ground_truth
+        return self.evaluate.show_ground_truth
 
     @property
     def show_all_hits(self):
@@ -243,9 +247,13 @@ class QueryRunner:
 
     def __init__(self, db: Database, opt: QueryOptions):
         import jax.numpy as jnp
+        from ..utils.platform import ensure_feature_width
         self.db = db
         self.opt = opt
         self.sketching = self._adapt_sketching()
+        # 64-bit feature config (k > 16): u64 device arrays need x64
+        ensure_feature_width(db.sketching.kmerlen)
+        self._wide_features = db.sketching.kmerlen > 16
         self.hits_min = opt.classify.resolve_hits_min(
             db.sketching.sketchlen)
 
@@ -375,6 +383,20 @@ class QueryRunner:
             and self._mesh is None and self._tmesh is None)
         for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
+            if self._wide_features:
+                # u64 features: the fused-row/bucket-index layouts are
+                # 32-bit; probe via device binary search over the u64
+                # key array + CSR location gathers
+                ltgt, lwin = unpack_locations(p.locations)
+                self._tables.append((
+                    _dev(p.unique_features),
+                    _dev(p.offsets.astype(np.int32)),
+                    _dev(ltgt.astype(np.int32)),
+                    _dev(lwin.astype(np.int32)), spf))
+                self._dense.append(False)
+                self._prefix.append((None, 0))
+                self._prefix_bits.append(0)
+                continue
             allow_dense = dense_cap is None or \
                 p.layout_bytes("dense", 0, spf) <= dense_cap
             if use_dev_layout and p.num_features:
@@ -791,11 +813,30 @@ class QueryRunner:
         buf: list = []
         nbuf = 0
         take = scan_k * batch_reads
+        # producer thread: the C parser releases the GIL, so file
+        # parsing fully overlaps device dispatch/transfer (reference
+        # P1: N reader threads, src/database_query.hpp:256-284)
+        import queue as _q
+        import threading as _th
+        chunks: _q.Queue = _q.Queue(maxsize=4)
+
+        def _produce():
+            try:
+                while True:
+                    item = reader.read_batch_packed(4 * batch_reads, wl)
+                    if item[5] == 0:
+                        break
+                    chunks.put(item)
+            finally:
+                chunks.put(None)
+
+        th = _th.Thread(target=_produce, daemon=True)
+        th.start()
         while True:
-            packed, plens, scodes, slens, sheaders, consumed = \
-                reader.read_batch_packed(4 * batch_reads, wl)
-            if consumed == 0:
+            item = chunks.get()
+            if item is None:
                 break
+            packed, plens, scodes, slens, sheaders, _ = item
             if opt.min_read_length > 0 or opt.max_read_length:
                 keep = plens >= opt.min_read_length
                 if opt.max_read_length:
@@ -827,6 +868,7 @@ class QueryRunner:
             flush(scan_dispatch(pa, la, n))
         while pending:
             self._collect_batch(*pending.popleft(), results)
+        th.join()
 
     def run_pair_files_native(self, path1: str, path2: str,
                               results: "ClassificationResults") -> bool:
@@ -1280,6 +1322,37 @@ class QueryRunner:
             # is fine: the sketcher masks by valid length and pads lanes
             wmat = np.ascontiguousarray(codes).reshape(
                 scan_k, bsz, 1, codes.shape[1])
+            mwir_max = 2 + max(wl, opt.classify.insert_size_max) // stride
+            vdt = np.uint8 if wl < 256 else np.int32
+            mdt = np.uint8 if mwir_max < 256 else np.int32
+            vmat = np.where(lens >= sk.kmerlen, lens, 0).astype(
+                vdt).reshape(scan_k, bsz, 1)
+            mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
+                    // stride).astype(mdt).reshape(scan_k, bsz)
+            tf, to, lt, lw, spf = self._tables[0]
+            ps, steps = self._prefix[0]
+            import jax.numpy as jnp
+            return query_step_rows_scan(
+                jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+                tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+                jnp.int32(self.hits_min),
+                jnp.float32(opt.classify.hits_diff_fraction),
+                jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+                ps,
+                k=sk.kmerlen, sketchlen=sk.sketchlen,
+                slots_per_feature=spf, windows_per_query=1,
+                max_candidates=opt.classify.max_candidates,
+                prefix_bits=self._prefix_bits[0], prefix_steps=steps,
+                dense=self._dense[0],
+                use_pallas_sketch=self._use_pallas_sketch,
+                pack_bits=self._pack_bits,
+                infeed_packed=True,
+                **self._sweep_params(
+                    mwir.reshape(-1).astype(np.int32), 1),
+                **self._fast_flag(sk.sketchlen * spf),
+                **(dict(fused_candidates=True)
+                   if self._fused_candidates and
+                   sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))
         elif self._infeed_packed:
             # 2-bit pack (4 bases/byte): quarters the h2d transfer.
             # Callers route reads containing ambiguous characters

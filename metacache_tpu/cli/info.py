@@ -23,14 +23,20 @@ MC_VERSION = 20260121        # reference: src/version.hpp:27
 MC_VERSION_STRING = "2.6.0"  # reference: src/version.hpp:31
 MC_DB_VERSION = 20200820     # reference: src/version.hpp:29
 
-_SKETCHER = ("mc::single_function_unique_min_hasher<unsigned int, "
-             "mc::same_size_hash<unsigned int> >")
 _CLASSIFIER = "mc::best_distinct_matches_in_contiguous_window_ranges"
 U32_MAX = 4294967295
 
 
 def _print_static_properties(sk, max_loc: int, out):
-    """Reference: print_static_properties (src/printing.cpp:625-658)."""
+    """Reference: print_static_properties (src/printing.cpp:625-658).
+
+    Type strings follow the feature width: k <= 16 is the u32 config,
+    k > 16 the -DMC_KMER_TYPE=uint64_t config (src/config.hpp:45-60)."""
+    wide = sk.kmerlen > 16
+    ctype = "unsigned long" if wide else "unsigned int"
+    cbits = 64 if wide else 32
+    sketcher = (f"mc::single_function_unique_min_hasher<{ctype}, "
+                f"mc::same_size_hash<{ctype}> >")
     out.write(
         f"{SEP}\n"
         f"MetaCache version  {MC_VERSION_STRING} ({MC_VERSION})\n"
@@ -45,11 +51,12 @@ def _print_static_properties(sk, max_loc: int, out):
         f"window length      {sk.winlen}\n"
         f"window stride      {sk.winstride}\n"
         f"{SEP}\n"
-        f"sketcher type      {_SKETCHER}\n"
-        f"feature type       unsigned int 32 bits\n"
-        f"feature hash       mc::same_size_hash<unsigned int>\n"
+        f"sketcher type      {sketcher}\n"
+        f"feature type       {ctype}{' int' if wide else ''} "
+        f"{cbits} bits\n"
+        f"feature hash       mc::same_size_hash<{ctype}>\n"
         f"kmer size          {sk.kmerlen}\n"
-        f"kmer limit         16\n"
+        f"kmer limit         {32 if wide else 16}\n"
         f"sketch size        {sk.sketchlen}\n"
         f"{SEP}\n"
         f"bucket size type   unsigned char 8 bits\n"
@@ -82,14 +89,16 @@ def _print_content_properties(db, out):
         s = sizes.astype(np.float64)
         mean = float(s.mean()) if len(s) else 0.0
         std = float(s.std()) if len(s) else 0.0
-        skew = float(((s - mean) ** 3).mean() / std ** 3) \
-            if len(s) and std else 0.0
+        # std == 0 -> the reference's skewness is 0/0, printed "-nan"
+        # (stat_moments.hpp skewness over a degenerate distribution)
+        skew = cpp_g(float(((s - mean) ** 3).mean() / std ** 3)) \
+            if len(s) and std else "-nan"
         if len(db.parts) > 1:
             out.write(f"{SEP}\ncomplete database (all parts):\n")
         out.write(f"buckets            {db.feature_count}\n"
                   f"bucket size        max: {int(s.max()) if len(s) else 0}"
                   f" mean: {cpp_g(mean)} +/- {cpp_g(std)}"
-                  f" <> {cpp_g(skew)}\n"
+                  f" <> {skew}\n"
                   f"features           {db.feature_count}\n"
                   f"dead features      0\n"
                   f"locations          {db.location_count}\n")

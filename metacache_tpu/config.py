@@ -35,6 +35,17 @@ DB_FORMAT_VERSION = 1
 #: (src/hash_dna.hpp:233).
 FEATURE_SENTINEL = 0xFFFFFFFF
 
+#: sentinel for the 64-bit feature config (k = 17..32, the reference's
+#: -DMC_KMER_TYPE=uint64_t build: features = murmur3_fmix(kmer),
+#: src/config.hpp:45-48 + hash_int.hpp:180-188)
+FEATURE_SENTINEL64 = 0xFFFFFFFFFFFFFFFF
+
+
+def feature_bits(kmerlen: int) -> int:
+    """Feature width for a k-mer length (feature_type ==
+    same_size_hash<kmer_type> output, src/config.hpp:117-125)."""
+    return 32 if kmerlen <= 16 else 64
+
 
 @dataclasses.dataclass(frozen=True)
 class SketchingOptions:

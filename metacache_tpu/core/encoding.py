@@ -36,22 +36,25 @@ def encode_ascii(seq: bytes | np.ndarray) -> np.ndarray:
 def kmers_2bit(codes: np.ndarray, k: int):
     """All k-mers of a coded sequence.
 
-    Returns ``(kmers u32, ambig bool)`` of length ``len(codes) - k + 1``;
-    ``ambig[i]`` is True if any of the k characters at position i is
-    ambiguous. Mirrors for_each_kmer_2bit (src/dna_encoding.hpp:270-316)
-    restricted to k <= 16 (u32 kmer_type, the reference default).
+    Returns ``(kmers, ambig bool)`` of length ``len(codes) - k + 1``;
+    kmers are u32 for k <= 16 (the reference default MC_KMER_TYPE) and
+    u64 for 17 <= k <= 32 (the reference's -DMC_KMER_TYPE=uint64_t
+    build, src/config.hpp:45-48). ``ambig[i]`` is True if any of the k
+    characters at position i is ambiguous. Mirrors for_each_kmer_2bit
+    (src/dna_encoding.hpp:270-316).
     """
-    if k > 16:
-        raise ValueError("u32 kmer oracle supports k <= 16")
+    if k > 32:
+        raise ValueError("kmer oracle supports k <= 32")
+    dt = np.uint32 if k <= 16 else np.uint64
     n = len(codes) - k + 1
     if n <= 0:
-        return (np.zeros(0, np.uint32), np.zeros(0, bool))
+        return (np.zeros(0, dt), np.zeros(0, bool))
     ambig_char = codes >= 4
-    two_bit = np.where(ambig_char, 0, codes).astype(np.uint32)
-    kmers = np.zeros(n, dtype=np.uint32)
+    two_bit = np.where(ambig_char, 0, codes).astype(dt)
+    kmers = np.zeros(n, dtype=dt)
     ambig = np.zeros(n, dtype=bool)
     for j in range(k):
-        kmers = (kmers << np.uint32(2)) | two_bit[j:j + n]
+        kmers = (kmers << dt(2)) | two_bit[j:j + n]
         ambig |= ambig_char[j:j + n]
     return kmers, ambig
 
@@ -78,6 +81,39 @@ def canonical_2bit_u32(s: np.ndarray, k: int) -> np.ndarray:
     """min(kmer, revcomp(kmer)) — reference src/dna_encoding.hpp:215-226."""
     rc = revcomp_2bit_u32(s, k)
     return np.minimum(np.asarray(s, dtype=np.uint32), rc)
+
+
+def revcomp_2bit_u64(s: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of 2-bit-packed k-mers (u64, k <= 32).
+
+    Reference: make_reverse_complement_2bit<uint64_t>
+    (src/dna_encoding.hpp:180-198): reverse 2-bit groups, complement,
+    shift down by the unused high bits.
+    """
+    s = np.asarray(s, dtype=np.uint64)
+    s = ((s >> np.uint64(2)) & np.uint64(0x3333333333333333)) | \
+        ((s & np.uint64(0x3333333333333333)) << np.uint64(2))
+    s = ((s >> np.uint64(4)) & np.uint64(0x0F0F0F0F0F0F0F0F)) | \
+        ((s & np.uint64(0x0F0F0F0F0F0F0F0F)) << np.uint64(4))
+    s = ((s >> np.uint64(8)) & np.uint64(0x00FF00FF00FF00FF)) | \
+        ((s & np.uint64(0x00FF00FF00FF00FF)) << np.uint64(8))
+    s = ((s >> np.uint64(16)) & np.uint64(0x0000FFFF0000FFFF)) | \
+        ((s & np.uint64(0x0000FFFF0000FFFF)) << np.uint64(16))
+    s = (s >> np.uint64(32)) | (s << np.uint64(32))
+    with np.errstate(over="ignore"):
+        return (np.uint64(0xFFFFFFFFFFFFFFFF) - s) >> np.uint64(
+            64 - (k << 1))
+
+
+def canonical_2bit_u64(s: np.ndarray, k: int) -> np.ndarray:
+    rc = revcomp_2bit_u64(s, k)
+    return np.minimum(np.asarray(s, dtype=np.uint64), rc)
+
+
+def canonical_2bit(s: np.ndarray, k: int) -> np.ndarray:
+    """Width-dispatching canonical k-mer."""
+    return canonical_2bit_u32(s, k) if k <= 16 else \
+        canonical_2bit_u64(s, k)
 
 
 # --- integer hashes -------------------------------------------------------
@@ -132,5 +168,9 @@ def halve_size_hash(x: np.ndarray) -> np.ndarray:
 
 
 def feature_hash(kmers: np.ndarray) -> np.ndarray:
-    """kmer -> feature for the default u32 config (thomas_mueller_hash)."""
+    """kmer -> feature: same_size_hash of the kmer width
+    (thomas_mueller for u32, murmur3_fmix for u64 —
+    src/hash_int.hpp:169-188)."""
+    if np.asarray(kmers).dtype == np.uint64:
+        return murmur3_fmix64(kmers)
     return thomas_mueller_hash(kmers)

@@ -22,7 +22,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-from ..config import FEATURE_SENTINEL, SketchingOptions
+from ..config import SketchingOptions
 from . import encoding
 
 
@@ -58,12 +58,13 @@ def sketch_codes(codes: np.ndarray, opt: SketchingOptions) -> np.ndarray:
         return None  # no sketch: too short, no window id either
     s = min(opt.sketchlen, n - k + 1)
     kmers, ambig = encoding.kmers_2bit(codes, k)
-    canon = encoding.canonical_2bit_u32(kmers, k)
+    canon = encoding.canonical_2bit(kmers, k)
     feats = encoding.feature_hash(canon)
     feats = feats[~ambig]
     # unique + sort ascending, drop sentinel, keep s smallest
     feats = np.unique(feats)
-    feats = feats[feats != np.uint32(FEATURE_SENTINEL)]
+    sent = feats.dtype.type(np.iinfo(feats.dtype).max)
+    feats = feats[feats != sent]
     return feats[:s]
 
 
@@ -102,5 +103,6 @@ def all_query_features(seq1, seq2, opt: SketchingOptions) -> np.ndarray:
     if seq2 is not None and len(seq2) > 0:
         parts += [sk for (_, sk) in for_each_sketch(seq2, opt)]
     if not parts:
-        return np.zeros(0, dtype=np.uint32)
+        return np.zeros(0, dtype=np.uint32 if opt.kmerlen <= 16
+                        else np.uint64)
     return np.concatenate(parts)

@@ -167,9 +167,14 @@ def build_database(opt: BuildOptions,
     """End-to-end build (reference: add_to_database, building.cpp:603-667)."""
     if db is None:
         db = Database(opt.sketching)
+    from ..utils.platform import ensure_feature_width
+    ensure_feature_width(db.sketching.kmerlen)
     if (opt.device_tables and opt.parts == 1 and not opt.max_part_bytes
             and not opt.remove_overpopulated_features
-            and opt.max_ambig_per_feature <= 0 and not db.parts):
+            and opt.max_ambig_per_feature <= 0 and not db.parts
+            and db.sketching.kmerlen <= 16):
+        # the on-device table builder is a 32-bit-feature layout;
+        # 64-bit-feature DBs (k > 16) build on host and probe CSR
         db.enable_device_build()
     if opt.max_locations_per_feature > 0:
         db.max_locations_per_feature = min(

@@ -119,14 +119,15 @@ class Database:
         """Host (oracle) sketcher fallback for one window matrix."""
         s = self.sketching
         from ..core import sketch as osk
-        feats = np.full((len(wm), s.sketchlen), FEATURE_SENTINEL,
-                        np.uint32)
+        fdt = np.uint32 if s.kmerlen <= 16 else np.uint64
+        sent = fdt(np.iinfo(fdt).max)
+        feats = np.full((len(wm), s.sketchlen), sent, fdt)
         for i in range(len(wm)):
             sk = osk.sketch_codes(wm[i][:vl[i]], s)
             feats[i, :len(sk)] = sk
         wid = np.broadcast_to(
             np.arange(len(wm), dtype=np.uint32)[:, None], feats.shape)
-        mask = feats != np.uint32(FEATURE_SENTINEL)
+        mask = feats != sent
         return feats[mask], wid[mask]
 
     def finalize(self):
@@ -219,10 +220,11 @@ class Database:
                 "fast path) and cannot be saved; rerun with -save-db "
                 "set from the start (host build) to persist it")
         info_mod.status(f"Writing database to {path} ...")
+        from ..config import feature_bits
         meta = {
             "format": "metacache_tpu",
             "db_version": DB_FORMAT_VERSION,
-            "kmer_bits": 32,
+            "kmer_bits": feature_bits(self.sketching.kmerlen),
             "target_id_bits": 32,
             "window_id_bits": 32,
             "bucket_size_bits": 8,
@@ -269,6 +271,11 @@ class Database:
     @staticmethod
     def load(path: str, metadata_only: bool = False,
              part: int | None = None) -> "Database":
+        from .mcformat import is_reference_db, load_reference_db
+        if is_reference_db(path):
+            # database written by the reference MetaCache binary
+            # (binary .meta + .cacheN) — loads transparently
+            return load_reference_db(path, metadata_only, part)
         if not metadata_only:
             from ..utils import info as info_mod
             info_mod.status(f"Reading database from {path} ...")
@@ -278,6 +285,8 @@ class Database:
             raise IOError(
                 f"incompatible database version {meta.get('db_version')}")
         sk = meta["sketching"]
+        from ..utils.platform import ensure_feature_width
+        ensure_feature_width(sk.get("kmerlen", 16))
         db = Database(SketchingOptions(**sk))
         db.max_locations_per_feature = meta["max_locations_per_feature"]
         db._load_taxonomy(path + ".tax.npz")

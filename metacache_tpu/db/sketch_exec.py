@@ -65,7 +65,8 @@ def sketch_windows_batched(wm: np.ndarray, vl: np.ndarray,
 
     n, w = wm.shape
     sketcher = _device_sketcher(w, k, sketchlen)
-    out = np.empty((n, sketchlen), dtype=np.uint32)
+    out = np.empty((n, sketchlen),
+                   dtype=np.uint32 if k <= 16 else np.uint64)
     for beg in range(0, n, _BATCH):
         end = min(beg + _BATCH, n)
         cur = end - beg
@@ -140,7 +141,7 @@ class SketchAccumulator:
             beg += cnt
             wid = np.broadcast_to(
                 (win0 + np.arange(cnt, dtype=np.uint32))[:, None], f.shape)
-            mask = f != np.uint32(0xFFFFFFFF)
+            mask = f != f.dtype.type(np.iinfo(f.dtype).max)
             self.features.append(f[mask])
             self.locations.append(pack_locations(
                 np.full(int(mask.sum()), tid, np.uint32), wid[mask]))
@@ -153,7 +154,7 @@ class SketchAccumulator:
             f = np.concatenate(self.features)
             l = np.concatenate(self.locations)
         else:
-            f = np.zeros(0, np.uint32)
+            f = np.zeros(0, np.uint32 if self.k <= 16 else np.uint64)
             l = np.zeros(0, np.uint64)
         self.features, self.locations = [], []
         return f, l

@@ -144,7 +144,7 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
         pk = jax.lax.sort(tgt, dimension=1)
         pad = pk == I32_MAX
         tgt = jnp.where(pad, I32_MAX,
-                        jax.lax.shift_right_logical(pk, pack_bits))
+                        jax.lax.shift_right_logical(pk, jnp.int32(pack_bits)))
         win = jnp.where(pad, I32_MAX, pk & ((1 << pack_bits) - 1))
     else:
         tgt, win = jax.lax.sort((tgt, win), dimension=1, num_keys=2)
@@ -463,9 +463,9 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     else:
         idx = jnp.searchsorted(table_feats, flat).astype(jnp.int32)
         idx_c = jnp.minimum(idx, max(nf - 1, 0))
-        found = (table_feats[idx_c] == flat) & \
-            (flat != jnp.uint32(0xFFFFFFFF)) if nf > 0 else \
-            jnp.zeros_like(flat, dtype=bool)
+        sent = jnp.asarray(jnp.iinfo(flat.dtype).max, flat.dtype)
+        found = (table_feats[idx_c] == flat) & (flat != sent) \
+            if nf > 0 else jnp.zeros_like(flat, dtype=bool)
     j = jax.lax.broadcasted_iota(jnp.int32, (b * f, c), 1)
 
     def half_gather(arr, idx):
@@ -545,7 +545,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         # caller wants (tgt, win) from slot-packed storage: unpack
         pad_ = pks == I32_MAX
         tgts = jnp.where(pad_, I32_MAX,
-                         jax.lax.shift_right_logical(pks, slot_bits))
+                         jax.lax.shift_right_logical(pks, jnp.int32(slot_bits)))
         wins = jnp.where(pad_, I32_MAX, pks & ((1 << slot_bits) - 1))
     if pack_bits:
         if pks is None:
@@ -557,8 +557,8 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
             # re-base the storage encoding onto the caller's wbits
             pk = jnp.where(
                 pks == I32_MAX, I32_MAX,
-                (jax.lax.shift_right_logical(pks, slot_bits)
-                 << pack_bits) | (pks & ((1 << slot_bits) - 1)))
+                (jax.lax.shift_right_logical(pks, jnp.int32(slot_bits))
+                 << jnp.int32(pack_bits)) | (pks & ((1 << slot_bits) - 1)))
         if alt_runs:
             rl = alt_runs
             if rl > c:
@@ -730,6 +730,10 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
 
     def body(carry, xs):
         wmat, vmat, mw = xs
+        # the packed infeed ships valid/mwir as u8 when they fit (the
+        # h2d link is the end-to-end bottleneck); widen on device
+        vmat = vmat.astype(jnp.int32)
+        mw = mw.astype(jnp.int32)
         if infeed_packed:
             # (b, wq, w/4) u8 -> (b, wq, w) codes 0..3; content past a
             # window's valid length is ignored by the sketcher

@@ -101,15 +101,22 @@ class FeatureTable:
         (tgt, win) order). Then one radix sort of a packed
         (feature << 32 | index) u64 key replaces the full lexsort (~3x).
         """
-        features = np.ascontiguousarray(features, dtype=np.uint32)
+        fdt = np.uint64 if np.asarray(features).dtype == np.uint64 \
+            else np.uint32
+        features = np.ascontiguousarray(features, dtype=fdt)
         locations = np.ascontiguousarray(locations, dtype=np.uint64)
         n = len(features)
-        if presorted_within_feature and n < (1 << 32):
+        if presorted_within_feature and fdt == np.uint32 and \
+                n < (1 << 32):
             key = (features.astype(np.uint64) << np.uint64(32)) \
                 | np.arange(n, dtype=np.uint64)
             key = np.sort(key)
             order = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
             features = (key >> np.uint64(32)).astype(np.uint32)
+            locations = locations[order]
+        elif presorted_within_feature:
+            order = np.argsort(features, kind="stable")
+            features = features[order]
             locations = locations[order]
         else:
             order = np.lexsort((locations, features))
@@ -275,6 +282,8 @@ class FeatureTable:
         5+ separate small gathers (each near-serial on TPU).
         Row width = 2 + 2*width, padded to a multiple of 8 lanes.
         """
+        assert self.unique_features.dtype != np.uint64, \
+            "fused rows are 32-bit-feature layouts (u64 DBs probe CSR)"
         f = max(self.num_features, 1)
         spl = 1 if slot_bits else 2
         cols = 2 + spl * width
@@ -304,6 +313,8 @@ class FeatureTable:
         worst bucket (width up to 254) is ~100x the median.
         -> (head (F, pad8(3+2H)) i32, overflow (F_o+1, pad8(2(W-H))) i32)
         """
+        assert self.unique_features.dtype != np.uint64, \
+            "fused rows are 32-bit-feature layouts (u64 DBs probe CSR)"
         h = head_width
         f = max(self.num_features, 1)
         spl = 1 if slot_bits else 2

@@ -21,6 +21,19 @@ def force_platform(name: str | None = None):
     enable_compile_cache()
 
 
+def ensure_feature_width(kmerlen: int):
+    """Enable jax x64 mode for the 64-bit feature config (k > 16).
+
+    The reference binds this at compile time (-DMC_KMER_TYPE=uint64_t,
+    src/config.hpp:45-48); here it is a runtime switch that must flip
+    before any u64 device array is created (without x64, jnp silently
+    truncates uint64 to uint32)."""
+    if kmerlen > 16:
+        import jax
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
 _HBM_BY_KIND = (
     # device_kind substring -> total HBM bytes
     ("v5 lite", 16 << 30), ("v5e", 16 << 30),

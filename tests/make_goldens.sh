@@ -105,3 +105,23 @@ PYEOF
 (cd "$GOLD" && "$BIN" merge partition_resA.txt partition_resB.txt \
     -taxonomy "$TAXDIR" -lowest species -abundances 2>/dev/null) | \
     strip_variable_lines > "$GOLD/merged.txt"
+
+# --- 64-bit kmer config (k = 18) ------------------------------------------
+# Requires a reference binary compiled with -DMC_KMER_TYPE=uint64_t
+# (make release MACROS='-DMC_KMER_TYPE=uint64_t'); set METACACHE_BIN64.
+if [ -n "${METACACHE_BIN64:-}" ]; then
+    DB18="$WORK/db18"
+    "$METACACHE_BIN64" build "$DB18" "$DATA/genomes.fa" \
+        -taxonomy "$TAXDIR" -parts 1 -kmerlen 18 >/dev/null 2>&1
+    "$METACACHE_BIN64" query "$DB18" "$DATA/reads_single.fa" \
+        -mapped-only -precision -ground-truth -tophits 2>/dev/null \
+        | strip_variable_lines > "$GOLD/k18_single.txt"
+    "$METACACHE_BIN64" query "$DB18" "$DATA/reads_long.fa" \
+        -precision -ground-truth -tophits 2>/dev/null \
+        | strip_variable_lines > "$GOLD/k18_long.txt"
+    "$METACACHE_BIN64" query "$DB18" "$DATA/reads_pair1.fa" \
+        "$DATA/reads_pair2.fa" -pairfiles -precision -tophits \
+        2>/dev/null | strip_variable_lines > "$GOLD/k18_pairfiles.txt"
+    "$METACACHE_BIN64" info "$DB18" statistics 2>/dev/null \
+        | strip_variable_lines > "$GOLD/k18_info_stats.txt"
+fi

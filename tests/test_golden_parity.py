@@ -338,3 +338,72 @@ def test_info_config_parity(dbfile):
     with open(os.path.join(GOLD, "info_basic.txt")) as f:
         want = f.read().splitlines()
     assert r.stdout.decode().splitlines() == want
+
+
+# --- 64-bit kmer config (k = 18): goldens from the reference binary
+# compiled with -DMC_KMER_TYPE=uint64_t (see make_goldens.sh) ----------
+@pytest.fixture(scope="module")
+def dbfile_k18(tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("db18") / "testdb18")
+    r = _run(["build", db, f"{DATA}/genomes.fa",
+              "-taxonomy", f"{DATA}/taxonomy", "-parts", "1",
+              "-kmerlen", "18"])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return db
+
+
+@pytest.mark.parametrize("golden,args", [
+    ("k18_single.txt", ["reads_single.fa", "-mapped-only", "-precision",
+                        "-ground-truth", "-tophits"]),
+    ("k18_long.txt", ["reads_long.fa", "-precision", "-ground-truth",
+                      "-tophits"]),
+    ("k18_pairfiles.txt", ["reads_pair1.fa", "reads_pair2.fa",
+                           "-pairfiles", "-precision", "-tophits"]),
+])
+def test_k18_parity(dbfile_k18, golden, args):
+    args = [f"{DATA}/{a}" if a.startswith("reads_") else a for a in args]
+    got = _query(dbfile_k18, args)
+    assert got == _golden(golden)
+
+
+def test_k18_info_statistics(dbfile_k18):
+    r = _run(["info", dbfile_k18, "statistics"])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    # "buckets" counts the reference allocator's internal slots
+    # (location lists span multiple chunks in its open-addressing
+    # table) — an implementation detail with no CSR equivalent
+    drop = ("buckets ",)
+    got = [l for l in _strip(r.stdout.decode())
+           if not l.startswith(drop)]
+    want = [l for l in _golden("k18_info_stats.txt")
+            if not l.startswith(drop)]
+    assert got == want
+
+
+def test_reference_db_import_parity():
+    """A database written by the reference binary (binary .meta +
+    .cache0, committed under tests/data/refdb/) loads transparently
+    and classifies with byte-identical output (golden produced by the
+    reference binary querying its own database)."""
+    got = _query(f"{DATA}/refdb/refdb",
+                 [f"{DATA}/reads_single.fa", "-mapped-only",
+                  "-precision", "-ground-truth", "-tophits"])
+    assert got == _golden("refdb_import.txt")
+
+
+def test_reference_db_import_contents():
+    from metacache_tpu.db.database import Database
+    db = Database.load(f"{DATA}/refdb/refdb")
+    assert db.sketching.kmerlen == 16 and db.sketching.winlen == 127
+    assert db.target_count == 6
+    assert db.parts[0].num_features == 40016
+    assert db.parts[0].num_locations == 40017
+    # bucket invariant: locations ascending within each bucket
+    p = db.parts[0]
+    import numpy as np
+    starts = p.offsets[:-1]
+    ends = p.offsets[1:]
+    inner = np.ones(len(p.locations), bool)
+    inner[starts] = False
+    assert (p.locations[1:][inner[1:]] >=
+            p.locations[:-1][inner[1:]]).all()

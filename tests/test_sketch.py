@@ -77,3 +77,35 @@ def test_query_feature_accumulation():
     assert len(feats) == 48  # 3 windows x 16
     feats2 = sketch.all_query_features(SEQ, SEQ[:130], OPT)
     assert len(feats2) > 48
+
+
+def test_u64_sketch_device_matches_oracle():
+    """k = 18 (64-bit kmers/features): the XLA sketcher is bit-exact
+    with the scalar oracle (murmur3_fmix features, u64 sentinel)."""
+    import numpy as np
+    from metacache_tpu.utils.platform import ensure_feature_width
+    ensure_feature_width(18)
+    import jax.numpy as jnp
+    from metacache_tpu.config import SketchingOptions
+    from metacache_tpu.core import sketch as osk
+    from metacache_tpu.ops.sketch_jax import sketch_windows
+
+    rng = np.random.default_rng(21)
+    opt = SketchingOptions(kmerlen=18).resolved()
+    n, w = 32, 127
+    codes = rng.integers(0, 4, (n, w)).astype(np.uint8)
+    codes[3, 50] = 4
+    vl = np.full(n, w, np.int32)
+    vl[5] = 40
+    vl[9] = 10   # < k: no sketch
+    dev = np.asarray(sketch_windows(jnp.asarray(codes), jnp.asarray(vl),
+                                    k=18, sketchlen=16))
+    assert dev.dtype == np.uint64
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i in range(n):
+        ref = osk.sketch_codes(codes[i][:vl[i]], opt)
+        got = dev[i][dev[i] != sent]
+        if ref is None:
+            assert len(got) == 0
+        else:
+            np.testing.assert_array_equal(ref, got)
