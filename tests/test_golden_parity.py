@@ -407,3 +407,30 @@ def test_reference_db_import_contents():
     inner[starts] = False
     assert (p.locations[1:][inner[1:]] >=
             p.locations[:-1][inner[1:]]).all()
+
+
+def test_formatting_matrix_144_repl(dbfile):
+    """The reference run_tests' full 144-combo formatting matrix
+    ({base,-lineage,-separate-cols,both} x {,-taxids,-taxids-only} x
+    {,-omit-ranks,-queryids,both} x {,-mapped-only,-separator /%/}),
+    driven through the REPL exactly as test/run_tests:84-143 does.
+    Golden = the reference binary's mapping lines for the same stdin."""
+    with open(os.path.join(DATA, "fmt_matrix.txt")) as f:
+        stdin = f.read().replace("tests/data/", f"{DATA}/")
+    env = dict(os.environ,
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    if not os.environ.get("MC_GOLDEN_TPU"):
+        env["MC_JAX_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "metacache_tpu", "query", dbfile],
+        input=stdin.encode(), capture_output=True, env=env, cwd=REPO,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    ours = [l for l in r.stdout.decode().splitlines() if "NC_" in l]
+    with open(os.path.join(GOLD, "fmt_matrix.txt")) as f:
+        want = f.read().splitlines()
+    assert len(ours) == len(want), (len(ours), len(want))
+    # first mismatching combo (200 lines per combo) for a useful message
+    for i, (a, b) in enumerate(zip(ours, want)):
+        assert a == b, f"line {i} (combo ~{i // 200}): {a!r} != {b!r}"

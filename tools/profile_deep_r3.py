@@ -23,7 +23,7 @@ force_platform()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-SCAN_K = 16
+SCAN_K = 64
 B = 8192
 READ_LEN = 100
 
