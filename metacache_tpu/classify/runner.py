@@ -40,6 +40,36 @@ from .stats import ClassificationStatistics
 
 
 @functools.cache
+def _rank_hist_masked_jit():
+    """_rank_hist_jit variant that also EXCLUDES reads flagged in a
+    packed overflow bitmask (escalation phase 1: flagged reads are
+    reclassified by the full-depth phase 2 and counted there)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def hist(cls, n, over_bits, taxid_sorted, rank_of):
+        kk, b = cls.shape
+        bits = over_bits.reshape(-1)
+        over = ((bits[:, None] >> jax.lax.broadcasted_iota(
+            jnp.int32, (bits.shape[0], 32), 1)) & 1).reshape(-1) == 1
+        cls = cls.reshape(-1)
+        m = cls.shape[0]
+        nt = taxid_sorted.shape[0]
+        pos = jnp.searchsorted(taxid_sorted, cls).astype(jnp.int32)
+        pos = jnp.minimum(pos, nt - 1)
+        found = (taxid_sorted[pos] == cls) & (cls != 0)
+        ranks = jnp.where(found, rank_of[pos].astype(jnp.int32),
+                          jnp.int32(NUM_RANKS))
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (m,), 0) < n) \
+            & ~over
+        ranks = jnp.where(valid, ranks, jnp.int32(NUM_RANKS + 1))
+        return jnp.bincount(ranks, length=NUM_RANKS + 2)[:NUM_RANKS + 1]
+
+    return hist
+
+
+@functools.cache
 def _rank_hist_jit():
     """Summary rank histogram ON DEVICE: d2h shrinks from one i32 per
     read to NUM_RANKS+1 ints per scan dispatch (the d2h link runs at
@@ -703,11 +733,15 @@ class QueryRunner:
             # ~45 ms fixed cost only amortizes above that (measured
             # 39 MB/s plateau at >= 8 MB in this environment)
             import os as _os
+            import jax as _jax
             if _os.environ.get("MC_SCAN_K") is None:
                 scan_k = 32
+            bsz = batch_reads
+            if _jax.devices()[0].platform != "cpu":
+                bsz = max(bsz, 8192)
             try:
-                self._run_scan_native_packed(
-                    reader, max(batch_reads, 8192), scan_k, results)
+                self._run_scan_native_packed(reader, bsz, scan_k,
+                                             results)
                 return True
             finally:
                 reader.close()
@@ -794,6 +828,10 @@ class QueryRunner:
         wl = self.sketching.winlen
         pending: _cl.deque = _cl.deque()
         DEPTH = 3   # in-flight dispatches (h2d overlaps device compute)
+        take = scan_k * batch_reads
+        esc = self._escalation_ok() and self._hist_dev is not None
+        self._esc_redo = []      # (rows, lens) chunks from _collect_batch
+        self._esc_nredo = 0
 
         def flush(dispatched):
             while len(pending) >= DEPTH:
@@ -806,13 +844,39 @@ class QueryRunner:
             # the h2d transfer proportionally
             q = min(-(-int(la.max(initial=0)) // 16) * 4, pa.shape[1]) \
                 if n else 4
+            pac = np.ascontiguousarray(pa[:, :max(q, 4)])
+            if esc:
+                cls, over = self._dispatch_scan_head(
+                    pac, la, scan_k, batch_reads)
+                return (None, ("scanesc", (n, cls, over, pac, la)))
             return (None, ("scan", (n, self._dispatch_scan(
-                np.ascontiguousarray(pa[:, :max(q, 4)]), la,
-                scan_k, batch_reads, prepacked=True))))
+                pac, la, scan_k, batch_reads, prepacked=True))))
+
+        def flush_redo(final: bool = False):
+            # full-depth phase 2 for reads that touched overflowing
+            # buckets in phase 1 (exact for everyone else)
+            while self._esc_nredo >= take or (final and self._esc_nredo):
+                wmax = max(r.shape[1] for r, _ in self._esc_redo)
+                rows = np.zeros((take, wmax), np.uint8)
+                lens2 = np.zeros(take, np.int32)
+                got = 0
+                left = []
+                for r, l in self._esc_redo:
+                    use = min(len(l), take - got)
+                    rows[got:got + use] = np.pad(
+                        r[:use], ((0, 0), (0, wmax - r.shape[1])))
+                    lens2[got:got + use] = l[:use]
+                    got += use
+                    if use < len(l):
+                        left.append((r[use:], l[use:]))
+                self._esc_redo = left
+                self._esc_nredo -= got
+                flush((None, ("scan", (got, self._dispatch_scan(
+                    rows, lens2, scan_k, batch_reads,
+                    prepacked=True)))))
 
         buf: list = []
         nbuf = 0
-        take = scan_k * batch_reads
         # producer thread: the C parser releases the GIL, so file
         # parsing fully overlaps device dispatch/transfer (reference
         # P1: N reader threads, src/database_query.hpp:256-284)
@@ -858,6 +922,7 @@ class QueryRunner:
                 flush(scan_dispatch(pa[:take], la[:take], take))
                 buf = [(pa[take:], la[take:])]
                 nbuf -= take
+                flush_redo()
         if nbuf:
             pa = np.concatenate([c for c, _ in buf])
             la = np.concatenate([l for _, l in buf])
@@ -866,6 +931,9 @@ class QueryRunner:
                 [pa, np.zeros((take - n, pa.shape[1]), np.uint8)])
             la = np.concatenate([la, np.zeros(take - n, np.int32)])
             flush(scan_dispatch(pa, la, n))
+        while pending:
+            self._collect_batch(*pending.popleft(), results)
+        flush_redo(final=True)
         while pending:
             self._collect_batch(*pending.popleft(), results)
         th.join()
@@ -1289,6 +1357,24 @@ class QueryRunner:
 
     def _collect_batch(self, batch, dispatched, results):
         kind, payload = dispatched
+        if kind == "scanesc":
+            # escalation phase 1: count non-overflowing reads, queue the
+            # flagged ones for the full-depth phase 2
+            import jax.numpy as jnp
+            n, cls_dev, over_dev, pa, la = payload
+            hist = np.asarray(_rank_hist_masked_jit()(
+                cls_dev, jnp.int32(n), over_dev, *self._hist_dev))
+            bits = np.asarray(over_dev).reshape(-1)
+            mask = (((bits[:, None] >> np.arange(32)) & 1)
+                    .astype(bool).reshape(-1))
+            mask[n:] = False
+            idxs = np.nonzero(mask)[0]
+            if len(idxs):
+                self._esc_redo.append((pa[idxs], la[idxs]))
+                self._esc_nredo += len(idxs)
+            results.statistics.assigned_ += hist.astype(np.int64)
+            results.query_count += n - len(idxs)
+            return
         if kind == "scan":
             n, cls_dev = payload
             if self._hist_dev is not None:
@@ -1302,6 +1388,64 @@ class QueryRunner:
                     np.asarray(cls_dev).reshape(-1)[:n], results)
             return
         self._collect_batch_rows(batch, payload, results)
+
+    def _escalation_ok(self) -> bool:
+        """Escalation (head-only phase 1 + full-depth redo) is valid for
+        slot-packed two-tier single-part layouts on the fused fast path;
+        it pays off when buckets can exceed the head. MC_ESCALATE=0
+        disables."""
+        import os as _os
+        if _os.environ.get("MC_ESCALATE", "1") == "0" or \
+                len(self._tables) != 1 or not self._fast_top2 or \
+                not self._fused_candidates or not self._pack_bits:
+            return False
+        d = self._dense[0]
+        sk = self.sketching
+        stride = self.db.sketching.winstride
+        walk = (2 + max(sk.winlen, self.opt.classify.insert_size_max)
+                // stride) * sk.sketchlen
+        return (isinstance(d, tuple) and len(d) > 4 and
+                d[0] == "two_tier" and d[4] == self._pack_bits and
+                self._tables[0][4] > d[1] and
+                walk <= self.MAX_WALK_ELEMS and
+                sk.sketchlen * self._tables[0][4] >=
+                self.FUSED_MIN_SLOTS)
+
+    def _dispatch_scan_head(self, codes, lens, scan_k: int, bsz: int):
+        """Escalation phase 1 (head-only probe) over prepacked rows;
+        -> (cls (K,B), over_bits (K,B/32)) device arrays."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_scan_head
+        sk = self.sketching
+        opt = self.opt
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+        wmat = np.ascontiguousarray(codes).reshape(
+            scan_k, bsz, 1, codes.shape[1])
+        mwir_max = 2 + max(wl, opt.classify.insert_size_max) // stride
+        vdt = np.uint8 if wl < 256 else np.int32
+        mdt = np.uint8 if mwir_max < 256 else np.int32
+        vmat = np.where(lens >= sk.kmerlen, lens, 0).astype(
+            vdt).reshape(scan_k, bsz, 1)
+        mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
+                // stride).astype(mdt).reshape(scan_k, bsz)
+        tf, to, lt, lw, spf = self._tables[0]
+        ps, _steps = self._prefix[0]
+        return query_step_rows_scan_head(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+            ps,
+            k=sk.kmerlen, sketchlen=sk.sketchlen,
+            slots_per_feature=spf,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits[0], dense=self._dense[0],
+            use_pallas_sketch=self._use_pallas_sketch,
+            pack_bits=self._pack_bits, infeed_packed=True,
+            walk_elems=int(mwir.max()) * sk.sketchlen,
+            fused_candidates=True, fast_top2=True)
 
     def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int,
                        prepacked: bool = False):

@@ -186,6 +186,10 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
         raise CliError("database filename missing")
     opt.dbfile = pos[0]
     opt.infiles = pos[1:]
+    # on-device table construction whenever eligible (single part, no
+    # culls, 32-bit features — build_database gates); save() streams
+    # the tables back as CSR, so `build` completes in device-build time
+    opt.device_tables = True
 
     db = None
     if modify:
@@ -512,10 +516,10 @@ def mode_build_query(argv: List[str]) -> int:
         raise CliError("No reference sequence files provided or found!")
     aq = Args(query_args)
     opt, out_file, _split = parse_query_options(aq)
-    # without -save-db the tables never need to exist on the host:
-    # build them device-resident (ops.table_device — multi-GB builds
-    # in seconds instead of minutes)
-    bopt.device_tables = (not save_db and opt.num_replicas == 1
+    # build tables device-resident whenever the query config allows
+    # (ops.table_device — multi-GB builds in seconds instead of
+    # minutes); -save-db exports them back as CSR parts
+    bopt.device_tables = (opt.num_replicas == 1
                           and opt.table_shards == 1)
     db = build_database(bopt)
     if save_db:

@@ -213,12 +213,17 @@ class Database:
     # -- persistence -----------------------------------------------------
     def save(self, path: str):
         from ..utils import info as info_mod
-        if self.device_parts and not self.parts:
-            from ..cli.main import CliError
-            raise CliError(
-                "this database was built device-resident (build+query "
-                "fast path) and cannot be saved; rerun with -save-db "
-                "set from the start (host build) to persist it")
+        if self.device_parts:
+            # stream device tables back as CSR parts (12 B/location
+            # fetched once) so device-resident builds persist in
+            # device-build time + serialization, not host-sketch time
+            from ..ops.table_device import export_csr
+            info_mod.status("Exporting device tables ...")
+            for dtab in self.device_parts:
+                uniq, offs, locs = export_csr(dtab)
+                self.parts.append(FeatureTable(
+                    uniq, offs, locs, self.max_locations_per_feature))
+            self.device_parts = []
         info_mod.status(f"Writing database to {path} ...")
         from ..config import feature_bits
         meta = {

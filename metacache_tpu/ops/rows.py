@@ -425,6 +425,51 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
                        cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
 
+def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
+                    dense: tuple, alt_runs: int, pack_bits: int):
+    """Head-only two-tier probe (escalation phase 1).
+
+    ONE head-row gather per probe instead of head + overflow: slots
+    beyond the head are dropped and each query gets an `over` flag
+    (any probed bucket deeper than the head). Queries with over=False
+    are classified EXACTLY by the head slots; over=True queries must
+    re-run through the full-depth path (the caller's phase 2).
+
+    -> (pk (B, f*rl) packed slots with I32_MAX padding, over (B,) bool).
+    Requires a slot-packed two-tier layout and pack_bits == slot_bits.
+    """
+    from .probe import probe_bucket
+    b, f = feats.shape
+    _, hsl, hpack, _opack, slot_bits = dense
+    assert slot_bits and slot_bits == pack_bits
+    flat = feats.reshape(-1)
+    idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
+    idx_c = jnp.clip(idx_c, 0, None)
+    if hpack:
+        r2 = loc_tgt[idx_c >> 1]
+        rows = jnp.where((idx_c & 1)[:, None] == 1, r2[:, 64:],
+                         r2[:, :64])
+    else:
+        rows = loc_tgt[idx_c]
+    flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    found = (rows[:, 0] == flat_i32) & \
+        (flat != jnp.uint32(0xFFFFFFFF))
+    cnt = jnp.where(found, rows[:, 1], 0)
+    over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
+    hit = j < jnp.minimum(cnt, hsl)[:, None]
+    pk = jnp.where(hit, rows[:, 3:3 + hsl], I32_MAX)
+    rl = alt_runs if alt_runs else hsl
+    if rl > hsl:
+        pk = jnp.concatenate(
+            [pk, jnp.full((b * f, rl - hsl), I32_MAX, jnp.int32)],
+            axis=1)
+    if alt_runs:
+        fidx = jax.lax.broadcasted_iota(jnp.int32, (b * f, 1), 0) % f
+        pk = jnp.where((fidx & 1) == 1, jax.lax.rev(pk, (1,)), pk)
+    return pk.reshape(b, f * rl), over
+
+
 def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
                prefix_bits: int = 16, prefix_steps: int = 0,
@@ -761,3 +806,78 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))
     return cls_k
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature",
+                     "max_candidates", "prefix_bits", "dense",
+                     "use_pallas_sketch", "walk_elems", "fast_top2",
+                     "fused_candidates", "pack_bits", "infeed_packed"))
+def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
+                              table_feats, table_offsets, loc_tgt,
+                              loc_win, merge_tax_of_target, lineages,
+                              hits_min, hits_diff_frac, highest_rank,
+                              merge_rank, prefix_starts,
+                              *, k: int, sketchlen: int,
+                              slots_per_feature: int,
+                              max_candidates: int, prefix_bits: int,
+                              dense: tuple,
+                              use_pallas_sketch: bool = False,
+                              walk_elems: int = 0,
+                              fast_top2: bool = True,
+                              fused_candidates: bool = False,
+                              pack_bits: int = 0,
+                              infeed_packed: bool = False):
+    """Escalation phase 1: head-only probe over a two-tier layout.
+
+    Like query_step_rows_scan but with ONE row gather per probe (the
+    overflow gather is skipped — the two-tier hot path's second memory
+    access) and a much smaller candidate sort (L = f * pow2(head)
+    instead of f * pow2(spf)). Returns (cls (K, B) i32,
+    over (K, B/32) i32 bitmask): queries whose bit is set touched a
+    bucket deeper than the head and MUST be reclassified through the
+    full-depth step; the rest are exact.
+
+    The adaptive-depth counterpart of the reference GPU's data-dependent
+    per-thread loops (gpu_hashmap_operations.cuh:841-1043): TPU static
+    shapes otherwise pay worst-case bucket depth for every read.
+    """
+    kk, b = windows_k.shape[0], windows_k.shape[1]
+    wq, w = windows_k.shape[2], windows_k.shape[3]
+    assert wq == 1, "escalation phase 1 is the short-read scan path"
+    if infeed_packed:
+        w = w * 4
+    hsl = dense[1]
+    rl = 1 << max(int(hsl - 1).bit_length(), 0)
+
+    def body(carry, xs):
+        wmat, vmat, mw = xs
+        vmat = vmat.astype(jnp.int32)
+        mw = mw.astype(jnp.int32)
+        if infeed_packed:
+            shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+            wmat = ((wmat[..., None] >> shifts) &
+                    jnp.uint8(3)).reshape(b, wq, w)
+        feats = _sketch_dispatch(wmat.reshape(b * wq, w),
+                                 vmat.reshape(b * wq), k, sketchlen,
+                                 use_pallas_sketch)
+        feats = feats.reshape(b, wq * sketchlen)
+        pk, over = probe_rows_head(feats, loc_tgt, prefix_starts,
+                                   prefix_bits, dense, alt_runs=rl,
+                                   pack_bits=pack_bits)
+        res = rows_to_result(
+            pk, pk, mw, merge_tax_of_target, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank,
+            max_candidates=max_candidates, walk_elems=walk_elems,
+            fast_top2=fast_top2, fused_candidates=fused_candidates,
+            emit_hits=False, presorted_runs=rl, pack_bits=pack_bits)
+        # pack the over flags 32/word so the d2h fetch stays tiny
+        ob = over.reshape(b // 32, 32).astype(jnp.int32)
+        obits = (ob << jax.lax.broadcasted_iota(
+            jnp.int32, (b // 32, 32), 1)).sum(axis=1)
+        return carry, (res.cls_tax, obits)
+
+    _, (cls_k, over_k) = jax.lax.scan(
+        body, 0, (windows_k, valid_k, mwir_k))
+    return cls_k, over_k

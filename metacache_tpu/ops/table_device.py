@@ -469,6 +469,79 @@ def build_device_table(f, t, w, *, cap: int = 254,
                        slot_bits=slot_bits)
 
 
+def export_csr(dt: DeviceTable, chunk: int = 1 << 25):
+    """DeviceTable -> host CSR arrays (uniq u32, offsets i64,
+    locations u64 packed (tgt << 32 | win)).
+
+    The build consumed its (feature, tgt, win) stream (fills donate), so
+    the location stream is reconstructed from the probe rows: element j
+    of bucket r reads head slot col(j) or overflow slot col(j) - H. The
+    per-element gathers are the slow near-serial kind, but this runs
+    once per `build ... ` save (reference: hash_multimap::serialize,
+    src/hash_multimap.hpp:1037-1082 writes from its buckets the same
+    way). Chunked so scratch stays bounded.
+    """
+    import jax
+
+    uniq = np.asarray(dt.uniq[:dt.nf])
+    offs = np.asarray(dt.offsets[:dt.nf + 1]).astype(np.int64)
+    n = dt.num_locations
+    hsl = dt.head_slots
+    base = 2 if dt.dense else 3
+
+    hw_lanes = dt.head.shape[1]
+    ow_lanes = dt.ovf.shape[1]
+    ow = dt.spf - hsl
+
+    def head_lane(r, lane):
+        hr = r >> 1 if dt.packed else r
+        hc = (r & 1) * 64 + lane if dt.packed else lane
+        return dt.head.reshape(-1)[hr * hw_lanes + hc]
+
+    def ovf_lane(orow, lane):
+        orr = orow >> 1 if dt.ovf_packed else orow
+        oc = (orow & 1) * 64 + lane if dt.ovf_packed else lane
+        return dt.ovf.reshape(-1)[orr * ow_lanes + oc]
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def chunk_vals(j0, m):
+        j = j0 + jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        j = jnp.minimum(j, max(n - 1, 0))
+        r = jnp.searchsorted(dt.offsets[1:dt.nf + 1], j,
+                             side="right").astype(jnp.int32)
+        col = j - dt.offsets[r]
+        hcol = jnp.minimum(col, hsl - 1)
+        hv = head_lane(r, base + hcol)
+        hw = head_lane(r, base + hsl + hcol) \
+            if not dt.slot_bits else hv
+        if not dt.dense and ow > 0:
+            ovfid = head_lane(r, 2)
+            oc = jnp.clip(col - hsl, 0, ow - 1)
+            ov = ovf_lane(ovfid, oc)
+            ovw = ovf_lane(ovfid, oc + ow) if not dt.slot_bits else ov
+            use_head = col < hsl
+            v = jnp.where(use_head, hv, ov)
+            vw = jnp.where(use_head, hw, ovw)
+        else:
+            v, vw = hv, hw
+        if dt.slot_bits:
+            tgt = jax.lax.shift_right_logical(v, jnp.int32(dt.slot_bits))
+            win = v & ((1 << dt.slot_bits) - 1)
+        else:
+            tgt, win = v, vw
+        return tgt, win
+
+    locs = np.empty(n, np.uint64)
+    for j0 in range(0, n, chunk):
+        m = min(chunk, n - j0)
+        mq = 1 << max(int(m - 1).bit_length(), 10)
+        tgt, win = chunk_vals(jnp.int32(j0), mq)
+        tgt = np.asarray(tgt)[:m].astype(np.uint64)
+        win = np.asarray(win)[:m].astype(np.uint64)
+        locs[j0:j0 + m] = (tgt << np.uint64(32)) | win
+    return uniq, offs, locs
+
+
 def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
                            ltgt: np.ndarray, lwin: np.ndarray, *,
                            cap: int = 254,

@@ -262,3 +262,63 @@ def test_scan_native_packed_summary_parity(tmp_path, monkeypatch):
     qb, hb = run("0")
     assert qa == qb == 700
     np.testing.assert_array_equal(ha, hb)
+
+
+def test_escalation_summary_parity(tmp_path, monkeypatch):
+    """Escalation (head-only phase 1 + full-depth redo) produces the
+    same summary as the plain full-depth scan on a deep-bucket DB
+    forced into the two-tier layout."""
+    from metacache_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    from metacache_tpu.cli.main import Args, parse_query_options
+    from metacache_tpu.classify.runner import (ClassificationResults,
+                                               QueryOptions, QueryRunner,
+                                               map_queries_to_targets)
+    from metacache_tpu.db.build import BuildOptions, build_database
+    monkeypatch.setenv("MC_SCAN_K", "2")
+    monkeypatch.setenv("MC_FUSED_CANDIDATES", "1")
+    monkeypatch.setenv("MC_DENSE_LIMIT", "1")
+    rng = np.random.default_rng(3)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    genomes = []
+    for _ in range(2):
+        base = rng.integers(0, 4, 20000, dtype=np.uint8)
+        for _s in range(70):      # deep buckets (~70 > any head width)
+            g = base.copy()
+            pos = rng.integers(0, 20000, 40)
+            g[pos] = rng.integers(0, 4, 40)
+            genomes.append(g)
+    for _ in range(6):
+        genomes.append(rng.integers(0, 4, 20000, dtype=np.uint8))
+    gfa = tmp_path / "g.fa"
+    with open(gfa, "wb") as fh:
+        for i, g in enumerate(genomes):
+            fh.write(b">g%d\n" % i + b2a[g].tobytes() + b"\n")
+    rfa = tmp_path / "r.fa"
+    with open(rfa, "wb") as fh:
+        for i in range(1500):
+            gs = int(rng.integers(0, len(genomes)))
+            p = int(rng.integers(0, 20000 - 120))
+            ln = int(rng.integers(60, 120))
+            fh.write(b">r%d\n" % i +
+                     b2a[genomes[gs][p:p + ln]].tobytes() + b"\n")
+    db = build_database(BuildOptions(infiles=[str(gfa)]))
+    qr = QueryRunner(db, QueryOptions())
+    assert qr._escalation_ok(), (qr._dense[0], qr._tables[0][4])
+
+    def run(esc):
+        monkeypatch.setenv("MC_ESCALATE", esc)
+        qopt, _, _ = parse_query_options(
+            Args(["-no-map", "-no-query-params", "-batch-size", "512"]))
+        import io
+        out = io.StringIO()
+        res = ClassificationResults(out, out, out)
+        map_queries_to_targets([str(rfa)], db, qopt, res)
+        return res.query_count, res.statistics.assigned_.copy()
+
+    qa, ha = run("1")
+    qb, hb = run("0")
+    assert qa == qb == 1500
+    np.testing.assert_array_equal(ha, hb)

@@ -182,3 +182,25 @@ def test_device_layout_from_csr_parity():
         got = _unpack(dt.brows)
         np.testing.assert_array_equal(got[:, 0], brows[:, 0])
         np.testing.assert_array_equal(got[:, 1:64], brows[:, 1:64])
+
+
+@pytest.mark.parametrize("budget", [None, 4 << 20])
+def test_export_csr_roundtrip(budget):
+    """export_csr reconstructs the exact CSR stream the device table was
+    built from (dense and two-tier, slot-packed layouts) — the `build`
+    mode's save path."""
+    from metacache_tpu.ops.table_device import export_csr
+    rng = np.random.default_rng(23)
+    f, t, w = _stream(rng, 60_000, 4000, 16)
+    ft = FeatureTable.build(
+        f.copy(), pack_locations(t.astype(np.uint32),
+                                 w.astype(np.uint32)),
+        max_locations_per_feature=254,
+        presorted_within_feature=True)
+    dt = build_device_table(jnp.asarray(f), jnp.asarray(t),
+                            jnp.asarray(w), cap=254,
+                            budget_bytes=budget, nch=4)
+    uniq, offs, locs = export_csr(dt)
+    np.testing.assert_array_equal(uniq, ft.unique_features)
+    np.testing.assert_array_equal(offs, ft.offsets)
+    np.testing.assert_array_equal(locs, ft.locations)
