@@ -93,8 +93,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from metacache_tpu.config import SketchingOptions
-    from metacache_tpu.ops.rows import (_sketch_dispatch, probe_rows,
-                                        rows_to_result)
 
     rng = np.random.default_rng(42)
     opt = SketchingOptions().resolved()
@@ -133,30 +131,23 @@ def main():
         valid = np.full((B, 1), READ_LEN, np.int32)
         mwir = np.full(B, 2, np.int32)
 
-        @jax.jit
+        # the PRODUCTION scan step (ops.rows.query_step_rows_scan):
+        # fused candidates + software-pipelined probe included
+        from metacache_tpu.ops.rows import query_step_rows_scan
+        fused = use_pallas and opt.sketchlen * spf >= 1024
+
         def query_scan(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
-            def body(c, xs):
-                w, v, m = xs
-                fx = _sketch_dispatch(w.reshape(B, opt.winlen),
-                                      v.reshape(B), opt.kmerlen,
-                                      opt.sketchlen, use_pallas)
-                from metacache_tpu.ops.rows import _alt_runs
-                fused = use_pallas and opt.sketchlen * spf >= 1024
-                alt = _alt_runs(fused, True, 2 * opt.sketchlen, 0,
-                                opt.sketchlen, spf)
-                tt, wn = probe_rows(fx.reshape(B, opt.sketchlen), tf,
-                                    to, la, lb, spf, ps, bbits, 0,
-                                    dense=dense, alt_runs=alt,
-                                    pack_bits=pkb)
-                res = rows_to_result(
-                    tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                    jnp.int32(19), jnp.int32(0), max_candidates=2,
-                    walk_elems=2 * opt.sketchlen, fast_top2=True,
-                    fused_candidates=fused, emit_hits=False,
-                    presorted_runs=alt, pack_bits=pkb)
-                return c, res.cls_tax
-            _, out = jax.lax.scan(body, 0, (wk, vk, mk))
-            return out
+            return query_step_rows_scan(
+                wk, vk, mk, tf, to, la, lb, mt, lg,
+                jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                jnp.int32(0), ps,
+                k=opt.kmerlen, sketchlen=opt.sketchlen,
+                slots_per_feature=spf, windows_per_query=1,
+                max_candidates=2, prefix_bits=bbits, prefix_steps=0,
+                dense=dense, use_pallas_sketch=use_pallas,
+                walk_elems=2 * opt.sketchlen, fast_top2=True,
+                fused_candidates=fused, pack_bits=pkb,
+                prefetch=bool(dense))
 
         wk = jnp.asarray(np.broadcast_to(
             wins[None], (SCAN_K,) + wins.shape).copy())
@@ -190,33 +181,25 @@ def main():
             # summary loop runs the same two phases). Steady state:
             # every read pays phase 1, a fraction re-pays the full step
             # at full batch occupancy after host rebatching.
-            from metacache_tpu.ops.rows import probe_rows_head
+            from metacache_tpu.ops.rows import query_step_rows_scan_head
 
-            @jax.jit
             def query_scan_head(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
-                rl = 1 << max(int(dt.head_slots - 1).bit_length(), 0)
-
-                def body(c, xs):
-                    w, v, m = xs
-                    fx = _sketch_dispatch(w.reshape(B, opt.winlen),
-                                          v.reshape(B), opt.kmerlen,
-                                          opt.sketchlen, use_pallas)
-                    pk, over = probe_rows_head(
-                        fx.reshape(B, opt.sketchlen), la, ps, bbits,
-                        dense, alt_runs=rl, pack_bits=pkb)
-                    res = rows_to_result(
-                        pk, pk, m, mt, lg, jnp.int32(5),
-                        jnp.float32(1.0), jnp.int32(19), jnp.int32(0),
-                        max_candidates=2, walk_elems=2 * opt.sketchlen,
-                        fast_top2=True, fused_candidates=use_pallas,
-                        emit_hits=False, presorted_runs=rl,
-                        pack_bits=pkb)
-                    return c, (res.cls_tax, over)
-                _, o = jax.lax.scan(body, 0, (wk, vk, mk))
-                return o
+                return query_step_rows_scan_head(
+                    wk, vk, mk, tf, to, la, lb, mt, lg,
+                    jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                    jnp.int32(0), ps,
+                    k=opt.kmerlen, sketchlen=opt.sketchlen,
+                    slots_per_feature=spf, max_candidates=2,
+                    prefix_bits=bbits, dense=dense,
+                    use_pallas_sketch=use_pallas,
+                    walk_elems=2 * opt.sketchlen,
+                    fused_candidates=use_pallas, pack_bits=pkb,
+                    prefetch=True)
 
             cls1, over = query_scan_head(wk, vk, mk, *targs)
-            frac = float(np.asarray(over).mean())
+            nb = np.asarray(over).view(np.uint32)
+            frac = float(np.unpackbits(
+                nb.view(np.uint8)).sum() / (SCAN_K * B))
             np.asarray(cls1)
             t0 = time.time()
             prev = None
@@ -261,31 +244,20 @@ def main():
             lvalid[i, :len(vl)] = vl
         lmwir = np.full(LB, 2 + LLEN // opt.winstride, np.int32)
 
-        @jax.jit
+        from metacache_tpu.ops.rows import query_step_rows_scan
+
         def query_scan_long(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
-            def body(c, xs):
-                w, v, m = xs
-                fx = _sketch_dispatch(w.reshape(LB * WQ, opt.winlen),
-                                      v.reshape(LB * WQ), opt.kmerlen,
-                                      opt.sketchlen, use_pallas)
-                fx = fx.reshape(LB, WQ * opt.sketchlen)
-                from metacache_tpu.ops.rows import _alt_runs
-                alt = _alt_runs(use_pallas, True, 0,
-                                2 + LLEN // opt.winstride,
-                                WQ * opt.sketchlen, spf)
-                tt, wn = probe_rows(fx, tf, to, la, lb, spf, ps,
-                                    bbits, 0, dense=dense,
-                                    alt_runs=alt, pack_bits=pkb)
-                res = rows_to_result(
-                    tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                    jnp.int32(19), jnp.int32(0), max_candidates=2,
-                    dedup_walk=2 + LLEN // opt.winstride,
-                    fast_top2=True, emit_hits=False,
-                    fused_candidates=use_pallas,
-                    presorted_runs=alt, pack_bits=pkb)
-                return c, res.cls_tax
-            _, out = jax.lax.scan(body, 0, (wk, vk, mk))
-            return out
+            return query_step_rows_scan(
+                wk, vk, mk, tf, to, la, lb, mt, lg,
+                jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                jnp.int32(0), ps,
+                k=opt.kmerlen, sketchlen=opt.sketchlen,
+                slots_per_feature=spf, windows_per_query=WQ,
+                max_candidates=2, prefix_bits=bbits, prefix_steps=0,
+                dense=dense, use_pallas_sketch=use_pallas,
+                dedup_walk=2 + LLEN // opt.winstride, fast_top2=True,
+                fused_candidates=use_pallas, pack_bits=pkb,
+                prefetch=bool(dense))
 
         k = SCAN_K
         lwk = jnp.asarray(np.broadcast_to(

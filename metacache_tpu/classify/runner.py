@@ -1096,6 +1096,7 @@ class QueryRunner:
             pack_bits=self._pack_bits,
             **self._sweep_params(mwir.reshape(-1), 2),
             **self._fast_flag(2 * sk.sketchlen * spf),
+            **self._prefetch_flag(),
             **(dict(fused_candidates=True)
                if self._fused_candidates and
                2 * sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))
@@ -1389,6 +1390,18 @@ class QueryRunner:
             return
         self._collect_batch_rows(batch, payload, results)
 
+    def _prefetch_flag(self) -> dict:
+        """Software-pipelined scan (ops.rows: stage-1 sketch + bucket
+        probe of batch i+1 overlaps batch i's gathers/kernel) — valid
+        for fused-row layouts with a bucket-row index; identical
+        results. MC_PREFETCH=0 disables."""
+        import os as _os
+        if (_os.environ.get("MC_PREFETCH", "1") != "0"
+                and bool(self._dense[0])
+                and self._prefix[0][0] is not None):
+            return {"prefetch": True}
+        return {}
+
     def _escalation_ok(self) -> bool:
         """Escalation (head-only phase 1 + full-depth redo) is valid for
         slot-packed two-tier single-part layouts on the fused fast path;
@@ -1445,7 +1458,8 @@ class QueryRunner:
             use_pallas_sketch=self._use_pallas_sketch,
             pack_bits=self._pack_bits, infeed_packed=True,
             walk_elems=int(mwir.max()) * sk.sketchlen,
-            fused_candidates=True, fast_top2=True)
+            fused_candidates=True, fast_top2=True,
+            **self._prefetch_flag())
 
     def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int,
                        prepacked: bool = False):
@@ -1494,6 +1508,7 @@ class QueryRunner:
                 **self._sweep_params(
                     mwir.reshape(-1).astype(np.int32), 1),
                 **self._fast_flag(sk.sketchlen * spf),
+                **self._prefetch_flag(),
                 **(dict(fused_candidates=True)
                    if self._fused_candidates and
                    sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))
@@ -1532,6 +1547,7 @@ class QueryRunner:
             infeed_packed=self._infeed_packed,
             **self._sweep_params(mwir, 1),
             **self._fast_flag(sk.sketchlen * spf),
+            **self._prefetch_flag(),
             **(dict(fused_candidates=True)
                if self._fused_candidates and
                sk.sketchlen * spf >= self.FUSED_MIN_SLOTS else {}))

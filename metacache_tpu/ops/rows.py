@@ -426,7 +426,8 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
 
 
 def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
-                    dense: tuple, alt_runs: int, pack_bits: int):
+                    dense: tuple, alt_runs: int, pack_bits: int,
+                    idx_pre=None):
     """Head-only two-tier probe (escalation phase 1).
 
     ONE head-row gather per probe instead of head + overflow: slots
@@ -443,8 +444,11 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
     _, hsl, hpack, _opack, slot_bits = dense
     assert slot_bits and slot_bits == pack_bits
     flat = feats.reshape(-1)
-    idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
-    idx_c = jnp.clip(idx_c, 0, None)
+    if idx_pre is not None:
+        idx_c = idx_pre
+    else:
+        idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
+        idx_c = jnp.clip(idx_c, 0, None)
     if hpack:
         r2 = loc_tgt[idx_c >> 1]
         rows = jnp.where((idx_c & 1)[:, None] == 1, r2[:, 64:],
@@ -474,7 +478,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                slots_per_feature: int, prefix_starts=None,
                prefix_bits: int = 16, prefix_steps: int = 0,
                dense: bool = False, alt_runs: int = 0,
-               pack_bits: int = 0):
+               pack_bits: int = 0, idx_pre=None):
     """(B, F) features -> (B, F*C) match slots (tgt, win).
 
     ``pack_bits=w`` returns (pk, pk) instead, with
@@ -498,7 +502,12 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     c = slots_per_feature
     flat = feats.reshape(-1)
     nf = table_feats.shape[0]
-    if prefix_starts is not None and prefix_starts.ndim == 2 and nf > 0:
+    if idx_pre is not None:
+        # bucket-probe stage precomputed by the caller (the prefetching
+        # scan runs it one iteration ahead so it overlaps this
+        # iteration's row gathers + candidates)
+        idx_c, found = idx_pre, None
+    elif prefix_starts is not None and prefix_starts.ndim == 2 and nf > 0:
         idx_c, found = probe_bucket(flat, prefix_starts, prefix_bits)
         idx_c = jnp.clip(idx_c, 0, nf - 1)
     elif prefix_starts is not None and nf > 0:
@@ -575,6 +584,8 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
             tgts = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
             wins = jnp.where(hit, rows[:, 2 + c:2 + 2 * c], I32_MAX)
     else:
+        assert idx_pre is None, \
+            "prefetched probe needs a fused-row layout (CSR recomputes)"
         cnt = jnp.where(
             found,
             (table_offsets[idx_c + 1] -
@@ -734,6 +745,10 @@ def query_step_rows(windows, valid, mwir,
         presorted_runs=alt, pack_bits=pack_bits)
 
 
+def _roll1(a):
+    return jnp.concatenate([a[1:], a[:1]])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
@@ -741,7 +756,7 @@ def query_step_rows(windows, valid, mwir,
                      "prefix_bits", "prefix_steps", "dense",
                      "use_pallas_sketch", "walk_elems", "dedup_walk",
                      "fast_top2", "fused_candidates", "pack_bits",
-                     "infeed_packed"))
+                     "infeed_packed", "prefetch"))
 def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          table_feats, table_offsets, loc_tgt, loc_win,
                          merge_tax_of_target, lineages,
@@ -757,7 +772,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                          fast_top2: bool = False,
                          fused_candidates: bool = False,
                          pack_bits: int = 0,
-                         infeed_packed: bool = False):
+                         infeed_packed: bool = False,
+                         prefetch: bool = False):
     """K stacked row batches classified inside one device dispatch via
     lax.scan — one compile and one host round-trip per K*B reads (the
     infeed shape; host<->device latency amortizes K-fold). Returns
@@ -768,17 +784,21 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
     byte, N-free reads only — the host routes reads containing
     ambiguous characters through the unpacked path); unpacked on
     device. Quarters the host->device transfer, which is what bounds
-    end-to-end throughput on thin links."""
-    kk, b, wq, w = windows_k.shape[0], windows_k.shape[1],         windows_k.shape[2], windows_k.shape[3]
+    end-to-end throughput on thin links.
+
+    ``prefetch``: software-pipeline the scan — iteration i classifies
+    batch i from a (sketch, bucket-probe) stage computed in iteration
+    i-1, so that stage's HBM gather overlaps the row gathers +
+    candidates kernel of the previous batch (measured: toy DB 4.77 ->
+    4.38 ms/batch on a v5e). Requires a fused-row layout (bucket-row
+    prefix index). Results are identical to the plain scan."""
+    kk, b, wq, w = windows_k.shape[0], windows_k.shape[1], \
+        windows_k.shape[2], windows_k.shape[3]
     if infeed_packed:
         w = w * 4
 
-    def body(carry, xs):
-        wmat, vmat, mw = xs
-        # the packed infeed ships valid/mwir as u8 when they fit (the
-        # h2d link is the end-to-end bottleneck); widen on device
+    def stage1(wmat, vmat):
         vmat = vmat.astype(jnp.int32)
-        mw = mw.astype(jnp.int32)
         if infeed_packed:
             # (b, wq, w/4) u8 -> (b, wq, w) codes 0..3; content past a
             # window's valid length is ignored by the sketcher
@@ -788,13 +808,18 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
         feats = _sketch_dispatch(wmat.reshape(b * wq, w),
                                  vmat.reshape(b * wq), k, sketchlen,
                                  use_pallas_sketch)
-        feats = feats.reshape(b, wq * sketchlen)
-        alt = _alt_runs(fused_candidates, fast_top2, walk_elems,
-                        dedup_walk, wq * sketchlen, slots_per_feature)
+        return feats.reshape(b, wq * sketchlen)
+
+    alt = _alt_runs(fused_candidates, fast_top2, walk_elems,
+                    dedup_walk, wq * sketchlen, slots_per_feature)
+
+    def stage2(feats, mw, idx_pre=None):
+        mw = mw.astype(jnp.int32)
         tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
                               loc_win, slots_per_feature, prefix_starts,
                               prefix_bits, prefix_steps, dense,
-                              alt_runs=alt, pack_bits=pack_bits)
+                              alt_runs=alt, pack_bits=pack_bits,
+                              idx_pre=idx_pre)
         res = rows_to_result(
             tgt, win, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
@@ -802,7 +827,35 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
             dedup_walk=dedup_walk, fast_top2=fast_top2,
             fused_candidates=fused_candidates, emit_hits=False,
             presorted_runs=alt, pack_bits=pack_bits)
-        return carry, res.cls_tax
+        return res.cls_tax
+
+    if prefetch and prefix_starts is not None and dense:
+        from .probe import probe_bucket
+        nf = table_feats.shape[0]
+
+        def bucket(feats):
+            idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
+                                    prefix_bits)
+            return jnp.clip(idx_c, 0, nf - 1)
+
+        f0 = stage1(windows_k[0], valid_k[0])
+        i0 = bucket(f0)
+
+        def body(carry, xs):
+            feats, idx_c, mw_prev = carry
+            wmat, vmat, mw = xs
+            cls = stage2(feats, mw_prev, idx_pre=idx_c)
+            f2 = stage1(wmat, vmat)
+            return (f2, bucket(f2), mw), cls
+
+        _, cls_k = jax.lax.scan(
+            body, (f0, i0, mwir_k[0]),
+            (_roll1(windows_k), _roll1(valid_k), _roll1(mwir_k)))
+        return cls_k
+
+    def body(carry, xs):
+        wmat, vmat, mw = xs
+        return carry, stage2(stage1(wmat, vmat), mw)
 
     _, cls_k = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))
     return cls_k
@@ -813,7 +866,8 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "max_candidates", "prefix_bits", "dense",
                      "use_pallas_sketch", "walk_elems", "fast_top2",
-                     "fused_candidates", "pack_bits", "infeed_packed"))
+                     "fused_candidates", "pack_bits", "infeed_packed",
+                     "prefetch"))
 def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               table_feats, table_offsets, loc_tgt,
                               loc_win, merge_tax_of_target, lineages,
@@ -828,7 +882,8 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               fast_top2: bool = True,
                               fused_candidates: bool = False,
                               pack_bits: int = 0,
-                              infeed_packed: bool = False):
+                              infeed_packed: bool = False,
+                              prefetch: bool = False):
     """Escalation phase 1: head-only probe over a two-tier layout.
 
     Like query_step_rows_scan but with ONE row gather per probe (the
@@ -851,10 +906,8 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
     hsl = dense[1]
     rl = 1 << max(int(hsl - 1).bit_length(), 0)
 
-    def body(carry, xs):
-        wmat, vmat, mw = xs
+    def stage1(wmat, vmat):
         vmat = vmat.astype(jnp.int32)
-        mw = mw.astype(jnp.int32)
         if infeed_packed:
             shifts = jnp.arange(4, dtype=jnp.uint8) * 2
             wmat = ((wmat[..., None] >> shifts) &
@@ -862,10 +915,14 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
         feats = _sketch_dispatch(wmat.reshape(b * wq, w),
                                  vmat.reshape(b * wq), k, sketchlen,
                                  use_pallas_sketch)
-        feats = feats.reshape(b, wq * sketchlen)
+        return feats.reshape(b, wq * sketchlen)
+
+    def stage2(feats, mw, idx_pre=None):
+        mw = mw.astype(jnp.int32)
         pk, over = probe_rows_head(feats, loc_tgt, prefix_starts,
                                    prefix_bits, dense, alt_runs=rl,
-                                   pack_bits=pack_bits)
+                                   pack_bits=pack_bits,
+                                   idx_pre=idx_pre)
         res = rows_to_result(
             pk, pk, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
@@ -876,7 +933,34 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
         ob = over.reshape(b // 32, 32).astype(jnp.int32)
         obits = (ob << jax.lax.broadcasted_iota(
             jnp.int32, (b // 32, 32), 1)).sum(axis=1)
-        return carry, (res.cls_tax, obits)
+        return res.cls_tax, obits
+
+    if prefetch:
+        from .probe import probe_bucket
+
+        def bucket(feats):
+            idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
+                                    prefix_bits)
+            return jnp.clip(idx_c, 0, None)
+
+        f0 = stage1(windows_k[0], valid_k[0])
+        i0 = bucket(f0)
+
+        def body(carry, xs):
+            feats, idx_c, mw_prev = carry
+            wmat, vmat, mw = xs
+            out = stage2(feats, mw_prev, idx_pre=idx_c)
+            f2 = stage1(wmat, vmat)
+            return (f2, bucket(f2), mw), out
+
+        _, (cls_k, over_k) = jax.lax.scan(
+            body, (f0, i0, mwir_k[0]),
+            (_roll1(windows_k), _roll1(valid_k), _roll1(mwir_k)))
+        return cls_k, over_k
+
+    def body(carry, xs):
+        wmat, vmat, mw = xs
+        return carry, stage2(stage1(wmat, vmat), mw)
 
     _, (cls_k, over_k) = jax.lax.scan(
         body, 0, (windows_k, valid_k, mwir_k))

@@ -322,3 +322,45 @@ def test_escalation_summary_parity(tmp_path, monkeypatch):
     qb, hb = run("0")
     assert qa == qb == 1500
     np.testing.assert_array_equal(ha, hb)
+
+
+def test_scan_prefetch_parity():
+    """query_step_rows_scan(prefetch=True) — the software-pipelined
+    scan — returns exactly the plain scan's classifications."""
+    import jax.numpy as jnp
+    from metacache_tpu.ops.probe import make_bucket_index
+    from metacache_tpu.ops.rows import query_step_rows_scan
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+
+    rng = np.random.default_rng(77)
+    K, B, WL = 3, 32, 128
+    f = rng.integers(0, 2**32, 600, dtype=np.uint32)
+    t = np.sort(rng.integers(0, 8, 600)).astype(np.int32)
+    w = rng.integers(0, 50, 600).astype(np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=16)
+    lin = _lineages(8)
+    codes = rng.integers(0, 4, (K, B, 1, WL), dtype=np.uint8)
+    lens = np.full((K, B, 1), 100, np.int32)
+    lens[1, 3] = 0
+    mwir = rng.integers(2, 5, (K, B)).astype(np.int32)
+    spf = max(min(ft.max_bucket_size, 16), 1)
+    fused = ft.fused_rows(spf)
+    brows, bits = make_bucket_index(ft.unique_features)
+    args = (jnp.asarray(ft.unique_features),
+            jnp.asarray(ft.offsets.astype(np.int32)),
+            jnp.asarray(fused), jnp.zeros((1,), jnp.int32),
+            jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19),
+            jnp.int32(0), jnp.asarray(brows))
+    kw = dict(k=16, sketchlen=16, slots_per_feature=spf,
+              windows_per_query=1, max_candidates=2, dense=True,
+              prefix_bits=bits, walk_elems=64, fast_top2=True)
+    ref = query_step_rows_scan(jnp.asarray(codes), jnp.asarray(lens),
+                               jnp.asarray(mwir), *args, **kw)
+    got = query_step_rows_scan(jnp.asarray(codes), jnp.asarray(lens),
+                               jnp.asarray(mwir), *args,
+                               prefetch=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
