@@ -476,6 +476,8 @@ def main():
                 "layout": "dense" if dt_big.dense else
                           f"two_tier(head={dt_big.head_slots})",
                 "layout_gib": round(dt_big.layout_bytes / 2**30, 2),
+                "bucket_index_gib": round(
+                    int(np.prod(dt_big.brows.shape)) * 4 / 2**30, 2),
                 **big,
             }
             del dt_big, genomes

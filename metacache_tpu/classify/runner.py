@@ -40,6 +40,22 @@ from .stats import ClassificationStatistics
 
 
 @functools.cache
+def _pack_result_jit():
+    """Concatenate a QueryResult's candidate arrays on device so the
+    per-batch d2h is ONE fetch instead of six (each small fetch pays a
+    ~30 ms fixed cost through this environment's link)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(tgt, tax, hits, beg, end, cls):
+        return jnp.concatenate(
+            [tgt, tax, hits, beg, end, cls[:, None]], axis=1)
+
+    return pack
+
+
+@functools.cache
 def _rank_hist_masked_jit():
     """_rank_hist_jit variant that also EXCLUDES reads flagged in a
     packed overflow bitmask (escalation phase 1: flagged reads are
@@ -1644,14 +1660,28 @@ class QueryRunner:
         allhits_of: Dict[int, tuple] = {}
         need_allhits = opt.output.analysis.show_all_hits
 
+        import jax as _jax
         for (idxs, rows, res) in launched:
             sel = np.asarray(idxs)
-            cand_tgt[sel] = np.asarray(res.cand_tgt)[:len(idxs)]
-            cand_tax[sel] = np.asarray(res.cand_tax)[:len(idxs)]
-            cand_hits[sel] = np.asarray(res.cand_hits)[:len(idxs)]
-            cand_beg[sel] = np.asarray(res.cand_beg)[:len(idxs)]
-            cand_end[sel] = np.asarray(res.cand_end)[:len(idxs)]
-            cls_tax[sel] = np.asarray(res.cls_tax)[:len(idxs)]
+            if isinstance(res.cand_tgt, _jax.Array):
+                kk = res.cand_tgt.shape[1]
+                packed = np.asarray(_pack_result_jit()(
+                    res.cand_tgt, res.cand_tax, res.cand_hits,
+                    res.cand_beg, res.cand_end,
+                    res.cls_tax))[:len(idxs)]
+                cand_tgt[sel] = packed[:, 0 * kk:1 * kk]
+                cand_tax[sel] = packed[:, 1 * kk:2 * kk]
+                cand_hits[sel] = packed[:, 2 * kk:3 * kk]
+                cand_beg[sel] = packed[:, 3 * kk:4 * kk]
+                cand_end[sel] = packed[:, 4 * kk:5 * kk]
+                cls_tax[sel] = packed[:, 5 * kk]
+            else:
+                cand_tgt[sel] = np.asarray(res.cand_tgt)[:len(idxs)]
+                cand_tax[sel] = np.asarray(res.cand_tax)[:len(idxs)]
+                cand_hits[sel] = np.asarray(res.cand_hits)[:len(idxs)]
+                cand_beg[sel] = np.asarray(res.cand_beg)[:len(idxs)]
+                cand_end[sel] = np.asarray(res.cand_end)[:len(idxs)]
+                cls_tax[sel] = np.asarray(res.cls_tax)[:len(idxs)]
             if need_allhits:
                 hq = np.asarray(res.hit_qid)
                 ht = np.asarray(res.hit_tgt)
