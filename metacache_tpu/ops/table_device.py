@@ -265,6 +265,29 @@ def _brows_build(uniq, bits: int, nch: int):
     return brows, maxspan
 
 
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _max_span(uniq, bits: int):
+    """Widest same-hash-prefix feature run (sentinel rows excluded)."""
+    nf = uniq.shape[0]
+    h = (uniq >> np.uint32(32 - bits)).astype(jnp.int32)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
+    newh = h != jnp.concatenate([jnp.full((1,), -1, jnp.int32), h[:-1]])
+    firsth = jax.lax.cummax(jnp.where(newh, fi, -1))
+    local = fi - firsth
+    return jnp.max(jnp.where(uniq != SENT, local, 0)) + 1
+
+
+def _choose_bits(uniq, bits: int) -> int:
+    """Smallest hash-prefix width whose widest span fits the 63-lane
+    bucket row. Min-hash feature sets are skewed toward SMALL hash
+    values (the sketch keeps each window's minima), so spans run ~4x
+    the uniform estimate — measure instead of assuming."""
+    while bits < 26 and int(np.asarray(_max_span(uniq, bits))) > 63:
+        bits += 1
+    return bits
+
 def _pack_auto(nf_rows: int) -> bool:
     """Pair-pack 64-lane rows only when the tiling padding would waste
     real memory (> ~0.5 GiB): the packed probe pays an extra half-select
@@ -445,18 +468,15 @@ def build_device_table(f, t, w, *, cap: int = 254,
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf
-    bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 2))
+    bits = _choose_bits(uniq, min(24, max(
+        12, int(max(nf_pad, 1)).bit_length() - 4)))
     owned = [fs, ts, ws]
     del fs, ts, ws
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense,
         pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
-    maxspan = int(np.asarray(maxspan_d))
-    if maxspan > 63:
-        raise MemoryError(
-            f"bucket-row index span {maxspan} exceeds 63 lanes at "
-            f"bits={bits} (F={nf}); increase bits")
+    del maxspan_d
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(sizes)])
     num_loc = int(np.asarray(offsets[-1]))
@@ -596,7 +616,8 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     ltgt32[:n] = ltgt
     lwin32 = np.zeros(n_pad, np.int32)
     lwin32[:n] = lwin
-    bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 2))
+    bits = _choose_bits(uniq, min(24, max(
+        12, int(max(nf_pad, 1)).bit_length() - 4)))
     owned = [jnp.asarray(start), jnp.asarray(ltgt32),
              jnp.asarray(lwin32)]
     del start, ltgt32, lwin32
@@ -604,11 +625,7 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense,
         pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
-    maxspan = int(np.asarray(maxspan_d))
-    if maxspan > 63:
-        raise MemoryError(
-            f"bucket-row index span {maxspan} exceeds 63 lanes at "
-            f"bits={bits} (F={nf})")
+    del maxspan_d
     offsets = jnp.asarray(np.concatenate(
         [[0], np.cumsum(sizes_capped),
          np.full(nf_pad - nf, sizes_capped.sum())]).astype(np.int32))
