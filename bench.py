@@ -484,6 +484,39 @@ def main():
         except Exception as e:          # scale section must never block
             big_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # ------- 3. XXL DB: single-chip capacity proof ----------------------
+    # ~1.8x the locations of section 2 — near the HBM budget ceiling for
+    # the current layout (resident rows ~3.9 B/location-byte + index);
+    # demonstrates the largest single-chip database this layout carries
+    xxl_detail = {}
+    if os.environ.get("MC_BENCH_XXL", "1") == "1" and \
+            os.environ.get("MC_BENCH_SMALL") != "1":
+        try:
+            del dt_big
+        except NameError:
+            pass
+        gc.collect()
+        try:
+            genomes, species = make_strain_genomes(
+                rng, [(76, 1, 0.0), (22, 52, 0.003), (2, 256, 0.003)],
+                GLEN)
+            dt_x, build_x_s = build_db(genomes, opt)
+            xxl = measure(dt_x, genomes, species, GLEN, iters=2)
+            xxl_detail = {
+                "total_mbp": len(genomes),
+                "db_locations": dt_x.num_locations,
+                "locations_gib": round(dt_x.num_locations * 8 / 2**30,
+                                       2),
+                "build_seconds": round(build_x_s, 1),
+                "layout": "dense" if dt_x.dense else
+                          f"two_tier(head={dt_x.head_slots})",
+                "layout_gib": round(dt_x.layout_bytes / 2**30, 2),
+                **xxl,
+            }
+            del dt_x, genomes
+        except Exception as e:
+            xxl_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     out = {
         "metric": "100bp read classification throughput (1 chip, "
                   "64x1Mbp strain DB)",
@@ -493,6 +526,7 @@ def main():
         "detail": {
             "toy_db": toy_detail,
             "bigdb_944mbp_maxbucket254": big_detail,
+            "xxl_db_single_chip": xxl_detail,
             "batch_reads": B,
             "scan_batches_per_dispatch": SCAN_K,
             "devices": [str(d) for d in __import__("jax").devices()],
