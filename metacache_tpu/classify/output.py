@@ -18,8 +18,9 @@ from ..taxonomy.model import (NUM_RANKS, Rank, Taxon, TaxonomyCache,
 
 def cpp_num(x: float, precision: int = 6) -> str:
     """Format like C++ `os << double` (default precision 6)."""
-    if x != x:  # nan
-        return "nan"
+    if x != x:  # nan (C++ prints the sign bit: 0.0/0.0 is "-nan")
+        import math
+        return "-nan" if math.copysign(1.0, x) < 0 else "nan"
     s = f"{x:.{precision}g}"
     # C++ prints exponents with at least 2 digits: 4.2e+07
     if "e" in s:
@@ -292,6 +293,103 @@ def show_query_mapping(taxonomy: TaxonomyCache, opt, sketching,
     if align_text and best is not None:
         out.append(align_text)
     return "".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+class MappingLineWriter:
+    """Memoizing fast path for per-read mapping rows.
+
+    Byte-identical to show_query_mapping: the taxon columns depend only
+    on the taxon id and the tophits entry prefix only on (target,
+    taxon id), so both are computed once per distinct value and reused
+    across the whole run (a metagenomic sample hits a few thousand taxa
+    across millions of reads). Rare columns (allhits, locations,
+    alignment) delegate to the general helpers.
+
+    Reference: show_query_mapping (src/classification.cpp:470-533) —
+    the reference pays the formatting cost per read on 128 threads; we
+    amortize it instead.
+    """
+
+    def __init__(self, taxonomy: TaxonomyCache, opt, sketching):
+        self.taxonomy = taxonomy
+        self.opt = opt
+        self.sketching = sketching
+        fmt = opt.format
+        self.fmt = fmt
+        self.suppressed = fmt.map_view_mode == MapViewMode.NONE
+        self.mapped_only = fmt.map_view_mode == MapViewMode.MAPPED_ONLY
+        self.colsep = fmt.tokens.column
+        self.show_query_ids = fmt.show_query_ids
+        self.show_gt = opt.show_ground_truth
+        self.show_allhits = opt.show_all_hits
+        self.show_tophits = opt.show_top_hits
+        self.show_locations = opt.show_locations
+        self.lowest = fmt.lowest_rank
+        self.seq_level = fmt.lowest_rank == Rank.SEQUENCE
+        self._taxstr: dict = {}    # taxid|None -> final-column string
+        self._candstr: dict = {}   # (tgt, taxid) -> tophits entry prefix
+
+    def taxon_str(self, tax: Optional[Taxon]) -> str:
+        key = tax.id if tax is not None else None
+        s = self._taxstr.get(key)
+        if s is None:
+            s = show_taxon(self.taxonomy, self.fmt, tax)
+            self._taxstr[key] = s
+        return s
+
+    def _cand_prefix(self, tax: Optional[Taxon], tgt: int) -> str:
+        # mirrors one show_candidates entry sans the ":hits" suffix
+        key = (tgt, tax.id if tax is not None else None)
+        s = self._candstr.get(key)
+        if s is None:
+            t = tax
+            if tax is not None and tax.rank < self.lowest:
+                t = self.taxonomy.lowest_ranked_ancestor(tgt, self.lowest)
+            s = str(t.id) if t is not None else tax.name
+            self._candstr[key] = s
+        return s
+
+    def tophits_str(self, candidates) -> str:
+        parts = []
+        for (tax, tgt, hits, *_rest) in candidates:
+            if hits <= 0:
+                break
+            if self.seq_level:
+                parts.append(f"{tax.name}:{hits}" if tax is not None
+                             else "")
+            else:
+                parts.append(f"{self._cand_prefix(tax, tgt)}:{hits}")
+        return ",".join(parts)
+
+    def line(self, query_id: int, header: str, best: Optional[Taxon],
+             ground_truth: Optional[Taxon], candidates, allhits,
+             align_text: str = "") -> str:
+        if self.suppressed or (self.mapped_only and best is None):
+            return ""
+        colsep = self.colsep
+        out = []
+        if self.show_query_ids:
+            out.append(f"{query_id}{colsep}")
+        out.append(header.split(" ", 1)[0])
+        out.append(colsep)
+        if self.show_gt:
+            out.append(self.taxon_str(ground_truth))
+            out.append(colsep)
+        if self.show_allhits:
+            out.append(show_matches(self.taxonomy, allhits, self.lowest))
+            out.append(colsep)
+        if self.show_tophits:
+            out.append(self.tophits_str(candidates))
+            out.append(colsep)
+        if self.show_locations:
+            out.append(show_candidate_ranges(self.sketching, candidates))
+            out.append(colsep)
+        out.append(self.taxon_str(best))
+        if align_text and best is not None:
+            out.append(align_text)
+        out.append("\n")
+        return "".join(out)
 
 
 # ---------------------------------------------------------------------------

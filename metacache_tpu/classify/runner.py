@@ -30,6 +30,7 @@ from ..db.database import Database
 from ..ops import windows as win_ops
 from ..ops.pipeline import query_step
 from ..ops.table import unpack_locations
+from ..native import decode_header as _decode_header
 from ..seqio.reader import PairingMode, QueryRecord, read_queries
 from ..taxonomy.model import NUM_RANKS, Rank, Taxon
 from . import abundance as abd
@@ -204,8 +205,7 @@ class _CodedQuery:
 
     @property
     def header(self) -> str:
-        from .. import native
-        return native.decode_header(self._hdr)
+        return _decode_header(self._hdr)
 
     @property
     def seq1(self) -> bytes:
@@ -302,6 +302,7 @@ class QueryRunner:
         self._wide_features = db.sketching.kmerlen > 16
         self.hits_min = opt.classify.resolve_hits_min(
             db.sketching.sketchlen)
+        self._line_writer = None   # lazy MappingLineWriter (memo per run)
 
         db.taxa.update()
         lin64 = db.taxa.target_lineages_array()  # (num_targets, R) int64
@@ -730,6 +731,12 @@ class QueryRunner:
         if max_len > 1024:
             batch_reads = max(256, min(batch_reads,
                                        (128 << 20) // max_len))
+        if not self._summary_only() and max_len <= 1024:
+            # per-read output path: one packed result matrix is fetched
+            # per dispatched batch and each fetch pays the link's fixed
+            # cost — amortize it with larger batches (the device loop is
+            # not the bottleneck on this path)
+            batch_reads = max(batch_reads, 16384)
         scan_k = 0
         if (self._summary_only() and len(self._tables) == 1
                 and self._mesh is None):
@@ -1707,55 +1714,97 @@ class QueryRunner:
         need_allhits = oopt.analysis.show_all_hits
         make_truth = oopt.evaluate.precision or \
             oopt.evaluate.determine_ground_truth
+        if self._line_writer is None:
+            self._line_writer = out_mod.MappingLineWriter(
+                db.taxa, oopt, db.sketching)
+        writer = self._line_writer
+        write = results.per_read_out.write
 
-        for i, q in enumerate(batch):
-            results.query_count += 1
-            qid_out = results.query_count
+        # hoisted loop invariants — this loop runs once per read
+        taxa = db.taxa
+        targets_get = taxa.taxonomy.targets.get
+        taxa_get = taxa.taxonomy.taxa.get
+
+        def find(tid):
+            return targets_get(tid) if tid < 0 else taxa_get(tid)
+
+        precision = oopt.evaluate.precision
+        track_matches = (oopt.analysis.show_hits_per_target or
+                         opt.classify.cov_percentile > 0)
+        save_mappings = opt.classify.cov_percentile > 0
+        show_align = oopt.analysis.show_alignment
+        hits_min = self.hits_min
+        tax_counts = results.tax_counts
+        tgt_matches = results.tgt_matches
+        stats = results.statistics
+        # batch the per-rank assigned counters (precision path keeps the
+        # full per-read bookkeeping)
+        rank_counts = [0] * (NUM_RANKS + 1) if not precision else None
+
+        k = cand_tgt.shape[1]
+        tgt_l = cand_tgt.tolist()
+        tax_l = cand_tax.tolist()
+        hits_l = cand_hits.tolist()
+        beg_l = cand_beg.tolist()
+        end_l = cand_end.tolist()
+        cls_l = cls_tax.tolist()
+        qid0 = results.query_count
+        # native batches carry raw header rows: decode in place instead
+        # of constructing a _CodedQuery per read
+        raw_hdrs = getattr(batch, "headers", None)
+        line = writer.line
+        lines: list = []
+        for i in range(len(batch)):
+            qid_out = qid0 + i + 1
+            header = _decode_header(raw_hdrs[i]) if raw_hdrs is not None \
+                else batch[i].header
+            ti = tgt_l[i]
             cands = []
-            for j in range(cand_tgt.shape[1]):
-                if cand_tgt[i, j] < 0:
+            for j in range(k):
+                tj = ti[j]
+                if tj < 0:
                     break
-                tax = db.taxa.taxon_with_id(int(cand_tax[i, j]))
-                cands.append((tax, int(cand_tgt[i, j]),
-                              int(cand_hits[i, j]), int(cand_beg[i, j]),
-                              int(cand_end[i, j])))
-            best = db.taxa.taxon_with_id(int(cls_tax[i])) \
-                if cls_tax[i] != 0 else None
-            truth = cls_mod.ground_truth(db.taxa, q.header) \
+                cands.append((find(tax_l[i][j]), tj, hits_l[i][j],
+                              beg_l[i][j], end_l[i][j]))
+            ci = cls_l[i]
+            best = find(ci) if ci != 0 else None
+            truth = cls_mod.ground_truth(taxa, header) \
                 if make_truth else None
 
-            if (best is not None) and (oopt.analysis.show_hits_per_target or
-                                       opt.classify.cov_percentile > 0):
-                pass  # handled below (insert regardless of best)
-            if oopt.analysis.show_hits_per_target or \
-                    opt.classify.cov_percentile > 0:
+            if track_matches:
                 for (tax, tgt, hits, beg, end) in cands:
-                    if tax is not None and hits >= self.hits_min:
-                        results.tgt_matches.setdefault(tgt, []).append(
+                    if tax is not None and hits >= hits_min:
+                        tgt_matches.setdefault(tgt, []).append(
                             (qid_out, beg, end, hits))
-
-            if opt.classify.cov_percentile > 0:
-                results.saved_mappings.append(
-                    (qid_out, q.header, cands))
+            if save_mappings:
+                results.saved_mappings.append((qid_out, header, cands))
                 continue
 
             if best is not None:
-                results.tax_counts[best] = \
-                    results.tax_counts.get(best, 0) + 1
-            cls_mod.evaluate_classification(
-                best, truth, db.taxa, oopt.evaluate.precision,
-                oopt.evaluate.taxon_coverage, results.statistics)
+                tax_counts[best] = tax_counts.get(best, 0) + 1
+                if rank_counts is not None:
+                    rank_counts[best.rank] += 1
+            elif rank_counts is not None:
+                rank_counts[Rank.NONE] += 1
+            if rank_counts is None:
+                cls_mod.evaluate_classification(
+                    best, truth, taxa, precision,
+                    oopt.evaluate.taxon_coverage, stats)
 
             allhits = []
             if need_allhits and i in allhits_of:
                 ht, hw = allhits_of[i]
                 allhits = list(zip(ht.tolist(), hw.tolist()))
             align_text = ""
-            if oopt.analysis.show_alignment and best is not None and cands:
-                align_text = self._make_alignment_text(q, cands[0])
-            results.per_read_out.write(out_mod.show_query_mapping(
-                db.taxa, oopt, db.sketching, qid_out, q.header, best,
-                truth, cands, allhits, align_text))
+            if show_align and best is not None and cands:
+                align_text = self._make_alignment_text(batch[i], cands[0])
+            lines.append(line(qid_out, header, best, truth, cands,
+                              allhits, align_text))
+        if lines:
+            write("".join(lines))
+        results.query_count += len(batch)
+        if rank_counts is not None:
+            stats.assigned_ += np.asarray(rank_counts, np.int64)
 
     # ------------------------------------------------------------------
     def _make_alignment_text(self, q, cand) -> str:

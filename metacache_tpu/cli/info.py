@@ -84,15 +84,19 @@ def _print_content_properties(db, out):
                   f"taxa in tree       {len(db.taxa.taxonomy.taxa)}\n")
     if db.feature_count > 0:
         import numpy as np
+
+        from ..utils.moments import StatisticsAccumulator
         sizes = np.concatenate([p.bucket_sizes() for p in db.parts]) \
             if db.parts else np.zeros(0, np.int64)
         s = sizes.astype(np.float64)
-        mean = float(s.mean()) if len(s) else 0.0
-        std = float(s.std()) if len(s) else 0.0
-        # std == 0 -> the reference's skewness is 0/0, printed "-nan"
-        # (stat_moments.hpp skewness over a degenerate distribution)
-        skew = cpp_g(float(((s - mean) ** 3).mean() / std ** 3)) \
-            if len(s) and std else "-nan"
+        acc = StatisticsAccumulator()
+        acc.push_array(s)
+        mean = acc.mean() if len(s) else 0.0
+        std = acc.stddev() if len(s) else 0.0
+        # degenerate distributions: the reference's skewness is 0/0,
+        # printed "-nan" (stat_moments.hpp skewness, IEEE semantics)
+        skew_v = acc.skewness()
+        skew = cpp_g(skew_v) if len(s) and skew_v == skew_v else "-nan"
         if len(db.parts) > 1:
             out.write(f"{SEP}\ncomplete database (all parts):\n")
         out.write(f"buckets            {db.feature_count}\n"

@@ -402,11 +402,13 @@ class FeatureTable:
 
     def location_list_size_statistics(self):
         """(mean, stddev, skewness, max) of bucket sizes (reference:
-        host_hashmap.hpp:376-409 + stat_moments skewness)."""
+        host_hashmap.hpp:376-409 via statistics_accumulator,
+        src/stat_combined.hpp:36-112 — exact formulas incl. the n-1
+        variance divisor)."""
+        from ..utils.moments import StatisticsAccumulator
         s = np.diff(self.offsets).astype(np.float64)
         if len(s) == 0:
             return 0.0, 0.0, 0.0, 0
-        mean = float(s.mean())
-        std = float(s.std())
-        skew = float(((s - mean) ** 3).mean() / std ** 3) if std else 0.0
-        return mean, std, skew, int(s.max())
+        acc = StatisticsAccumulator()
+        acc.push_array(s)
+        return acc.mean(), acc.stddev(), acc.skewness(), int(acc.max())
