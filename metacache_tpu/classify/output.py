@@ -329,6 +329,14 @@ class MappingLineWriter:
         self.seq_level = fmt.lowest_rank == Rank.SEQUENCE
         self._taxstr: dict = {}    # taxid|None -> final-column string
         self._candstr: dict = {}   # (tgt, taxid) -> tophits entry prefix
+        # native-formatter string table (indices shipped to C)
+        self._tab_chunks: list = []
+        self._tab_off: list = [0]
+        self._tab_dirty = True
+        self._strtab = b""
+        self._stroff = None
+        self._best_sidx: dict = {}   # cls taxid -> string idx
+        self._cand_sidx: dict = {}   # (tgt<<32)|tax key -> (idx, flag)
 
     def taxon_str(self, tax: Optional[Taxon]) -> str:
         key = tax.id if tax is not None else None
@@ -361,6 +369,88 @@ class MappingLineWriter:
             else:
                 parts.append(f"{self._cand_prefix(tax, tgt)}:{hits}")
         return ",".join(parts)
+
+    def _add_str(self, s: str) -> int:
+        b = s.encode()
+        self._tab_chunks.append(b)
+        self._tab_off.append(self._tab_off[-1] + len(b))
+        self._tab_dirty = True
+        return len(self._tab_chunks) - 1
+
+    def lines_batch(self, raw_hdrs, cand_tgt, cand_tax, cand_hits,
+                    cls_tax, qid0: int, find):
+        """Whole-batch mapping rows through the native C formatter.
+
+        Byte-identical to mapping line() over the batch for the hot
+        flag combination (tophits/plain columns; no gt/allhits/
+        locations/alignment — the caller guards those). Taxon and
+        candidate strings resolve once per DISTINCT value via np.unique
+        + the same memo dicts line() uses; the C loop only concatenates.
+        Returns utf-8 bytes or None (native lib missing / unhandled
+        edge -> caller falls back to the per-read path)."""
+        import numpy as np
+
+        from .. import native
+        if native.get_lib() is None or self.suppressed:
+            return None
+        n, k = cand_tgt.shape
+
+        u, inv = np.unique(cls_tax, return_inverse=True)
+        us = np.empty(len(u), np.int32)
+        unone = np.zeros(len(u), bool)
+        for j, ci in enumerate(u.tolist()):
+            memo = self._best_sidx.get(ci)
+            if memo is None:
+                tax = find(ci) if ci != 0 else None
+                memo = (self._add_str(self.taxon_str(tax)), tax is None)
+                self._best_sidx[ci] = memo
+            us[j], unone[j] = memo
+        best_sidx = us[inv]
+        skip = unone[inv].astype(np.uint8) if self.mapped_only else None
+
+        if self.show_tophits:
+            valid = (cand_tgt >= 0) & (cand_hits > 0)
+            key = ((cand_tgt.astype(np.int64) << 32) |
+                   (cand_tax.astype(np.int64) & 0xFFFFFFFF))
+            key = np.where(valid, key, -1)
+            uk, kinv = np.unique(key, return_inverse=True)
+            uks = np.empty(len(uk), np.int32)
+            ukf = np.zeros(len(uk), np.uint8)
+            for j, kv in enumerate(uk.tolist()):
+                if kv < 0:
+                    uks[j] = -1
+                    continue
+                memo = self._cand_sidx.get(kv)
+                if memo is None:
+                    taxid = kv & 0xFFFFFFFF
+                    if taxid >= 1 << 31:
+                        taxid -= 1 << 32
+                    tax = find(taxid)
+                    if self.seq_level:
+                        s, fl = ("", 1) if tax is None else (tax.name, 0)
+                    else:
+                        if tax is None:       # line() would raise here;
+                            return None       # keep parity via fallback
+                        s, fl = self._cand_prefix(tax, kv >> 32), 0
+                    memo = (self._add_str(s), fl)
+                    self._cand_sidx[kv] = memo
+                uks[j], ukf[j] = memo
+            cand_sidx = uks[kinv].reshape(n, k)
+            cand_flag = ukf[kinv].reshape(n, k)
+        else:
+            cand_sidx = np.full((n, 1), -1, np.int32)
+            cand_flag = np.zeros((n, 1), np.uint8)
+            cand_hits = np.zeros((n, 1), np.int32)
+
+        if self._tab_dirty:
+            self._strtab = b"".join(self._tab_chunks)
+            self._stroff = np.asarray(self._tab_off, np.int64)
+            self._tab_dirty = False
+        return native.format_map_lines(
+            raw_hdrs, qid0 if self.show_query_ids else -1,
+            best_sidx, skip, cand_sidx, cand_flag, cand_hits,
+            self.show_tophits, self._strtab, self._stroff,
+            self.colsep.encode())
 
     def line(self, query_id: int, header: str, best: Optional[Taxon],
              ground_truth: Optional[Taxon], candidates, allhits,

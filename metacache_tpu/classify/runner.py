@@ -1741,6 +1741,37 @@ class QueryRunner:
         # full per-read bookkeeping)
         rank_counts = [0] * (NUM_RANKS + 1) if not precision else None
 
+        import os as _os
+        raw_hdrs = getattr(batch, "headers", None)
+        fast_ok = (raw_hdrs is not None and not need_allhits
+                   and not make_truth and not track_matches
+                   and not save_mappings and not show_align
+                   and rank_counts is not None
+                   and not writer.show_gt and not writer.show_allhits
+                   and not writer.show_locations
+                   and _os.environ.get("MC_NATIVE_FMT", "1") != "0")
+        if fast_ok:
+            # native whole-batch formatter (see MappingLineWriter
+            # .lines_batch): the per-read Python loop below costs
+            # ~27 us/read; this path is one C call + vectorized stats
+            blob = b"" if writer.suppressed else writer.lines_batch(
+                raw_hdrs, cand_tgt, cand_tax, cand_hits, cls_tax,
+                results.query_count + 1, find)
+            if blob is not None:
+                if blob:
+                    write(blob.decode("utf-8", "replace"))
+                uc, ucnt = np.unique(cls_tax, return_counts=True)
+                for ci, cn in zip(uc.tolist(), ucnt.tolist()):
+                    best = find(ci) if ci != 0 else None
+                    if best is not None:
+                        tax_counts[best] = tax_counts.get(best, 0) + cn
+                        rank_counts[best.rank] += cn
+                    else:
+                        rank_counts[Rank.NONE] += cn
+                results.query_count += len(batch)
+                stats.assigned_ += np.asarray(rank_counts, np.int64)
+                return
+
         k = cand_tgt.shape[1]
         tgt_l = cand_tgt.tolist()
         tax_l = cand_tax.tolist()

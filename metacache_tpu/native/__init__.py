@@ -12,6 +12,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastx.cpp")
+_SRC_FMT = os.path.join(_HERE, "format.cpp")
 _SO = os.path.join(_HERE, "libfastx.so")
 
 _lib = None
@@ -21,7 +22,7 @@ _tried = False
 def _build() -> bool:
     try:
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-               "-o", _SO + ".tmp", "-lz"]
+               _SRC_FMT, "-o", _SO + ".tmp", "-lz"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -41,7 +42,8 @@ def get_lib():
         return _lib
     _tried = True
     if not os.path.exists(_SO) or \
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            os.path.getmtime(_SO) < max(os.path.getmtime(_SRC),
+                                        os.path.getmtime(_SRC_FMT)):
         if not _build():
             return None
     try:
@@ -72,8 +74,62 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.format_map_lines.restype = ctypes.c_int64
+    lib.format_map_lines.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,   # headers,n,hcap
+        ctypes.c_int64,                                    # qid0 (-1 off)
+        ctypes.c_void_p, ctypes.c_void_p,                  # best_sidx,skip
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # cand s/f/h
+        ctypes.c_int32, ctypes.c_int32,                    # k, show_tophits
+        ctypes.c_void_p, ctypes.c_void_p,                  # strtab, stroff
+        ctypes.c_void_p, ctypes.c_int64,                   # sep, sep_len
+        ctypes.c_void_p, ctypes.c_int64]                   # out, cap
     _lib = lib
     return _lib
+
+
+def format_map_lines(headers: np.ndarray, qid0: int,
+                     best_sidx: np.ndarray, skip,
+                     cand_sidx: np.ndarray, cand_flag: np.ndarray,
+                     cand_hits: np.ndarray, show_tophits: bool,
+                     strtab: bytes, stroff: np.ndarray,
+                     sep: bytes) -> bytes | None:
+    """Emit per-read mapping lines (MappingLineWriter.line layout) from
+    string-table indices. qid0 = printed id of row 0, or -1 to omit the
+    query-id column. Returns None when the native library is missing or
+    the conservative size bound was exceeded (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, hcap = headers.shape
+    k = cand_sidx.shape[1] if cand_sidx.ndim == 2 else 0
+    maxstr = int(np.diff(stroff).max()) if len(stroff) > 1 else 0
+    bound = (hcap + 4 * len(sep) + (maxstr + 24) * (k + 2) + 64)
+    out = np.empty(n * bound + 64, np.uint8)
+    headers = np.ascontiguousarray(headers)
+    skip_p = (np.ascontiguousarray(skip, np.uint8).ctypes
+              .data_as(ctypes.c_void_p)) if skip is not None else None
+    wrote = lib.format_map_lines(
+        headers.ctypes.data_as(ctypes.c_void_p), n, hcap,
+        qid0,
+        np.ascontiguousarray(best_sidx, np.int32).ctypes
+          .data_as(ctypes.c_void_p),
+        skip_p,
+        np.ascontiguousarray(cand_sidx, np.int32).ctypes
+          .data_as(ctypes.c_void_p),
+        np.ascontiguousarray(cand_flag, np.uint8).ctypes
+          .data_as(ctypes.c_void_p),
+        np.ascontiguousarray(cand_hits, np.int32).ctypes
+          .data_as(ctypes.c_void_p),
+        k, int(show_tophits),
+        strtab,
+        np.ascontiguousarray(stroff, np.int64).ctypes
+          .data_as(ctypes.c_void_p),
+        sep, len(sep),
+        out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+    if wrote < 0:
+        return None
+    return out[:wrote].tobytes()
 
 
 def scan_file(path: str):
