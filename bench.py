@@ -179,9 +179,13 @@ def main():
             # escalation (head-only phase 1 + full-depth redo of reads
             # that touched overflowing buckets — exact; the production
             # summary loop runs the same two phases). Steady state:
-            # every read pays phase 1, a fraction re-pays the full step
-            # at full batch occupancy after host rebatching.
-            from metacache_tpu.ops.rows import query_step_rows_scan_head
+            # every read pays phase 1, a fraction re-pays the redo step
+            # at full batch occupancy after host rebatching. The redo
+            # consumes phase 1's device-resident sketches + bucket
+            # probes (query_step_rows_redo_scan) — no re-sketch, no
+            # bucket-row gather.
+            from metacache_tpu.ops.rows import (query_step_rows_scan_head,
+                                                query_step_rows_redo_scan)
 
             def query_scan_head(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
                 return query_step_rows_scan_head(
@@ -194,12 +198,13 @@ def main():
                     use_pallas_sketch=use_pallas,
                     walk_elems=2 * opt.sketchlen,
                     fused_candidates=use_pallas, pack_bits=pkb,
-                    prefetch=True)
+                    prefetch=True, return_feats=True)
 
-            cls1, over = query_scan_head(wk, vk, mk, *targs)
+            cls1, over, fk, ik = query_scan_head(wk, vk, mk, *targs)
             nb = np.asarray(over).view(np.uint32)
-            frac = float(np.unpackbits(
-                nb.view(np.uint8)).sum() / (SCAN_K * B))
+            mask = np.unpackbits(
+                nb.view(np.uint8), bitorder="little").astype(bool)
+            frac = float(mask.sum() / (SCAN_K * B))
             np.asarray(cls1)
             t0 = time.time()
             prev = None
@@ -210,9 +215,46 @@ def main():
                 prev = r
             np.asarray(prev[0])
             t1_s = (time.time() - t0) / (iters * SCAN_K)
-            eff = t1_s + frac * dt_s
+
+            # redo step timing at full occupancy: tile the flagged
+            # rows' saved (feats, idx) to fill a (SCAN_K, B) stack
+            idxs = np.nonzero(mask)[0]
+            if len(idxs) == 0:
+                idxs = np.arange(B)
+            sel = np.resize(idxs, SCAN_K * B).astype(np.int32)
+            selj = jnp.asarray(sel)
+            F = fk.shape[-1]
+            fsel = fk.reshape(-1, F)[selj].reshape(SCAN_K, B, F)
+            isel = ik.reshape(-1, F)[selj].reshape(SCAN_K, B, F)
+            msel = mk.reshape(SCAN_K * B)[selj].reshape(SCAN_K, B)
+            tf, to, la, lb, ps, mt, lg = targs
+
+            def redo(fs, is_, ms):
+                return query_step_rows_redo_scan(
+                    fs, is_, ms, tf, to, la, lb, mt, lg,
+                    jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                    jnp.int32(0),
+                    sketchlen=opt.sketchlen, slots_per_feature=spf,
+                    max_candidates=2, prefix_bits=bbits, dense=dense,
+                    walk_elems=2 * opt.sketchlen,
+                    fused_candidates=use_pallas, pack_bits=pkb)
+
+            np.asarray(redo(fsel, isel, msel))
+            t0 = time.time()
+            prev = None
+            for _ in range(iters):
+                r = redo(fsel, isel, msel)
+                if prev is not None:
+                    np.asarray(prev)
+                prev = r
+            np.asarray(prev)
+            tr_s = (time.time() - t0) / (iters * SCAN_K)
+
+            eff = t1_s + frac * tr_s
             out["escalation"] = {
                 "phase1_ms_per_batch": round(t1_s * 1000, 3),
+                "redo_ms_per_batch": round(tr_s * 1000, 3),
+                "full_ms_per_batch": round(dt_s * 1000, 3),
                 "overflow_frac": round(frac, 4),
                 "effective_ms_per_batch": round(eff * 1000, 3),
                 "reads_per_min": round(B / eff * 60),
@@ -360,12 +402,20 @@ def main():
     # ------- 1. toy strain DB (round-1 comparable) ----------------------
     GLEN = 1_000_000
     genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)], GLEN)
+    dt_first, build_cold_s = build_db(genomes, opt)
+    del dt_first
+    gc.collect()
+    # steady-state build speed: the first build pays every jit's
+    # compile/cache-load (one-time per process — the reference binary
+    # is AOT-compiled, so only the warm number is comparable);
+    # build_plus_compile_seconds records the one-time cost honestly
     dt_toy, build_toy_s = build_db(genomes, opt)
     toy = measure(dt_toy, genomes, species, GLEN, long_reads=True)
     toy_detail = {
         "db_features": dt_toy.nf,
         "db_locations": dt_toy.num_locations,
         "build_seconds": round(build_toy_s, 1),
+        "build_plus_compile_seconds": round(build_cold_s, 1),
         "max_bucket": dt_toy.spf,
         "layout": "dense" if dt_toy.dense else
                   f"two_tier(head={dt_toy.head_slots})",

@@ -57,6 +57,22 @@ def _pack_result_jit():
 
 
 @functools.cache
+def _pack_result_slim_jit():
+    """Like _pack_result_jit without the candidate window ranges: when
+    no consumer needs beg/end (no -locations/-align/-hits-per-ref/
+    -cov-percentile), the per-read d2h shrinks from 5k+1 to 3k+1 words
+    — the d2h link is what bounds the per-read-output path."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(tgt, tax, hits, cls):
+        return jnp.concatenate([tgt, tax, hits, cls[:, None]], axis=1)
+
+    return pack
+
+
+@functools.cache
 def _rank_hist_masked_jit():
     """_rank_hist_jit variant that also EXCLUDES reads flagged in a
     packed overflow bitmask (escalation phase 1: flagged reads are
@@ -869,9 +885,14 @@ class QueryRunner:
                 if n else 4
             pac = np.ascontiguousarray(pa[:, :max(q, 4)])
             if esc:
-                cls, over = self._dispatch_scan_head(
+                out = self._dispatch_scan_head(
                     pac, la, scan_k, batch_reads)
-                return (None, ("scanesc", (n, cls, over, pac, la)))
+                if len(out) == 4:      # prefetch mode: feats+idx kept
+                    cls, over, fk, ik = out
+                else:
+                    (cls, over), fk, ik = out, None, None
+                return (None, ("scanesc", (n, cls, over, pac, la,
+                                           fk, ik)))
             return (None, ("scan", (n, self._dispatch_scan(
                 pac, la, scan_k, batch_reads, prepacked=True))))
 
@@ -879,6 +900,38 @@ class QueryRunner:
             # full-depth phase 2 for reads that touched overflowing
             # buckets in phase 1 (exact for everyone else)
             while self._esc_nredo >= take or (final and self._esc_nredo):
+                if self._esc_redo and len(self._esc_redo[0]) == 3:
+                    # feats-reuse chunks (phase 1 ran with prefetch):
+                    # the redo consumes phase 1's device-resident
+                    # sketches + bucket probes — no re-sketch, no
+                    # bucket-row gather, no re-shipping of read rows
+                    import jax.numpy as jnp
+                    fparts, iparts, lparts = [], [], []
+                    got = 0
+                    left = []
+                    for f_, i_, l_ in self._esc_redo:
+                        use = min(len(l_), take - got)
+                        fparts.append(f_[:use])
+                        iparts.append(i_[:use])
+                        lparts.append(l_[:use])
+                        got += use
+                        if use < len(l_):
+                            left.append((f_[use:], i_[use:], l_[use:]))
+                    self._esc_redo = left
+                    self._esc_nredo -= got
+                    pad = take - got
+                    if pad:
+                        F = fparts[0].shape[1]
+                        fparts.append(jnp.full((pad, F), 0xFFFFFFFF,
+                                               jnp.uint32))
+                        iparts.append(jnp.zeros((pad, F), jnp.int32))
+                    lens2 = np.concatenate(
+                        lparts + [np.zeros(pad, np.int32)]) if pad \
+                        else np.concatenate(lparts)
+                    flush((None, ("scan", (got, self._dispatch_redo(
+                        jnp.concatenate(fparts), jnp.concatenate(iparts),
+                        lens2, scan_k, batch_reads)))))
+                    continue
                 wmax = max(r.shape[1] for r, _ in self._esc_redo)
                 rows = np.zeros((take, wmax), np.uint8)
                 lens2 = np.zeros(take, np.int32)
@@ -1385,7 +1438,7 @@ class QueryRunner:
             # escalation phase 1: count non-overflowing reads, queue the
             # flagged ones for the full-depth phase 2
             import jax.numpy as jnp
-            n, cls_dev, over_dev, pa, la = payload
+            n, cls_dev, over_dev, pa, la, fk, ik = payload
             hist = np.asarray(_rank_hist_masked_jit()(
                 cls_dev, jnp.int32(n), over_dev, *self._hist_dev))
             bits = np.asarray(over_dev).reshape(-1)
@@ -1394,7 +1447,17 @@ class QueryRunner:
             mask[n:] = False
             idxs = np.nonzero(mask)[0]
             if len(idxs):
-                self._esc_redo.append((pa[idxs], la[idxs]))
+                if fk is not None:
+                    # keep phase 1's sketches + bucket probes for the
+                    # flagged rows (device gather; the big stack arrays
+                    # free here) — phase 2 skips sketch + brows gather
+                    F = fk.shape[-1]
+                    selj = jnp.asarray(idxs.astype(np.int32))
+                    self._esc_redo.append((fk.reshape(-1, F)[selj],
+                                           ik.reshape(-1, F)[selj],
+                                           la[idxs]))
+                else:
+                    self._esc_redo.append((pa[idxs], la[idxs]))
                 self._esc_nredo += len(idxs)
             results.statistics.assigned_ += hist.astype(np.int64)
             results.query_count += n - len(idxs)
@@ -1482,7 +1545,35 @@ class QueryRunner:
             pack_bits=self._pack_bits, infeed_packed=True,
             walk_elems=int(mwir.max()) * sk.sketchlen,
             fused_candidates=True, fast_top2=True,
+            return_feats=bool(self._prefetch_flag()),
             **self._prefetch_flag())
+
+    def _dispatch_redo(self, feats, idx, lens, scan_k: int, bsz: int):
+        """Escalation phase 2 over phase-1's device-resident sketches
+        (query_step_rows_redo_scan): full-depth probe + candidates with
+        no re-sketch and no bucket-row gather."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_redo_scan
+        sk = self.sketching
+        opt = self.opt
+        stride = self.db.sketching.winstride
+        mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
+                // stride).astype(np.int32)
+        F = feats.shape[-1]
+        tf, to, lt, lw, spf = self._tables[0]
+        return query_step_rows_redo_scan(
+            feats.reshape(scan_k, bsz, F), idx.reshape(scan_k, bsz, F),
+            jnp.asarray(mwir.reshape(scan_k, bsz)),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+            sketchlen=sk.sketchlen, slots_per_feature=spf,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits[0], dense=self._dense[0],
+            pack_bits=self._pack_bits,
+            walk_elems=int(mwir.max()) * sk.sketchlen,
+            fused_candidates=True, fast_top2=True)
 
     def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int,
                        prepacked: bool = False):
@@ -1667,11 +1758,24 @@ class QueryRunner:
         allhits_of: Dict[int, tuple] = {}
         need_allhits = opt.output.analysis.show_all_hits
 
+        oa = opt.output.analysis
+        slim = not (oa.show_locations or oa.show_alignment or
+                    oa.show_hits_per_target or need_allhits or
+                    opt.classify.cov_percentile > 0)
         import jax as _jax
         for (idxs, rows, res) in launched:
             sel = np.asarray(idxs)
             if isinstance(res.cand_tgt, _jax.Array):
                 kk = res.cand_tgt.shape[1]
+                if slim:
+                    packed = np.asarray(_pack_result_slim_jit()(
+                        res.cand_tgt, res.cand_tax, res.cand_hits,
+                        res.cls_tax))[:len(idxs)]
+                    cand_tgt[sel] = packed[:, 0 * kk:1 * kk]
+                    cand_tax[sel] = packed[:, 1 * kk:2 * kk]
+                    cand_hits[sel] = packed[:, 2 * kk:3 * kk]
+                    cls_tax[sel] = packed[:, 3 * kk]
+                    continue
                 packed = np.asarray(_pack_result_jit()(
                     res.cand_tgt, res.cand_tax, res.cand_hits,
                     res.cand_beg, res.cand_end,

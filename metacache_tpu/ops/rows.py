@@ -863,11 +863,104 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("sketchlen", "slots_per_feature",
+                     "max_candidates", "prefix_bits", "dense",
+                     "walk_elems", "dedup_walk", "fast_top2",
+                     "fused_candidates", "pack_bits"))
+def query_step_rows_redo(feats, idx_c, mwir,
+                         table_feats, table_offsets, loc_tgt, loc_win,
+                         merge_tax_of_target, lineages,
+                         hits_min, hits_diff_frac, highest_rank,
+                         merge_rank,
+                         *, sketchlen: int, slots_per_feature: int,
+                         max_candidates: int, prefix_bits: int,
+                         dense: tuple,
+                         walk_elems: int = 0,
+                         dedup_walk: int = 0,
+                         fast_top2: bool = True,
+                         fused_candidates: bool = False,
+                         pack_bits: int = 0):
+    """Escalation phase 2 on PRE-SKETCHED queries.
+
+    `feats` (B, F) u32 and `idx_c` (B*F,) i32 come straight from phase
+    1's outputs (device-resident; the host only ships row indices when
+    rebatching flagged reads at full occupancy) — the redo step then
+    skips both the sketch and the bucket-row gather, the two stages
+    whose results phase 1 already paid for. The reference GPU never
+    pays them twice either: its per-thread loop simply keeps probing
+    deeper (gpu_hashmap_operations.cuh:841-1043).
+    """
+    b, f = feats.shape
+    mwir = mwir.astype(jnp.int32)
+    alt = _alt_runs(fused_candidates, fast_top2, walk_elems, dedup_walk,
+                    f, slots_per_feature)
+    tgt, win = probe_rows(feats, table_feats, table_offsets, loc_tgt,
+                          loc_win, slots_per_feature, None,
+                          prefix_bits, 0, dense, alt_runs=alt,
+                          pack_bits=pack_bits, idx_pre=idx_c)
+    res = rows_to_result(
+        tgt, win, mwir, merge_tax_of_target, lineages,
+        hits_min, hits_diff_frac, highest_rank, merge_rank,
+        max_candidates=max_candidates, walk_elems=walk_elems,
+        dedup_walk=dedup_walk, fast_top2=fast_top2,
+        fused_candidates=fused_candidates, emit_hits=False,
+        presorted_runs=alt, pack_bits=pack_bits)
+    return res.cls_tax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sketchlen", "slots_per_feature",
+                     "max_candidates", "prefix_bits", "dense",
+                     "walk_elems", "dedup_walk", "fast_top2",
+                     "fused_candidates", "pack_bits"))
+def query_step_rows_redo_scan(feats_k, idx_k, mwir_k,
+                              table_feats, table_offsets, loc_tgt,
+                              loc_win, merge_tax_of_target, lineages,
+                              hits_min, hits_diff_frac, highest_rank,
+                              merge_rank,
+                              *, sketchlen: int, slots_per_feature: int,
+                              max_candidates: int, prefix_bits: int,
+                              dense: tuple,
+                              walk_elems: int = 0,
+                              dedup_walk: int = 0,
+                              fast_top2: bool = True,
+                              fused_candidates: bool = False,
+                              pack_bits: int = 0):
+    """K stacked phase-2 redo batches in one dispatch (see
+    query_step_rows_redo); feats_k (K, B, F) u32, idx_k (K, B, F) i32,
+    mwir_k (K, B). Returns (K, B) classified taxa."""
+    kk, b, f = feats_k.shape
+
+    def body(carry, xs):
+        feats, idx_c, mw = xs
+        mw = mw.astype(jnp.int32)
+        alt = _alt_runs(fused_candidates, fast_top2, walk_elems,
+                        dedup_walk, f, slots_per_feature)
+        tgt, win = probe_rows(feats, table_feats, table_offsets,
+                              loc_tgt, loc_win, slots_per_feature,
+                              None, prefix_bits, 0, dense,
+                              alt_runs=alt, pack_bits=pack_bits,
+                              idx_pre=idx_c.reshape(-1))
+        res = rows_to_result(
+            tgt, win, mw, merge_tax_of_target, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank,
+            max_candidates=max_candidates, walk_elems=walk_elems,
+            dedup_walk=dedup_walk, fast_top2=fast_top2,
+            fused_candidates=fused_candidates, emit_hits=False,
+            presorted_runs=alt, pack_bits=pack_bits)
+        return carry, res.cls_tax
+
+    return jax.lax.scan(body, 0, (feats_k, idx_k, mwir_k))[1]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "max_candidates", "prefix_bits", "dense",
                      "use_pallas_sketch", "walk_elems", "fast_top2",
                      "fused_candidates", "pack_bits", "infeed_packed",
-                     "prefetch"))
+                     "prefetch", "return_feats"))
 def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               table_feats, table_offsets, loc_tgt,
                               loc_win, merge_tax_of_target, lineages,
@@ -883,7 +976,8 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               fused_candidates: bool = False,
                               pack_bits: int = 0,
                               infeed_packed: bool = False,
-                              prefetch: bool = False):
+                              prefetch: bool = False,
+                              return_feats: bool = False):
     """Escalation phase 1: head-only probe over a two-tier layout.
 
     Like query_step_rows_scan but with ONE row gather per probe (the
@@ -901,6 +995,8 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
     kk, b = windows_k.shape[0], windows_k.shape[1]
     wq, w = windows_k.shape[2], windows_k.shape[3]
     assert wq == 1, "escalation phase 1 is the short-read scan path"
+    assert not return_feats or prefetch, \
+        "return_feats reuses the prefetch carry's (feats, idx) pair"
     if infeed_packed:
         w = w * 4
     hsl = dense[1]
@@ -950,18 +1046,23 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
             feats, idx_c, mw_prev = carry
             wmat, vmat, mw = xs
             out = stage2(feats, mw_prev, idx_pre=idx_c)
+            if return_feats:
+                # emit phase 1's sketches + bucket probes so a redo of
+                # flagged reads (query_step_rows_redo) never recomputes
+                # them; stays device-resident unless actually used
+                out = out + (feats, idx_c.reshape(b, wq * sketchlen))
             f2 = stage1(wmat, vmat)
             return (f2, bucket(f2), mw), out
 
-        _, (cls_k, over_k) = jax.lax.scan(
+        _, outs = jax.lax.scan(
             body, (f0, i0, mwir_k[0]),
             (_roll1(windows_k), _roll1(valid_k), _roll1(mwir_k)))
-        return cls_k, over_k
+        return outs
 
     def body(carry, xs):
         wmat, vmat, mw = xs
-        return carry, stage2(stage1(wmat, vmat), mw)
+        out = stage2(stage1(wmat, vmat), mw)
+        return carry, out
 
-    _, (cls_k, over_k) = jax.lax.scan(
-        body, 0, (windows_k, valid_k, mwir_k))
-    return cls_k, over_k
+    outs = jax.lax.scan(body, 0, (windows_k, valid_k, mwir_k))[1]
+    return outs

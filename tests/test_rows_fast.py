@@ -364,3 +364,90 @@ def test_scan_prefetch_parity():
                                jnp.asarray(mwir), *args,
                                prefetch=True, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_redo_scan_matches_full_scan():
+    """Escalation phase 2 on phase-1's saved sketches/bucket probes
+    (query_step_rows_redo_scan) classifies flagged reads exactly like
+    the full-depth scan; phase 1 (return_feats) classifies the rest."""
+    import jax.numpy as jnp
+    from metacache_tpu.ops.probe import make_bucket_index
+    from metacache_tpu.ops.rows import (query_step_rows_redo_scan,
+                                        query_step_rows_scan,
+                                        query_step_rows_scan_head)
+    from metacache_tpu.ops.sketch_jax import sketch_windows
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+
+    rng = np.random.default_rng(5)
+    K, B, WL, NTGT = 2, 64, 128, 40
+    codes = rng.integers(0, 4, (K, B, 1, WL), dtype=np.uint8)
+    lens = np.full((K, B, 1), 100, np.int32)
+    mwir = np.full((K, B), 2, np.int32)
+    # build the table FROM the reads' own sketches: half the reads'
+    # features get deep buckets (8 targets > head), half shallow
+    feats_all = np.asarray(sketch_windows(
+        jnp.asarray(codes.reshape(K * B, WL)),
+        jnp.asarray(lens.reshape(K * B)), k=16,
+        sketchlen=16)).reshape(K * B, 16)
+    deep_f = np.unique(feats_all[0::2].reshape(-1))
+    shal_f = np.setdiff1d(np.unique(feats_all[1::2].reshape(-1)), deep_f)
+    deep_f = deep_f[deep_f != 0xFFFFFFFF]
+    shal_f = shal_f[shal_f != 0xFFFFFFFF]
+    fs, ts, ws = [], [], []
+    for i, fv in enumerate(deep_f):
+        for j in range(8):
+            fs.append(fv); ts.append((i + j) % NTGT); ws.append(j % 30)
+    for i, fv in enumerate(shal_f):
+        fs.append(fv); ts.append(i % NTGT); ws.append(i % 30)
+    f = np.asarray(fs, np.uint32)
+    t = np.asarray(ts, np.int32)
+    w = np.asarray(ws, np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=16)
+    spf = max(min(ft.max_bucket_size, 16), 1)
+    assert spf > 4
+    hsl = 4
+    wbits = 8
+    head, ovf = ft.fused_rows_two_tier(spf, hsl, slot_bits=wbits)
+    brows, bits = make_bucket_index(ft.unique_features)
+    dense = ("two_tier", hsl, False, False, wbits)
+    lin = _lineages(NTGT)
+    args = (jnp.asarray(head), jnp.asarray(ovf),
+            jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            jnp.asarray(brows))
+    tfj = jnp.asarray(ft.unique_features)
+    toj = jnp.asarray(ft.offsets.astype(np.int32))
+    kw = dict(sketchlen=16, slots_per_feature=spf, max_candidates=2,
+              prefix_bits=bits, dense=dense, pack_bits=wbits,
+              walk_elems=32, fast_top2=True, fused_candidates=False)
+    ref = np.asarray(query_step_rows_scan(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+        tfj, toj, *args, k=16, windows_per_query=1, prefix_steps=0,
+        **kw))
+    cls1, over, fk, ik = query_step_rows_scan_head(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+        tfj, toj, *args, k=16, prefetch=True, return_feats=True, **kw)
+    cls1 = np.asarray(cls1)
+    bits_ = np.asarray(over).reshape(-1)
+    mask = (((bits_[:, None] >> np.arange(32)) & 1)
+            .astype(bool).reshape(K * B))
+    idxs = np.nonzero(mask)[0]
+    assert 0 < len(idxs) < K * B          # both phases exercised
+    # phase 1 is exact for non-flagged reads
+    np.testing.assert_array_equal(ref.reshape(-1)[~mask],
+                                  cls1.reshape(-1)[~mask])
+    # redo the flagged ones from saved feats/idx at full occupancy
+    F = fk.shape[-1]
+    take = 1 * len(idxs)
+    selj = jnp.asarray(idxs.astype(np.int32))
+    fsel = fk.reshape(-1, F)[selj]
+    isel = ik.reshape(-1, F)[selj]
+    msel = mwir.reshape(-1)[idxs]
+    cls2 = np.asarray(query_step_rows_redo_scan(
+        fsel.reshape(1, take, F), isel.reshape(1, take, F),
+        jnp.asarray(msel.reshape(1, take)),
+        tfj, toj, *args[:-1], **kw)).reshape(-1)
+    np.testing.assert_array_equal(ref.reshape(-1)[mask], cls2)
