@@ -67,6 +67,9 @@ def dense_tag(dt):
         if dt.slot_bits:
             return f"pk{dt.slot_bits}" + ("p" if dt.packed else "")
         return "packed" if dt.packed else True
+    if getattr(dt, "classed", False):
+        return ("classed", dt.head_slots, False, dt.ovf_packed,
+                dt.slot_bits)
     return ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed,
             dt.slot_bits)
 
@@ -418,7 +421,8 @@ def main():
         "build_plus_compile_seconds": round(build_cold_s, 1),
         "max_bucket": dt_toy.spf,
         "layout": "dense" if dt_toy.dense else
-                  f"two_tier(head={dt_toy.head_slots})",
+                  ("classed" if dt_toy.classed else
+                   f"two_tier(head={dt_toy.head_slots})"),
     }
     del dt_toy
     gc.collect()
@@ -524,7 +528,8 @@ def main():
                 "build_seconds": round(build_big_s, 1),
                 "max_bucket": dt_big.spf,
                 "layout": "dense" if dt_big.dense else
-                          f"two_tier(head={dt_big.head_slots})",
+                          ("classed" if dt_big.classed else
+                           f"two_tier(head={dt_big.head_slots})"),
                 "layout_gib": round(dt_big.layout_bytes / 2**30, 2),
                 "bucket_index_gib": round(
                     int(np.prod(dt_big.brows.shape)) * 4 / 2**30, 2),
@@ -559,7 +564,8 @@ def main():
                                        2),
                 "build_seconds": round(build_x_s, 1),
                 "layout": "dense" if dt_x.dense else
-                          f"two_tier(head={dt_x.head_slots})",
+                          ("classed" if dt_x.classed else
+                           f"two_tier(head={dt_x.head_slots})"),
                 "layout_gib": round(dt_x.layout_bytes / 2**30, 2),
                 **xxl,
             }

@@ -300,6 +300,9 @@ def _device_dense_tag(dtab):
         if dtab.slot_bits:
             return f"pk{dtab.slot_bits}" + ("p" if dtab.packed else "")
         return "packed" if dtab.packed else True
+    if getattr(dtab, "classed", False):
+        return ("classed", dtab.head_slots, False, dtab.ovf_packed,
+                dtab.slot_bits)
     return ("two_tier", dtab.head_slots, dtab.packed, dtab.ovf_packed,
             dtab.slot_bits)
 
@@ -1504,7 +1507,8 @@ class QueryRunner:
         walk = (2 + max(sk.winlen, self.opt.classify.insert_size_max)
                 // stride) * sk.sketchlen
         return (isinstance(d, tuple) and len(d) > 4 and
-                d[0] == "two_tier" and d[4] == self._pack_bits and
+                d[0] in ("two_tier", "classed") and
+                d[4] == self._pack_bits and
                 self._tables[0][4] > d[1] and
                 walk <= self.MAX_WALK_ELEMS and
                 sk.sketchlen * self._tables[0][4] >=

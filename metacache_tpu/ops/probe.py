@@ -91,6 +91,53 @@ def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     return idx, found
 
 
+def probe_bucket_classed(flat: jax.Array, brows: jax.Array, bits: int):
+    """Classed bucket-row probe -> (pidx i32, found bool).
+
+    brows row h (logical 64 lanes, pair-packed) =
+    [a16_A, a16_B, a16_C, 61 x packed-entry lanes]; each lane holds TWO
+    entries (low/high 16 bits), entry = (cls << 14 | feat_low) + 1 and
+    0 = empty (ops.table_device._brows_build_classed). The classed-cell
+    address is a16_cls + (#earlier same-class entries) * w16(cls);
+    ``pidx`` packs it with the class: (addr16 << 2) | cls.
+    """
+    h = (flat >> (32 - bits)).astype(jnp.int32)
+    row2 = brows[h >> 1]
+    row = jnp.where((h & 1)[:, None] == 1, row2[:, 64:], row2[:, :64])
+    key_low = (flat & jnp.uint32((1 << (32 - bits)) - 1)) \
+        .astype(jnp.int32)
+    ent = row[:, 3:64]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
+
+    def half(x, idx2):
+        valid = x != 0
+        e = x - 1
+        m = valid & ((e & 0x3FFF) == key_low[:, None])
+        return m, e >> 14, valid, idx2
+
+    halves = (half(ent & 0xFFFF, lanes * 2),
+              half(jax.lax.shift_right_logical(ent, jnp.int32(16)),
+                   lanes * 2 + 1))
+    found = jnp.zeros(flat.shape, bool)
+    j = jnp.zeros(flat.shape, jnp.int32)
+    cls = jnp.zeros(flat.shape, jnp.int32)
+    for m, c, _v, idx2 in halves:
+        found = found | m.any(axis=1)
+        j = j + jnp.where(m, idx2, 0).sum(axis=1)
+        cls = cls + jnp.where(m, c, 0).sum(axis=1)
+    pre = jnp.zeros(flat.shape, jnp.int32)
+    for m, c, v, idx2 in halves:
+        pre = pre + (v & (c == cls[:, None]) &
+                     (idx2 < j[:, None])).sum(axis=1)
+    w16 = jnp.where(cls == 0, 1, jnp.where(cls == 1, 2, 4))
+    base = jnp.where(cls == 0, row[:, 0],
+                     jnp.where(cls == 1, row[:, 1], row[:, 2]))
+    addr16 = base + pre * w16
+    found = found & (flat != jnp.uint32(0xFFFFFFFF))
+    pidx = jnp.where(found, (addr16 << 2) | cls, 0)
+    return pidx, found
+
+
 def probe_features(flat: jax.Array, table_feats: jax.Array,
                    prefix_starts: jax.Array, bits: int, steps: int,
                    check: bool = True):

@@ -425,6 +425,66 @@ def _fast_top2_result(tgt, win, hits, lo, is_match, carry_beg,
                        cls_tax, hit_qid, hit_tgt_flat, hit_win_flat)
 
 
+def _classed_window(loc_tgt, pidx):
+    """Extract each probe's classed head cell as a 64-lane window.
+
+    pidx = (addr16 << 2) | cls (ops.probe.probe_bucket_classed);
+    loc_tgt = the unified (P, 128) cell array. ONE row gather + three
+    static lane-shift selects (the 16-lane-aligned dynamic window).
+    Lanes beyond the cell's width hold neighbor-cell data — callers
+    mask by bucket count, which never exceeds the cell class's slots.
+    """
+    a16 = jax.lax.shift_right_logical(pidx, jnp.int32(2))
+    cls = pidx & 3
+    row = loc_tgt[a16 >> 3]
+    o = a16 & 7
+    for k in (2, 1, 0):
+        s = 16 << k
+        shifted = jnp.concatenate(
+            [row[:, s:], jnp.zeros((row.shape[0], s), row.dtype)],
+            axis=1)
+        bit = jax.lax.shift_right_logical(o, jnp.int32(k)) & 1
+        row = jnp.where(bit[:, None] == 1, shifted, row)
+    return row[:, :64], cls
+
+
+def _classed_probe(flat, loc_tgt, loc_win, dense, c: int, idx_c):
+    """Shared classed head/overflow slot extraction.
+
+    -> (pks (N, c) packed slots masked to the bucket count,
+        cnt, over (cnt > head)); c = slots_per_feature."""
+    hsl = dense[1]
+    opack = dense[3]
+    window, clsv = _classed_window(loc_tgt, idx_c)
+    flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    found = (window[:, 0] == flat_i32) & (flat != jnp.uint32(0xFFFFFFFF))
+    cnt = jnp.where(found, window[:, 1], 0)
+    isC = clsv == 2
+    hs = min(hsl, window.shape[1] - 3)
+    slots = jnp.where(isC[:, None], window[:, 3:3 + hs],
+                      window[:, 2:2 + hs])
+    if hs < hsl:
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((slots.shape[0], hsl - hs), jnp.int32)],
+            axis=1)
+    ow = c - hsl
+    if ow > 0:
+        oidx = jnp.where(found & isC, window[:, 2], 0)
+
+        def half_gather(arr, idx):
+            r2 = arr[idx >> 1]
+            return jnp.where((idx & 1)[:, None] == 1, r2[:, 64:],
+                             r2[:, :64])
+
+        orow = half_gather(loc_win, oidx) if opack else loc_win[oidx]
+        pks = jnp.concatenate([slots, orow[:, :ow]], axis=1)
+    else:
+        pks = slots[:, :c]
+    j = jax.lax.broadcasted_iota(jnp.int32, pks.shape, 1)
+    pks = jnp.where(j < cnt[:, None], pks, I32_MAX)
+    return pks, cnt, cnt > hsl
+
+
 def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
                     dense: tuple, alt_runs: int, pack_bits: int,
                     idx_pre=None):
@@ -439,30 +499,53 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
     -> (pk (B, f*rl) packed slots with I32_MAX padding, over (B,) bool).
     Requires a slot-packed two-tier layout and pack_bits == slot_bits.
     """
-    from .probe import probe_bucket
+    from .probe import probe_bucket, probe_bucket_classed
     b, f = feats.shape
-    _, hsl, hpack, _opack, slot_bits = dense
+    kind, hsl, hpack, _opack, slot_bits = dense
     assert slot_bits and slot_bits == pack_bits
     flat = feats.reshape(-1)
-    if idx_pre is not None:
-        idx_c = idx_pre
+    if kind == "classed":
+        if idx_pre is not None:
+            idx_c = idx_pre
+        else:
+            idx_c, _ = probe_bucket_classed(flat, prefix_starts,
+                                            prefix_bits)
+        window, clsv = _classed_window(loc_tgt, idx_c)
+        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        found = (window[:, 0] == flat_i32) & \
+            (flat != jnp.uint32(0xFFFFFFFF))
+        cnt = jnp.where(found, window[:, 1], 0)
+        over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
+        hs = min(hsl, window.shape[1] - 3)
+        rows3 = jnp.where((clsv == 2)[:, None], window[:, 3:3 + hs],
+                          window[:, 2:2 + hs])
+        if hs < hsl:
+            rows3 = jnp.concatenate(
+                [rows3, jnp.zeros((rows3.shape[0], hsl - hs),
+                                  jnp.int32)], axis=1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
+        hit = j < jnp.minimum(cnt, hsl)[:, None]
+        pk = jnp.where(hit, rows3, I32_MAX)
     else:
-        idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
-        idx_c = jnp.clip(idx_c, 0, None)
-    if hpack:
-        r2 = loc_tgt[idx_c >> 1]
-        rows = jnp.where((idx_c & 1)[:, None] == 1, r2[:, 64:],
-                         r2[:, :64])
-    else:
-        rows = loc_tgt[idx_c]
-    flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
-    found = (rows[:, 0] == flat_i32) & \
-        (flat != jnp.uint32(0xFFFFFFFF))
-    cnt = jnp.where(found, rows[:, 1], 0)
-    over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
-    hit = j < jnp.minimum(cnt, hsl)[:, None]
-    pk = jnp.where(hit, rows[:, 3:3 + hsl], I32_MAX)
+        if idx_pre is not None:
+            idx_c = idx_pre
+        else:
+            idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
+            idx_c = jnp.clip(idx_c, 0, None)
+        if hpack:
+            r2 = loc_tgt[idx_c >> 1]
+            rows = jnp.where((idx_c & 1)[:, None] == 1, r2[:, 64:],
+                             r2[:, :64])
+        else:
+            rows = loc_tgt[idx_c]
+        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        found = (rows[:, 0] == flat_i32) & \
+            (flat != jnp.uint32(0xFFFFFFFF))
+        cnt = jnp.where(found, rows[:, 1], 0)
+        over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
+        hit = j < jnp.minimum(cnt, hsl)[:, None]
+        pk = jnp.where(hit, rows[:, 3:3 + hsl], I32_MAX)
     rl = alt_runs if alt_runs else hsl
     if rl > hsl:
         pk = jnp.concatenate(
@@ -497,12 +580,23 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     bucket size and every location — small separate gathers are
     near-serial on TPU.
     """
-    from .probe import probe_bucket, probe_features
+    from .probe import probe_bucket, probe_bucket_classed, probe_features
     b, f = feats.shape
     c = slots_per_feature
     flat = feats.reshape(-1)
     nf = table_feats.shape[0]
-    if idx_pre is not None:
+    classed = isinstance(dense, tuple) and dense[0] == "classed"
+    pks_classed = None
+    if classed:
+        if idx_pre is not None:
+            idx_c = idx_pre
+        else:
+            idx_c, _ = probe_bucket_classed(flat, prefix_starts,
+                                            prefix_bits)
+        pks_classed, _cnt, _over = _classed_probe(
+            flat, loc_tgt, loc_win, dense, c, idx_c)
+        found = None
+    elif idx_pre is not None:
         # bucket-probe stage precomputed by the caller (the prefetching
         # scan runs it one iteration ahead so it overlaps this
         # iteration's row gathers + candidates)
@@ -531,7 +625,10 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
 
     slot_bits = 0            # >0: gathered rows hold packed pk slots
     pks = None
-    if isinstance(dense, tuple):
+    if classed:
+        pks = pks_classed
+        slot_bits = dense[4]
+    elif isinstance(dense, tuple):
         # two-tier: head rows [feat, count, ovf_idx, slots*H] in
         # loc_tgt, overflow rows [slots*(C-H)] in loc_win (row 0 =
         # dummy). 2 gathers for shallow buckets' worth of memory even
@@ -830,10 +927,16 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
         return res.cls_tax
 
     if prefetch and prefix_starts is not None and dense:
-        from .probe import probe_bucket
+        from .probe import probe_bucket, probe_bucket_classed
         nf = table_feats.shape[0]
+        classed = isinstance(dense, tuple) and dense[0] == "classed"
 
         def bucket(feats):
+            if classed:
+                pidx, _ = probe_bucket_classed(feats.reshape(-1),
+                                               prefix_starts,
+                                               prefix_bits)
+                return pidx
             idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
                                     prefix_bits)
             return jnp.clip(idx_c, 0, nf - 1)
@@ -1032,9 +1135,15 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
         return res.cls_tax, obits
 
     if prefetch:
-        from .probe import probe_bucket
+        from .probe import probe_bucket, probe_bucket_classed
+        classed = dense[0] == "classed"
 
         def bucket(feats):
+            if classed:
+                pidx, _ = probe_bucket_classed(feats.reshape(-1),
+                                               prefix_starts,
+                                               prefix_bits)
+                return pidx
             idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
                                     prefix_bits)
             return jnp.clip(idx_c, 0, None)

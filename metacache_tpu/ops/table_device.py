@@ -53,6 +53,8 @@ class DeviceTable(NamedTuple):
     max_win: int = 0         # max window index over all locations
     slot_bits: int = 0       # >0: rows store pk = (tgt << bits) | win
                              # in ONE lane per slot (half the bytes)
+    classed: bool = False    # head = size-classed unified cell array
+                             # (16/32/64-lane cells, CLASS_LADDER)
 
 
 def _chunked_scatter(out, rows, cols, vals, nch: int):
@@ -267,6 +269,133 @@ def _brows_build(uniq, bits: int, nch: int):
 
 
 
+CLASS_LADDER = (13, 29, 61)       # slots per cell class (16/32/64 lanes)
+
+
+def _classed_total16(nA: int, nB: int, nC: int):
+    """16-lane-unit extent of the unified classed head array; classes
+    are grouped (A then B then C) with 8-unit (one physical row)
+    aligned bases so no cell crosses a 128-lane row."""
+    baseA = 0
+    baseB = -(-(baseA + nA) // 8) * 8
+    baseC = -(-(baseB + 2 * nB) // 8) * 8
+    return baseA, baseB, baseC, baseC + 4 * nC
+
+
+@functools.partial(jax.jit, static_argnames=("spf",))
+def _classed_addr(sizes, spf: int):
+    """Per-feature classed-cell addresses.
+
+    -> (addr16 (nf,) i32 cell offset in 16-lane units,
+        cls (nf,) i32 class 0/1/2, ovfid (nf,) i32)."""
+    hA, hB, hC = CLASS_LADDER
+    cls = jnp.where(sizes <= hA, 0, jnp.where(sizes <= hB, 1, 2))
+    isA, isB, isC = cls == 0, cls == 1, cls == 2
+    nA = jnp.cumsum(isA.astype(jnp.int32))
+    nB = jnp.cumsum(isB.astype(jnp.int32))
+    nC = jnp.cumsum(isC.astype(jnp.int32))
+    baseB = ((nA[-1] + 7) // 8) * 8
+    baseC = ((baseB + 2 * nB[-1] + 7) // 8) * 8
+    rank = jnp.where(isA, nA - 1, jnp.where(isB, nB - 1, nC - 1))
+    w16 = jnp.where(isA, 1, jnp.where(isB, 2, 4))
+    base = jnp.where(isA, 0, jnp.where(isB, baseB, baseC))
+    addr16 = base + rank * w16
+    over_f = sizes > min(hC, spf)
+    ovfid = jnp.where(over_f, jnp.cumsum(over_f.astype(jnp.int32)), 0)
+    return addr16, cls, ovfid
+
+
+@functools.partial(jax.jit, static_argnames=("P", "nch"),
+                   donate_argnums=(0,))
+def _classed_meta_fill(rows, uniq, sizes, addr16, cls, ovfid,
+                       P: int, nch: int):
+    """Write per-cell meta lanes [feat, cnt(, ovfid for class C)]."""
+    pos = addr16 * 16
+    fi = jax.lax.bitcast_convert_type(uniq, jnp.int32)
+    rr, cc = pos >> 7, pos & 127
+    rows = _chunked_scatter(rows, rr, cc, fi, nch)
+    rows = _chunked_scatter(rows, rr, cc + 1, sizes, nch)
+    rr2 = jnp.where(cls == 2, rr, P)
+    rows = _chunked_scatter(rows, rr2, cc + 2, ovfid, nch)
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("spf", "P", "nch"),
+                   donate_argnums=(0, 1, 2))
+def _classed_slot_fill(rows, marks, vals, addr16_f, cls_f,
+                       spf: int, P: int, nch: int):
+    """Scatter in-head slots of the feature-sorted stream into classed
+    cells (slot lanes start at meta+col; class C head = 61 slots)."""
+    newf, r, col, _ = _marks_segments(marks)
+    a16 = addr16_f[r]
+    cl = cls_f[r]
+    meta = jnp.where(cl == 2, 3, 2)
+    cap = jnp.where(cl == 2, min(61, spf),
+                    jnp.where(cl == 1, CLASS_LADDER[1], CLASS_LADDER[0]))
+    pos = a16 * 16 + meta + col
+    ok = col < cap
+    rr = jnp.where(ok, pos >> 7, P)
+    cc = jnp.where(ok, pos & 127, 0)
+    return _chunked_scatter(rows, rr, cc, vals, nch)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "nch"))
+def _brows_build_classed(uniq, cls_f, bits: int, nch: int):
+    """Classed bucket-row index: logical 64-lane row h =
+    [a16_A, a16_B, a16_C, 61 x packed-entry lanes] pair-packed two per
+    128-lane physical row.
+
+    A packed-entry lane holds TWO features' entries (low/high 16 bits),
+    each e + 1 with e = (class << 14) | (feature & low_mask) — 0 means
+    empty, and class 3 never occurs, so empties can't collide with
+    data. a16_X = the classed-cell address the bucket's first class-X
+    feature would get (base + start-rank * width), so the probe
+    computes addr16 = a16_X + (#earlier same-class entries) * w16
+    without any per-database static bases."""
+    nf = uniq.shape[0]
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
+    nb = 1 << bits
+    h = (uniq >> np.uint32(32 - bits)).astype(jnp.int32)
+    prev_h = jnp.concatenate([jnp.full((1,), -1, jnp.int32), h[:-1]])
+    newh = h != prev_h
+    firsth = jax.lax.cummax(jnp.where(newh, fi, -1))
+    local = fi - firsth
+    # class-start ranks at each feature: number of same-class features
+    # BEFORE it, converted to that class's cell address
+    w16v = jnp.asarray((1, 2, 4), jnp.int32)[cls_f]
+    ccum = [jnp.cumsum((cls_f == c).astype(jnp.int32)) - (cls_f == c)
+            for c in range(3)]
+    # base addresses from total counts (same formula as _classed_addr)
+    totA = jnp.sum((cls_f == 0).astype(jnp.int32))
+    totB = jnp.sum((cls_f == 1).astype(jnp.int32))
+    baseB = ((totA + 7) // 8) * 8
+    baseC = ((baseB + 2 * totB + 7) // 8) * 8
+    bases = [jnp.int32(0), baseB, baseC]
+    brows = jnp.zeros((nb // 2, 128), jnp.int32)
+    for c, w in ((0, 1), (1, 2), (2, 4)):
+        a16_c = bases[c] + ccum[c] * w
+        rr = jnp.where(newh, h, nb)
+        brows = _chunked_scatter(
+            brows, rr >> 1, (rr & 1) * 64 + c, a16_c,
+            max(nch // 8, 1))
+    low_mask = jnp.uint32((1 << (32 - bits)) - 1)
+    e1 = ((cls_f << 14) |
+          (uniq & low_mask).astype(jnp.int32)) + 1
+    e1 = jnp.where(uniq != SENT, e1, 0)
+    # two entries share a lane (halves): combine the odd-local entry
+    # into its even-local predecessor BEFORE the (unique-index) scatter
+    nxt_e1 = jnp.concatenate([e1[1:], jnp.zeros((1,), jnp.int32)])
+    nxt_h = jnp.concatenate([h[1:], jnp.full((1,), -1, jnp.int32)])
+    pair = (nxt_h == h) & ((local & 1) == 0)
+    val = e1 | jnp.where(pair, nxt_e1 << 16, 0)
+    lane = 3 + (local >> 1)
+    rr = jnp.where((lane < 64) & ((local & 1) == 0), h, nb)
+    brows = _chunked_scatter(
+        brows, rr >> 1, (rr & 1) * 64 + lane, val, max(nch // 8, 1))
+    maxspan = jnp.max(jnp.where(uniq != SENT, local, 0)) + 1
+    return brows, maxspan
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def _max_span(uniq, bits: int):
     """Widest same-hash-prefix feature run (sentinel rows excluded)."""
@@ -279,12 +408,15 @@ def _max_span(uniq, bits: int):
     return jnp.max(jnp.where(uniq != SENT, local, 0)) + 1
 
 
-def _choose_bits(uniq, bits: int) -> int:
-    """Smallest hash-prefix width whose widest span fits the 63-lane
-    bucket row. Min-hash feature sets are skewed toward SMALL hash
-    values (the sketch keeps each window's minima), so spans run ~4x
-    the uniform estimate — measure instead of assuming."""
-    while bits < 26 and int(np.asarray(_max_span(uniq, bits))) > 63:
+def _choose_bits(uniq, bits: int, span_cap: int = 63,
+                 min_bits: int = 0) -> int:
+    """Smallest hash-prefix width whose widest span fits the bucket
+    row (63 features, or 122 packed 16-bit entries for the classed
+    index). Min-hash feature sets are skewed toward SMALL hash values
+    (the sketch keeps each window's minima), so spans run ~4x the
+    uniform estimate — measure instead of assuming."""
+    bits = max(bits, min_bits)
+    while bits < 26 and int(np.asarray(_max_span(uniq, bits))) > span_cap:
         bits += 1
     return bits
 
@@ -357,6 +489,66 @@ def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
 
 def _pad64(c: int) -> int:
     return max(64, ((c + 7) // 8) * 8)
+
+
+def _classed_counts(hist: np.ndarray, nf_pad: int):
+    """(nA, nB, nC) class populations incl. sentinel padding rows
+    (size 0 -> class A) from the REAL bucket-size histogram."""
+    hA, hB = CLASS_LADDER[0], CLASS_LADDER[1]
+    real = int(hist.sum())
+    nA = int(hist[:hA + 1].sum()) + (nf_pad - real)
+    nB = int(hist[hA + 1:hB + 1].sum())
+    nC = nf_pad - nA - nB
+    return nA, nB, nC
+
+
+def _classed_bytes(hist: np.ndarray, nf_pad: int, spf: int,
+                   cum_over: np.ndarray):
+    """Physical bytes of the classed head array + overflow rows."""
+    nA, nB, nC = _classed_counts(hist, nf_pad)
+    *_b, total16 = _classed_total16(nA, nB, nC)
+    P = -(-_quantize(max(total16, 8), 10) // 8)
+    hC = min(CLASS_LADDER[2], spf)
+    b = P * 512
+    if spf > hC:
+        novf = int(cum_over[hC + 1])
+        ow = _pad64(spf - hC)
+        rowb = max(-(-ow // 128) * 128, 128) * 4 // (2 if ow <= 64 else 1)
+        b += (_quantize(novf, 10) + 1) * rowb
+    return b
+
+
+def _build_rows_classed(owned, sizes, uniq, *, nf: int, novf: int,
+                        cap: int, bits: int, nch: int, slot_bits: int,
+                        P16: int):
+    """Classed unified head cells + overflow rows + classed bucket
+    index (per-fill jits bound HBM residency like _build_rows)."""
+    marks, ts, ws = owned
+    owned.clear()
+    hC = min(CLASS_LADDER[2], cap)
+    ow = cap - hC
+    ocols = _pad64(ow) if ow > 0 else 64
+    novf_rows = novf + 2 if novf % 2 else novf + 1
+    opack = ocols == 64 and novf_rows % 2 == 0
+    ts = _pack_stream(ts, ws, slot_bits)
+    ws = None
+    P = -(-P16 // 8)
+    addr16_f, cls_f, ovfid_f = _classed_addr(sizes, spf=cap)
+    ovfrows = jnp.zeros((novf_rows // 2, 128) if opack else
+                        (novf_rows, ocols), jnp.int32)
+    if ow > 0 and novf > 0:
+        ovfrows = _fill_span(ovfrows, marks, ts, kind="ovf", colbase=0,
+                             head=hC, cap=cap, nch=nch,
+                             nrows=novf_rows, pack=opack)
+    headrows = jnp.zeros((P, 128), jnp.int32)
+    headrows = _classed_meta_fill(headrows, uniq, sizes, addr16_f,
+                                  cls_f, ovfid_f, P=P, nch=nch)
+    headrows = _classed_slot_fill(headrows, marks, ts, addr16_f, cls_f,
+                                  spf=cap, P=P, nch=nch)
+    ts = marks = None
+    brows, maxspan = _brows_build_classed(uniq, cls_f, bits=bits,
+                                          nch=max(nch // 8, 1))
+    return headrows, ovfrows, brows, maxspan, opack
 
 
 def _choose_head(spf, cum_over, bytes_for, budget_bytes, what,
@@ -464,12 +656,47 @@ def build_device_table(f, t, w, *, cap: int = 254,
     else:
         head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
                             "table", slot_packed=bool(slot_bits))
+    dense = head == spf
+
+    import os as _os
+    use_classed = (not dense and slot_bits and
+                   _os.environ.get("MC_CLASSED", "1") != "0")
+    if use_classed:
+        cb = _classed_bytes(hist, nf_pad, spf, cum_over)
+        use_classed = cb <= budget_bytes and \
+            cb < bytes_for(head, int(cum_over[head + 1]))
+    base_bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 4))
+    offsets_src = sizes
+    if use_classed:
+        hC = min(CLASS_LADDER[2], spf)
+        novf = int(cum_over[hC + 1]) if hC < spf else 0
+        novf_pad = _quantize(novf, 10) if novf else 0
+        bits = _choose_bits(uniq, base_bits, span_cap=122, min_bits=18)
+        nA, nB, nC = _classed_counts(hist, nf_pad)
+        *_bases, total16 = _classed_total16(nA, nB, nC)
+        P16 = _quantize(max(total16, 8), 10)
+        owned = [fs, ts, ws]
+        del fs, ts, ws
+        headrows, ovfrows, brows, maxspan_d, opack = _build_rows_classed(
+            owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
+            bits=bits, nch=nch, slot_bits=slot_bits, P16=P16)
+        del maxspan_d
+        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(offsets_src)])
+        num_loc = int(np.asarray(offsets[-1]))
+        return DeviceTable(uniq=uniq, offsets=offsets,
+                           head=headrows, ovf=ovfrows, brows=brows,
+                           bbits=bits, nf=nf, spf=spf, head_slots=hC,
+                           num_locations=num_loc, dense=False,
+                           layout_bytes=_classed_bytes(hist, nf_pad,
+                                                       spf, cum_over),
+                           packed=False, ovf_packed=opack,
+                           max_win=maxw, slot_bits=slot_bits,
+                           classed=True)
 
     novf = int(cum_over[head + 1]) if head < spf else 0
     novf_pad = _quantize(novf, 10) if novf else 0
-    dense = head == spf
-    bits = _choose_bits(uniq, min(24, max(
-        12, int(max(nf_pad, 1)).bit_length() - 4)))
+    bits = _choose_bits(uniq, base_bits)
     owned = [fs, ts, ws]
     del fs, ts, ws
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
@@ -513,10 +740,24 @@ def export_csr(dt: DeviceTable, chunk: int = 1 << 25):
     ow_lanes = dt.ovf.shape[1]
     ow = dt.spf - hsl
 
-    def head_lane(r, lane):
-        hr = r >> 1 if dt.packed else r
-        hc = (r & 1) * 64 + lane if dt.packed else lane
-        return dt.head.reshape(-1)[hr * hw_lanes + hc]
+    if getattr(dt, "classed", False):
+        # classed cells: per-feature addresses are deterministic from
+        # the bucket sizes (same formula as the build)
+        sizes_d = dt.offsets[1:] - dt.offsets[:-1]
+        addr16_f, cls_f, _ovf = _classed_addr(sizes_d, spf=dt.spf)
+
+        def head_lane(r, lane):
+            # `lane` counts from the two_tier convention (meta base 3):
+            # classes A/B have no ovfid lane, so their slots shift -1
+            a16 = addr16_f[r]
+            isC = cls_f[r] == 2
+            ln = jnp.where((lane >= 3) & ~isC, lane - 1, lane)
+            return dt.head.reshape(-1)[a16 * 16 + ln]
+    else:
+        def head_lane(r, lane):
+            hr = r >> 1 if dt.packed else r
+            hc = (r & 1) * 64 + lane if dt.packed else lane
+            return dt.head.reshape(-1)[hr * hw_lanes + hc]
 
     def ovf_lane(orow, lane):
         orr = orow >> 1 if dt.ovf_packed else orow
@@ -603,6 +844,13 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     novf_pad = _quantize(novf, 10) if novf else 0
     dense = head == spf
 
+    import os as _os
+    use_classed = (not dense and slot_bits and
+                   _os.environ.get("MC_CLASSED", "1") != "0")
+    if use_classed:
+        cb = _classed_bytes(hist, nf_pad, spf, cum_over)
+        use_classed = cb <= budget_bytes and cb < bytes_for(head, novf)
+
     import jax.numpy as jnp
     # pad stream: extra elements are singleton buckets landing in the
     # sentinel feature rows (harmless; see build_device_table)
@@ -616,19 +864,41 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     ltgt32[:n] = ltgt
     lwin32 = np.zeros(n_pad, np.int32)
     lwin32[:n] = lwin
-    bits = _choose_bits(uniq, min(24, max(
-        12, int(max(nf_pad, 1)).bit_length() - 4)))
+    base_bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 4))
     owned = [jnp.asarray(start), jnp.asarray(ltgt32),
              jnp.asarray(lwin32)]
     del start, ltgt32, lwin32
+    offsets = jnp.asarray(np.concatenate(
+        [[0], np.cumsum(sizes_capped),
+         np.full(nf_pad - nf, sizes_capped.sum())]).astype(np.int32))
+    if use_classed:
+        hC = min(CLASS_LADDER[2], spf)
+        novf = int(cum_over[hC + 1]) if hC < spf else 0
+        novf_pad = _quantize(novf, 10) if novf else 0
+        bits = _choose_bits(uniq, base_bits, span_cap=122, min_bits=18)
+        nA, nB, nC = _classed_counts(hist, nf_pad)
+        *_bases, total16 = _classed_total16(nA, nB, nC)
+        P16 = _quantize(max(total16, 8), 10)
+        headrows, ovfrows, brows, maxspan_d, opack = _build_rows_classed(
+            owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
+            bits=bits, nch=nch, slot_bits=slot_bits, P16=P16)
+        del maxspan_d
+        return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
+                           ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
+                           spf=spf, head_slots=hC,
+                           num_locations=int(sizes_capped.sum()),
+                           dense=False,
+                           layout_bytes=_classed_bytes(hist, nf_pad,
+                                                       spf, cum_over),
+                           packed=False, ovf_packed=opack,
+                           max_win=maxw, slot_bits=slot_bits,
+                           classed=True)
+    bits = _choose_bits(uniq, base_bits)
     headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
         owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
         head=head, bits=bits, nch=nch, dense=dense,
         pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
     del maxspan_d
-    offsets = jnp.asarray(np.concatenate(
-        [[0], np.cumsum(sizes_capped),
-         np.full(nf_pad - nf, sizes_capped.sum())]).astype(np.int32))
     return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
                        ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
                        spf=spf, head_slots=head,
