@@ -43,3 +43,31 @@ def test_pallas_sketch_duplicate_hashes():
         jnp.asarray(codes[:, :127]), jnp.asarray(valid), k=16,
         sketchlen=16))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", ["random", "dups", "short"])
+def test_pallas_sketch_extract_mode(case):
+    """mode="extract" (s min-extractions instead of full bitonic sort +
+    compaction) is bit-exact with the sort mode — it exists as the
+    on-chip A/B alternative for the sketch stage."""
+    rng = np.random.default_rng(11)
+    n = 128
+    if case == "random":
+        codes = rng.integers(0, 4, (n, 128)).astype(np.uint8)
+        valid = np.full(n, 127, np.int32)
+    elif case == "dups":
+        codes = np.tile(
+            np.frombuffer(b"\x00\x01\x02\x03" * 32, dtype=np.uint8),
+            (n, 1))
+        valid = np.full(n, 127, np.int32)
+    else:
+        codes = rng.integers(0, 5, (n, 128)).astype(np.uint8)
+        valid = rng.integers(0, 128, n).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sketch_windows_pallas(
+            jnp.asarray(codes), jnp.asarray(valid), k=16, sketchlen=16,
+            tile=n, mode="extract"))
+    want = np.asarray(sketch_windows(
+        jnp.asarray(codes[:, :127]), jnp.asarray(valid), k=16,
+        sketchlen=16))
+    np.testing.assert_array_equal(got, want)
