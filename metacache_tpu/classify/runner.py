@@ -866,6 +866,7 @@ class QueryRunner:
         carries the real read count so padded rows never enter the
         summary."""
         import collections as _cl
+        import os as _os
         opt = self.opt
         wl = self.sketching.winlen
         pending: _cl.deque = _cl.deque()
@@ -874,11 +875,55 @@ class QueryRunner:
         esc = self._escalation_ok() and self._hist_dev is not None
         self._esc_redo = []      # (rows, lens) chunks from _collect_batch
         self._esc_nredo = 0
+        # fused escalation: phase 2 rides inside the phase-1 scan so the
+        # scheduler can interleave its VPU-bound sort under phase 1's
+        # row gathers (MC_ESC_FUSED=1; needs the prefetch carry)
+        esc_fused = (esc and bool(self._prefetch_flag()) and
+                     _os.environ.get("MC_ESC_FUSED", "0") == "1")
+        try:
+            esc_b2 = int(_os.environ.get("MC_ESC_B2",
+                                         str(batch_reads // 2)))
+        except ValueError:
+            esc_b2 = batch_reads // 2
 
         def flush(dispatched):
             while len(pending) >= DEPTH:
                 self._collect_batch(*pending.popleft(), results)
             pending.append(dispatched)
+
+        def carve_redo(need):
+            """Take `need` flagged rows (feats, idx, lens) from the redo
+            buffer, padding with sentinel features when short.
+            -> (feats (need, F) dev, idx (need, F) dev, lens (need,),
+                real_count)."""
+            import jax.numpy as jnp
+            fparts, iparts, lparts = [], [], []
+            got = 0
+            left = []
+            for f_, i_, l_ in self._esc_redo:
+                use = min(len(l_), need - got)
+                if use:
+                    fparts.append(f_[:use])
+                    iparts.append(i_[:use])
+                    lparts.append(l_[:use])
+                    got += use
+                if use < len(l_):
+                    left.append((f_[use:], i_[use:], l_[use:]))
+            self._esc_redo = left
+            self._esc_nredo -= got
+            pad = need - got
+            F = self.sketching.sketchlen
+            if pad:
+                fparts.append(jnp.full((pad, F), 0xFFFFFFFF,
+                                       jnp.uint32))
+                iparts.append(jnp.zeros((pad, F), jnp.int32))
+                lparts.append(np.zeros(pad, np.int32))
+            return (jnp.concatenate(fparts) if len(fparts) > 1
+                    else fparts[0],
+                    jnp.concatenate(iparts) if len(iparts) > 1
+                    else iparts[0],
+                    np.concatenate(lparts) if len(lparts) > 1
+                    else lparts[0], got)
 
         def scan_dispatch(pa, la, n):
             # crop rows to the stack's max read length (8-byte quantum
@@ -888,6 +933,13 @@ class QueryRunner:
                 if n else 4
             pac = np.ascontiguousarray(pa[:, :max(q, 4)])
             if esc:
+                if esc_fused and \
+                        self._esc_nredo >= (scan_k * esc_b2) // 2:
+                    rf, ri, rlens, got = carve_redo(scan_k * esc_b2)
+                    out = self._dispatch_scan_head_fused(
+                        pac, la, scan_k, batch_reads,
+                        rf, ri, rlens, esc_b2)
+                    return (None, ("scanesc2", (n, out, pac, la, got)))
                 out = self._dispatch_scan_head(
                     pac, la, scan_k, batch_reads)
                 if len(out) == 4:      # prefetch mode: feats+idx kept
@@ -1437,6 +1489,20 @@ class QueryRunner:
 
     def _collect_batch(self, batch, dispatched, results):
         kind, payload = dispatched
+        if kind == "scanesc2":
+            # fused escalation dispatch: phase-1 stats for the fresh
+            # batch (flagged reads excluded + requeued) AND phase-2
+            # stats for the redone slice it carried
+            import jax.numpy as jnp
+            n, out, pa, la, got = payload
+            cls_dev, over_dev, fk, ik, cls2 = out
+            if got:
+                hist2 = np.asarray(_rank_hist_jit()(
+                    cls2, jnp.int32(got), *self._hist_dev))
+                results.statistics.assigned_ += hist2.astype(np.int64)
+                results.query_count += got
+            payload = (n, cls_dev, over_dev, pa, la, fk, ik)
+            kind = "scanesc"
         if kind == "scanesc":
             # escalation phase 1: count non-overflowing reads, queue the
             # flagged ones for the full-depth phase 2
@@ -1551,6 +1617,51 @@ class QueryRunner:
             fused_candidates=True, fast_top2=True,
             return_feats=bool(self._prefetch_flag()),
             **self._prefetch_flag())
+
+    def _dispatch_scan_head_fused(self, codes, lens, scan_k: int,
+                                  bsz: int, rfeats, ridx, rlens,
+                                  b2: int):
+        """One dispatch running phase 1 on fresh reads AND phase 2 on
+        a slice of earlier flagged reads (query_step_rows_scan_head_
+        fused) so the scheduler can interleave the two streams."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_scan_head_fused
+        sk = self.sketching
+        opt = self.opt
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+        wmat = np.ascontiguousarray(codes).reshape(
+            scan_k, bsz, 1, codes.shape[1])
+        mwir_max = 2 + max(wl, opt.classify.insert_size_max) // stride
+        vdt = np.uint8 if wl < 256 else np.int32
+        mdt = np.uint8 if mwir_max < 256 else np.int32
+        vmat = np.where(lens >= sk.kmerlen, lens, 0).astype(
+            vdt).reshape(scan_k, bsz, 1)
+        mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
+                // stride).astype(mdt).reshape(scan_k, bsz)
+        rmwir = (2 + np.maximum(rlens, opt.classify.insert_size_max)
+                 // stride).astype(np.int32).reshape(scan_k, b2)
+        F = sk.sketchlen
+        tf, to, lt, lw, spf = self._tables[0]
+        ps, _steps = self._prefix[0]
+        return query_step_rows_scan_head_fused(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            rfeats.reshape(scan_k, b2, F), ridx.reshape(scan_k, b2, F),
+            jnp.asarray(rmwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+            ps,
+            k=sk.kmerlen, sketchlen=sk.sketchlen,
+            slots_per_feature=spf,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits[0], dense=self._dense[0],
+            use_pallas_sketch=self._use_pallas_sketch,
+            pack_bits=self._pack_bits, infeed_packed=True,
+            walk_elems=int(max(mwir.max(), rmwir.max(initial=2)))
+            * sk.sketchlen,
+            fused_candidates=True, fast_top2=True)
 
     def _dispatch_redo(self, feats, idx, lens, scan_k: int, bsz: int):
         """Escalation phase 2 over phase-1's device-resident sketches

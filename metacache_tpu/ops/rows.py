@@ -1034,9 +1034,29 @@ def query_step_rows_redo_scan(feats_k, idx_k, mwir_k,
     query_step_rows_redo); feats_k (K, B, F) u32, idx_k (K, B, F) i32,
     mwir_k (K, B). Returns (K, B) classified taxa."""
     kk, b, f = feats_k.shape
+    body = _redo_body(table_feats, table_offsets, loc_tgt, loc_win,
+                      merge_tax_of_target, lineages, hits_min,
+                      hits_diff_frac, highest_rank, merge_rank,
+                      slots_per_feature=slots_per_feature,
+                      max_candidates=max_candidates,
+                      prefix_bits=prefix_bits, dense=dense,
+                      walk_elems=walk_elems, dedup_walk=dedup_walk,
+                      fast_top2=fast_top2,
+                      fused_candidates=fused_candidates,
+                      pack_bits=pack_bits)
+    return jax.lax.scan(
+        lambda c, xs: (c, body(*xs)), 0, (feats_k, idx_k, mwir_k))[1]
 
-    def body(carry, xs):
-        feats, idx_c, mw = xs
+
+def _redo_body(table_feats, table_offsets, loc_tgt, loc_win,
+               merge_tax_of_target, lineages, hits_min, hits_diff_frac,
+               highest_rank, merge_rank, *, slots_per_feature,
+               max_candidates, prefix_bits, dense, walk_elems,
+               dedup_walk, fast_top2, fused_candidates, pack_bits):
+    """Full-depth classification of pre-sketched, pre-probed queries —
+    the escalation phase-2 step body (see query_step_rows_redo)."""
+    def body(feats, idx_c, mw):
+        b, f = feats.shape
         mw = mw.astype(jnp.int32)
         alt = _alt_runs(fused_candidates, fast_top2, walk_elems,
                         dedup_walk, f, slots_per_feature)
@@ -1052,9 +1072,125 @@ def query_step_rows_redo_scan(feats_k, idx_k, mwir_k,
             dedup_walk=dedup_walk, fast_top2=fast_top2,
             fused_candidates=fused_candidates, emit_hits=False,
             presorted_runs=alt, pack_bits=pack_bits)
-        return carry, res.cls_tax
+        return res.cls_tax
 
-    return jax.lax.scan(body, 0, (feats_k, idx_k, mwir_k))[1]
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "sketchlen", "slots_per_feature",
+                     "max_candidates", "prefix_bits", "dense",
+                     "use_pallas_sketch", "walk_elems", "fast_top2",
+                     "fused_candidates", "pack_bits", "infeed_packed"))
+def query_step_rows_scan_head_fused(windows_k, valid_k, mwir_k,
+                                    redo_feats_k, redo_idx_k,
+                                    redo_mwir_k,
+                                    table_feats, table_offsets, loc_tgt,
+                                    loc_win, merge_tax_of_target,
+                                    lineages, hits_min, hits_diff_frac,
+                                    highest_rank, merge_rank,
+                                    prefix_starts,
+                                    *, k: int, sketchlen: int,
+                                    slots_per_feature: int,
+                                    max_candidates: int,
+                                    prefix_bits: int, dense: tuple,
+                                    use_pallas_sketch: bool = False,
+                                    walk_elems: int = 0,
+                                    fast_top2: bool = True,
+                                    fused_candidates: bool = False,
+                                    pack_bits: int = 0,
+                                    infeed_packed: bool = False):
+    """Escalation phases 1 AND 2 fused into ONE scan dispatch.
+
+    Iteration i classifies fresh batch i head-only (prefetched sketch +
+    bucket probe, as query_step_rows_scan_head) AND re-classifies a
+    host-fed slice of earlier flagged reads at full depth
+    (redo_feats_k/redo_idx_k (K, B2, F) from phase-1's saved outputs).
+    The two streams are data-independent inside each iteration, so the
+    scheduler can interleave phase 2's VPU-bound candidates sort under
+    phase 1's HBM row gathers — the single-dispatch analog of the
+    reference GPU's per-thread loop simply continuing into deep buckets
+    (gpu_hashmap_operations.cuh:841-1043).
+
+    -> (cls1 (K, B), over_bits (K, B/32), feats (K, B, F),
+        idx (K, B, F), cls2 (K, B2)).
+    """
+    kk, b = windows_k.shape[0], windows_k.shape[1]
+    wq, w = windows_k.shape[2], windows_k.shape[3]
+    assert wq == 1, "escalation is the short-read scan path"
+    if infeed_packed:
+        w = w * 4
+    hsl = dense[1]
+    rl = 1 << max(int(hsl - 1).bit_length(), 0)
+    from .probe import probe_bucket, probe_bucket_classed
+    classed = dense[0] == "classed"
+
+    def stage1(wmat, vmat):
+        vmat = vmat.astype(jnp.int32)
+        if infeed_packed:
+            shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+            wmat = ((wmat[..., None] >> shifts) &
+                    jnp.uint8(3)).reshape(b, wq, w)
+        feats = _sketch_dispatch(wmat.reshape(b * wq, w),
+                                 vmat.reshape(b * wq), k, sketchlen,
+                                 use_pallas_sketch)
+        return feats.reshape(b, wq * sketchlen)
+
+    def bucket(feats):
+        if classed:
+            pidx, _ = probe_bucket_classed(feats.reshape(-1),
+                                           prefix_starts, prefix_bits)
+            return pidx
+        idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
+                                prefix_bits)
+        return jnp.clip(idx_c, 0, None)
+
+    def stage2_head(feats, mw, idx_c):
+        mw = mw.astype(jnp.int32)
+        pk, over = probe_rows_head(feats, loc_tgt, prefix_starts,
+                                   prefix_bits, dense, alt_runs=rl,
+                                   pack_bits=pack_bits, idx_pre=idx_c)
+        res = rows_to_result(
+            pk, pk, mw, merge_tax_of_target, lineages,
+            hits_min, hits_diff_frac, highest_rank, merge_rank,
+            max_candidates=max_candidates, walk_elems=walk_elems,
+            fast_top2=fast_top2, fused_candidates=fused_candidates,
+            emit_hits=False, presorted_runs=rl, pack_bits=pack_bits)
+        ob = over.reshape(b // 32, 32).astype(jnp.int32)
+        obits = (ob << jax.lax.broadcasted_iota(
+            jnp.int32, (b // 32, 32), 1)).sum(axis=1)
+        return res.cls_tax, obits
+
+    redo = _redo_body(table_feats, table_offsets, loc_tgt, loc_win,
+                      merge_tax_of_target, lineages, hits_min,
+                      hits_diff_frac, highest_rank, merge_rank,
+                      slots_per_feature=slots_per_feature,
+                      max_candidates=max_candidates,
+                      prefix_bits=prefix_bits, dense=dense,
+                      walk_elems=walk_elems, dedup_walk=0,
+                      fast_top2=fast_top2,
+                      fused_candidates=fused_candidates,
+                      pack_bits=pack_bits)
+
+    f0 = stage1(windows_k[0], valid_k[0])
+    i0 = bucket(f0)
+
+    def body(carry, xs):
+        feats, idx_c, mw_prev = carry
+        wmat, vmat, mw, rf, ri, rm = xs
+        cls1, obits = stage2_head(feats, mw_prev, idx_c)
+        cls2 = redo(rf, ri, rm)
+        out = (cls1, obits,
+               feats, idx_c.reshape(b, wq * sketchlen), cls2)
+        f2 = stage1(wmat, vmat)
+        return (f2, bucket(f2), mw), out
+
+    _, outs = jax.lax.scan(
+        body, (f0, i0, mwir_k[0]),
+        (_roll1(windows_k), _roll1(valid_k), _roll1(mwir_k),
+         redo_feats_k, redo_idx_k, redo_mwir_k))
+    return outs
 
 
 @functools.partial(

@@ -322,6 +322,14 @@ def test_escalation_summary_parity(tmp_path, monkeypatch):
     qb, hb = run("0")
     assert qa == qb == 1500
     np.testing.assert_array_equal(ha, hb)
+    # fused-escalation variant (phase 2 rides inside the phase-1 scan)
+    monkeypatch.setenv("MC_ESC_FUSED", "1")
+    monkeypatch.setenv("MC_ESC_B2", "256")
+    qc, hc = run("1")
+    monkeypatch.delenv("MC_ESC_FUSED")
+    monkeypatch.delenv("MC_ESC_B2")
+    assert qc == 1500
+    np.testing.assert_array_equal(ha, hc)
 
 
 def test_scan_prefetch_parity():
@@ -451,3 +459,87 @@ def test_redo_scan_matches_full_scan():
         jnp.asarray(msel.reshape(1, take)),
         tfj, toj, *args[:-1], **kw)).reshape(-1)
     np.testing.assert_array_equal(ref.reshape(-1)[mask], cls2)
+
+
+def test_fused_escalation_scan_matches_separate():
+    """query_step_rows_scan_head_fused == scan_head + redo_scan run
+    separately, for both the phase-1 outputs and the redo slice."""
+    import jax.numpy as jnp
+    from metacache_tpu.ops.probe import make_bucket_index
+    from metacache_tpu.ops.rows import (query_step_rows_redo_scan,
+                                        query_step_rows_scan_head,
+                                        query_step_rows_scan_head_fused)
+    from metacache_tpu.ops.sketch_jax import sketch_windows
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+
+    rng = np.random.default_rng(8)
+    K, B, WL, NTGT, B2 = 2, 64, 128, 40, 32
+    codes = rng.integers(0, 4, (K, B, 1, WL), dtype=np.uint8)
+    lens = np.full((K, B, 1), 100, np.int32)
+    mwir = np.full((K, B), 2, np.int32)
+    feats_all = np.asarray(sketch_windows(
+        jnp.asarray(codes.reshape(K * B, WL)),
+        jnp.asarray(lens.reshape(K * B)), k=16,
+        sketchlen=16)).reshape(K * B, 16)
+    deep_f = np.unique(feats_all[0::2].reshape(-1))
+    shal_f = np.setdiff1d(np.unique(feats_all[1::2].reshape(-1)), deep_f)
+    deep_f = deep_f[deep_f != 0xFFFFFFFF]
+    shal_f = shal_f[shal_f != 0xFFFFFFFF]
+    fs, ts, ws = [], [], []
+    for i, fv in enumerate(deep_f):
+        for j in range(8):
+            fs.append(fv); ts.append((i + j) % NTGT); ws.append(j % 30)
+    for i, fv in enumerate(shal_f):
+        fs.append(fv); ts.append(i % NTGT); ws.append(i % 30)
+    f = np.asarray(fs, np.uint32)
+    t = np.asarray(ts, np.int32)
+    w = np.asarray(ws, np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=16)
+    spf = max(min(ft.max_bucket_size, 16), 1)
+    hsl, wbits = 4, 8
+    head, ovf = ft.fused_rows_two_tier(spf, hsl, slot_bits=wbits)
+    brows, bits = make_bucket_index(ft.unique_features)
+    dense = ("two_tier", hsl, False, False, wbits)
+    lin = _lineages(NTGT)
+    args = (jnp.asarray(head), jnp.asarray(ovf),
+            jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin),
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            jnp.asarray(brows))
+    tfj = jnp.asarray(ft.unique_features)
+    toj = jnp.asarray(ft.offsets.astype(np.int32))
+    kw = dict(sketchlen=16, slots_per_feature=spf, max_candidates=2,
+              prefix_bits=bits, dense=dense, pack_bits=wbits,
+              walk_elems=32, fast_top2=True, fused_candidates=False)
+    cls1, over, fk, ik = query_step_rows_scan_head(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+        tfj, toj, *args, k=16, prefetch=True, return_feats=True, **kw)
+    # a redo slice from the flagged rows (padded with sentinels)
+    bits_ = np.asarray(over).reshape(-1)
+    mask = (((bits_[:, None] >> np.arange(32)) & 1)
+            .astype(bool).reshape(K * B))
+    idxs = np.nonzero(mask)[0][:K * B2]
+    F = 16
+    sel = jnp.asarray(idxs.astype(np.int32))
+    rf = jnp.concatenate([
+        fk.reshape(-1, F)[sel],
+        jnp.full((K * B2 - len(idxs), F), 0xFFFFFFFF, jnp.uint32)])
+    ri = jnp.concatenate([
+        ik.reshape(-1, F)[sel],
+        jnp.zeros((K * B2 - len(idxs), F), jnp.int32)])
+    rm = jnp.asarray(np.full((K, B2), 2, np.int32))
+    want_redo = np.asarray(query_step_rows_redo_scan(
+        rf.reshape(K, B2, F), ri.reshape(K, B2, F), rm,
+        tfj, toj, *args[:-1], **kw))
+    out = query_step_rows_scan_head_fused(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+        rf.reshape(K, B2, F), ri.reshape(K, B2, F), rm,
+        tfj, toj, *args, k=16, **kw)
+    cls1_f, over_f, fk_f, ik_f, cls2_f = out
+    np.testing.assert_array_equal(np.asarray(cls1), np.asarray(cls1_f))
+    np.testing.assert_array_equal(np.asarray(over), np.asarray(over_f))
+    np.testing.assert_array_equal(np.asarray(fk), np.asarray(fk_f))
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(ik_f))
+    np.testing.assert_array_equal(want_redo, np.asarray(cls2_f))
