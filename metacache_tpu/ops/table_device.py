@@ -418,6 +418,12 @@ def _choose_bits(uniq, bits: int, span_cap: int = 63,
     bits = max(bits, min_bits)
     while bits < 26 and int(np.asarray(_max_span(uniq, bits))) > span_cap:
         bits += 1
+    if bits >= 26 and int(np.asarray(_max_span(uniq, bits))) > span_cap:
+        # entries beyond the row width would be silently dropped (the
+        # probe could then miss stored features) — fail loudly instead
+        raise MemoryError(
+            f"bucket-row span exceeds {span_cap} even at 2^{bits} "
+            "prefix buckets; split the database (-parts/-table-shards)")
     return bits
 
 def _pack_auto(nf_rows: int) -> bool:
