@@ -448,13 +448,12 @@ def _classed_window(loc_tgt, pidx):
     return row[:, :64], cls
 
 
-def _classed_probe(flat, loc_tgt, loc_win, dense, c: int, idx_c):
-    """Shared classed head/overflow slot extraction.
+def _classed_head_slots(flat, loc_tgt, dense, idx_c):
+    """Gather + decode one classed head cell per probe.
 
-    -> (pks (N, c) packed slots masked to the bucket count,
-        cnt, over (cnt > head)); c = slots_per_feature."""
+    -> (window (N, 64), found, cnt, isC class-C mask,
+        slots (N, hsl) head slot lanes)."""
     hsl = dense[1]
-    opack = dense[3]
     window, clsv = _classed_window(loc_tgt, idx_c)
     flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
     found = (window[:, 0] == flat_i32) & (flat != jnp.uint32(0xFFFFFFFF))
@@ -467,6 +466,18 @@ def _classed_probe(flat, loc_tgt, loc_win, dense, c: int, idx_c):
         slots = jnp.concatenate(
             [slots, jnp.zeros((slots.shape[0], hsl - hs), jnp.int32)],
             axis=1)
+    return window, found, cnt, isC, slots
+
+
+def _classed_probe(flat, loc_tgt, loc_win, dense, c: int, idx_c):
+    """Shared classed head/overflow slot extraction.
+
+    -> (pks (N, c) packed slots masked to the bucket count,
+        cnt, over (cnt > head)); c = slots_per_feature."""
+    hsl = dense[1]
+    opack = dense[3]
+    window, found, cnt, isC, slots = _classed_head_slots(
+        flat, loc_tgt, dense, idx_c)
     ow = c - hsl
     if ow > 0:
         oidx = jnp.where(found & isC, window[:, 2], 0)
@@ -510,19 +521,9 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
         else:
             idx_c, _ = probe_bucket_classed(flat, prefix_starts,
                                             prefix_bits)
-        window, clsv = _classed_window(loc_tgt, idx_c)
-        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        found = (window[:, 0] == flat_i32) & \
-            (flat != jnp.uint32(0xFFFFFFFF))
-        cnt = jnp.where(found, window[:, 1], 0)
+        _w, _found, cnt, _isC, rows3 = _classed_head_slots(
+            flat, loc_tgt, dense, idx_c)
         over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
-        hs = min(hsl, window.shape[1] - 3)
-        rows3 = jnp.where((clsv == 2)[:, None], window[:, 3:3 + hs],
-                          window[:, 2:2 + hs])
-        if hs < hsl:
-            rows3 = jnp.concatenate(
-                [rows3, jnp.zeros((rows3.shape[0], hsl - hs),
-                                  jnp.int32)], axis=1)
         j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
         hit = j < jnp.minimum(cnt, hsl)[:, None]
         pk = jnp.where(hit, rows3, I32_MAX)
