@@ -417,7 +417,8 @@ class QueryRunner:
                 put_t(st.features), put_t(st.offsets),
                 put_t(st.loc_tgt2d), put_t(st.loc_win2d),
                 put_t(st.prefix), st.slots_per_feature,
-                st.prefix_bits, st.prefix_steps)
+                st.prefix_bits, st.prefix_steps,
+                st.slot_bits, st.head_slots)
         # probe layout per part, chosen against the measured device
         # memory budget (reference sizes GPU tables from free VRAM minus
         # a reserve, src/gpu_hashmap.cu:1101-1141): dense fused rows
@@ -1428,7 +1429,7 @@ class QueryRunner:
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
         if self._tmesh is not None:
             from ..parallel.rows_mesh import sharded_query_step_rows
-            (tf, to, lt2, lw2, ps, spf, pbits, psteps) = \
+            (tf, to, lt2, lw2, ps, spf, pbits, psteps, sbits, shsl) = \
                 self._shard_table
             res = sharded_query_step_rows(
                 self._put(wmat), self._put(vmat), self._put(mwir),
@@ -1436,7 +1437,7 @@ class QueryRunner:
                 mesh=self._tmesh, k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
                 max_candidates=k, prefix_bits=pbits,
-                prefix_steps=psteps)
+                prefix_steps=psteps, pack_bits=sbits, head_slots=shsl)
             return _ShardedRows(res, len(mwir), self._nrep, self._ntab)
         if len(self._tables) == 1:
             from ..ops.rows import query_step_rows

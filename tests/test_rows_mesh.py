@@ -76,3 +76,85 @@ def test_sharded_rows_equals_single(setup, nd, nt):
         max_candidates=2, prefix_bits=r._prefix_bits[0], prefix_steps=steps,
         dense=r._dense[0])
     np.testing.assert_array_equal(got, np.asarray(ref.cls_tax))
+
+
+def test_sharded_two_tier_deep_buckets():
+    """Two-tier slot-packed shards (deep-bucket layout; single-pk
+    all_to_all) classify exactly like the unsharded dense step."""
+    from metacache_tpu.ops.probe import make_bucket_index
+    from metacache_tpu.ops.sketch_jax import sketch_windows
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+
+    rng = np.random.default_rng(13)
+    B, WL, NTGT = 64, 128, 48
+    codes = rng.integers(0, 4, (B, 1, WL), dtype=np.uint8)
+    lens = np.full((B, 1), 100, np.int32)
+    mwir = np.full(B, 2, np.int32)
+    feats_all = np.asarray(sketch_windows(
+        jnp.asarray(codes.reshape(B, WL)),
+        jnp.asarray(lens.reshape(B)), k=16,
+        sketchlen=16)).reshape(B, 16)
+    uf = np.unique(feats_all.reshape(-1))
+    uf = uf[uf != 0xFFFFFFFF]
+    fs, ts, ws = [], [], []
+    for i, fv in enumerate(uf):
+        depth = 100 if i % 3 == 0 else 5     # deep buckets > 61
+        for j in range(depth):
+            fs.append(fv)
+            ts.append((i + j) % NTGT)
+            ws.append(j % 40)
+    f = np.asarray(fs, np.uint32)
+    t = np.asarray(ts, np.int32)
+    w = np.asarray(ws, np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=254)
+    spf = min(ft.max_bucket_size, 254)
+    assert spf > 61
+    lin = np.zeros((NTGT, 21), np.int32)
+    lin[:, 0] = -np.arange(NTGT) - 1
+    lin[:, 4] = np.arange(NTGT) // 2 + 100
+    lin[:, 20] = 1
+    mt, lg = jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin)
+
+    # unsharded reference: dense fused rows
+    fused = ft.fused_rows(spf)
+    brows, bits = make_bucket_index(ft.unique_features)
+    ref = query_step_rows(
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+        jnp.asarray(ft.unique_features),
+        jnp.asarray(ft.offsets.astype(np.int32)),
+        jnp.asarray(fused), jnp.zeros((1,), jnp.int32), mt, lg,
+        jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+        jnp.asarray(brows),
+        k=16, sketchlen=16, slots_per_feature=spf, windows_per_query=1,
+        max_candidates=2, prefix_bits=bits, prefix_steps=0, dense=True)
+
+    for nd, nt in ((1, 4), (2, 2)):
+        mesh = M.make_mesh(nd, nt)
+        st = shard_row_table(ft, nt, 254)
+        assert st.slot_bits > 0 and st.head_slots == 61
+        res = sharded_query_step_rows(
+            jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(mwir),
+            jnp.asarray(st.features), jnp.asarray(st.offsets),
+            jnp.asarray(st.loc_tgt2d), jnp.asarray(st.loc_win2d),
+            jnp.asarray(st.prefix), mt, lg,
+            jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+            mesh=mesh, k=16, sketchlen=16,
+            slots_per_feature=st.slots_per_feature, windows_per_query=1,
+            max_candidates=2, prefix_bits=st.prefix_bits,
+            prefix_steps=st.prefix_steps, pack_bits=st.slot_bits,
+            head_slots=st.head_slots)
+        # undo the data-major/table-subset row reordering
+        b_loc = B // nd
+        bsub = b_loc // nt
+        # rows of data-shard d, table-device t hold subset t of d's rows
+        got = np.concatenate([
+            np.asarray(res.cls_tax).reshape(nd, nt, bsub)[d, t_]
+            for d in range(nd) for t_ in range(nt)])
+        np.testing.assert_array_equal(got, np.asarray(ref.cls_tax))
+        ctgt = np.concatenate([
+            np.asarray(res.cand_tgt).reshape(nd, nt, bsub, -1)[d, t_]
+            for d in range(nd) for t_ in range(nt)])
+        np.testing.assert_array_equal(ctgt, np.asarray(ref.cand_tgt))
