@@ -892,40 +892,6 @@ class QueryRunner:
                 self._collect_batch(*pending.popleft(), results)
             pending.append(dispatched)
 
-        def carve_redo(need):
-            """Take `need` flagged rows (feats, idx, lens) from the redo
-            buffer, padding with sentinel features when short.
-            -> (feats (need, F) dev, idx (need, F) dev, lens (need,),
-                real_count)."""
-            import jax.numpy as jnp
-            fparts, iparts, lparts = [], [], []
-            got = 0
-            left = []
-            for f_, i_, l_ in self._esc_redo:
-                use = min(len(l_), need - got)
-                if use:
-                    fparts.append(f_[:use])
-                    iparts.append(i_[:use])
-                    lparts.append(l_[:use])
-                    got += use
-                if use < len(l_):
-                    left.append((f_[use:], i_[use:], l_[use:]))
-            self._esc_redo = left
-            self._esc_nredo -= got
-            pad = need - got
-            F = self.sketching.sketchlen
-            if pad:
-                fparts.append(jnp.full((pad, F), 0xFFFFFFFF,
-                                       jnp.uint32))
-                iparts.append(jnp.zeros((pad, F), jnp.int32))
-                lparts.append(np.zeros(pad, np.int32))
-            return (jnp.concatenate(fparts) if len(fparts) > 1
-                    else fparts[0],
-                    jnp.concatenate(iparts) if len(iparts) > 1
-                    else iparts[0],
-                    np.concatenate(lparts) if len(lparts) > 1
-                    else lparts[0], got)
-
         def scan_dispatch(pa, la, n):
             # crop rows to the stack's max read length (8-byte quantum
             # -> few static shapes): reads shorter than winlen shrink
@@ -936,7 +902,8 @@ class QueryRunner:
             if esc:
                 if esc_fused and \
                         self._esc_nredo >= (scan_k * esc_b2) // 2:
-                    rf, ri, rlens, got = carve_redo(scan_k * esc_b2)
+                    rf, ri, rlens, got = self._carve_redo(
+                        scan_k * esc_b2)
                     out = self._dispatch_scan_head_fused(
                         pac, la, scan_k, batch_reads,
                         rf, ri, rlens, esc_b2)
@@ -961,32 +928,9 @@ class QueryRunner:
                     # the redo consumes phase 1's device-resident
                     # sketches + bucket probes — no re-sketch, no
                     # bucket-row gather, no re-shipping of read rows
-                    import jax.numpy as jnp
-                    fparts, iparts, lparts = [], [], []
-                    got = 0
-                    left = []
-                    for f_, i_, l_ in self._esc_redo:
-                        use = min(len(l_), take - got)
-                        fparts.append(f_[:use])
-                        iparts.append(i_[:use])
-                        lparts.append(l_[:use])
-                        got += use
-                        if use < len(l_):
-                            left.append((f_[use:], i_[use:], l_[use:]))
-                    self._esc_redo = left
-                    self._esc_nredo -= got
-                    pad = take - got
-                    if pad:
-                        F = fparts[0].shape[1]
-                        fparts.append(jnp.full((pad, F), 0xFFFFFFFF,
-                                               jnp.uint32))
-                        iparts.append(jnp.zeros((pad, F), jnp.int32))
-                    lens2 = np.concatenate(
-                        lparts + [np.zeros(pad, np.int32)]) if pad \
-                        else np.concatenate(lparts)
+                    rf, ri, rlens, got = self._carve_redo(take)
                     flush((None, ("scan", (got, self._dispatch_redo(
-                        jnp.concatenate(fparts), jnp.concatenate(iparts),
-                        lens2, scan_k, batch_reads)))))
+                        rf, ri, rlens, scan_k, batch_reads)))))
                     continue
                 wmax = max(r.shape[1] for r, _ in self._esc_redo)
                 rows = np.zeros((take, wmax), np.uint8)
@@ -1115,6 +1059,29 @@ class QueryRunner:
         wl = self.sketching.winlen
         buf: list = []
         nbuf = 0
+        # paired escalation (head-only phase 1 + feats-reuse redo):
+        # valid only with the prefetch carry (the redo consumes phase
+        # 1's device-resident sketches)
+        esc = (scan_k > 1 and self._escalation_ok(wq=2) and
+               self._hist_dev is not None and
+               bool(self._prefetch_flag()))
+        self._esc_redo = []
+        self._esc_nredo = 0
+        take_total = scan_k * batch_reads if scan_k else 0
+
+        def pair_dispatch(c1a, l1a, c2a, l2a, take):
+            if not esc:
+                return ("scan", (take, self._dispatch_scan_pair(
+                    c1a[:take], l1a[:take], c2a[:take], l2a[:take],
+                    scan_k, batch_reads)))
+            cls, over, fk, ik = self._dispatch_scan_head_pair(
+                c1a[:take], l1a[:take], c2a[:take], l2a[:take],
+                scan_k, batch_reads)
+            lens_sum = (l1a[:take].astype(np.int64) +
+                        l2a[:take]).astype(np.int32)
+            return ("scanesc", (take, cls, over, None, lens_sum,
+                                fk, ik))
+
         while True:
             c1, l1, h1 = r1.read_batch_raw(batch_reads)
             c2, l2, h2 = r2.read_batch_raw(batch_reads)
@@ -1155,15 +1122,21 @@ class QueryRunner:
                     l1a = np.concatenate([x[1] for x in buf])
                     c2a = np.concatenate([x[2] for x in buf])
                     l2a = np.concatenate([x[3] for x in buf])
-                    dispatched = ("scan", (take, self._dispatch_scan_pair(
-                        c1a[:take], l1a[:take], c2a[:take], l2a[:take],
-                        scan_k, batch_reads)))
+                    dispatched = pair_dispatch(c1a, l1a, c2a, l2a, take)
                     if pending is not None:
                         self._collect_batch(*pending, results)
                     pending = (None, dispatched)
                     buf = [(c1a[take:], l1a[take:], c2a[take:],
                             l2a[take:])]
                     nbuf -= take
+                    while esc and self._esc_nredo >= take_total:
+                        rf, ri, rlens, got = self._carve_redo(
+                            take_total)
+                        if pending is not None:
+                            self._collect_batch(*pending, results)
+                        pending = (None, ("scan", (
+                            got, self._dispatch_redo(
+                                rf, ri, rlens, scan_k, batch_reads))))
                 continue
             dispatched = self._dispatch_coded_pair(c1, l1, c2, l2, h1)
             if pending is not None:
@@ -1186,6 +1159,11 @@ class QueryRunner:
             pending = dispatched
         if pending is not None:
             self._collect_batch(*pending, results)
+        while esc and self._esc_nredo:
+            rf, ri, rlens, got = self._carve_redo(take_total)
+            self._collect_batch(None, ("scan", (
+                got, self._dispatch_redo(rf, ri, rlens, scan_k,
+                                         batch_reads))), results)
         r1.close()
         r2.close()
         return True
@@ -1558,7 +1536,7 @@ class QueryRunner:
             return {"prefetch": True}
         return {}
 
-    def _escalation_ok(self) -> bool:
+    def _escalation_ok(self, wq: int = 1) -> bool:
         """Escalation (head-only phase 1 + full-depth redo) is valid for
         slot-packed two-tier single-part layouts on the fused fast path;
         it pays off when buckets can exceed the head. MC_ESCALATE=0
@@ -1571,14 +1549,15 @@ class QueryRunner:
         d = self._dense[0]
         sk = self.sketching
         stride = self.db.sketching.winstride
-        walk = (2 + max(sk.winlen, self.opt.classify.insert_size_max)
-                // stride) * sk.sketchlen
+        m = 2 + max(wq * sk.winlen,
+                    self.opt.classify.insert_size_max) // stride
+        sweep_ok = (m * sk.sketchlen * wq <= self.MAX_WALK_ELEMS or
+                    m <= self.MAX_DEDUP_WALK)
         return (isinstance(d, tuple) and len(d) > 4 and
                 d[0] in ("two_tier", "classed") and
                 d[4] == self._pack_bits and
-                self._tables[0][4] > d[1] and
-                walk <= self.MAX_WALK_ELEMS and
-                sk.sketchlen * self._tables[0][4] >=
+                self._tables[0][4] > d[1] and sweep_ok and
+                wq * sk.sketchlen * self._tables[0][4] >=
                 self.FUSED_MIN_SLOTS)
 
     def _dispatch_scan_head(self, codes, lens, scan_k: int, bsz: int):
@@ -1618,6 +1597,81 @@ class QueryRunner:
             fused_candidates=True, fast_top2=True,
             return_feats=bool(self._prefetch_flag()),
             **self._prefetch_flag())
+
+    def _carve_redo(self, need: int):
+        """Take `need` flagged rows (feats, idx, lens) from the feats
+        redo buffer, padding with sentinel features when short.
+        -> (feats (need, F) dev, idx (need, F) dev, lens (need,) np,
+            real_count)."""
+        import jax.numpy as jnp
+        fparts, iparts, lparts = [], [], []
+        got = 0
+        left = []
+        for f_, i_, l_ in self._esc_redo:
+            use = min(len(l_), need - got)
+            if use:
+                fparts.append(f_[:use])
+                iparts.append(i_[:use])
+                lparts.append(l_[:use])
+                got += use
+            if use < len(l_):
+                left.append((f_[use:], i_[use:], l_[use:]))
+        self._esc_redo = left
+        self._esc_nredo -= got
+        pad = need - got
+        F = fparts[0].shape[1] if fparts else self.sketching.sketchlen
+        if pad:
+            fparts.append(jnp.full((pad, F), 0xFFFFFFFF, jnp.uint32))
+            iparts.append(jnp.zeros((pad, F), jnp.int32))
+            lparts.append(np.zeros(pad, np.int32))
+        return (jnp.concatenate(fparts) if len(fparts) > 1
+                else fparts[0],
+                jnp.concatenate(iparts) if len(iparts) > 1
+                else iparts[0],
+                np.concatenate(lparts) if len(lparts) > 1
+                else lparts[0], got)
+
+    def _dispatch_scan_head_pair(self, c1, l1, c2, l2, scan_k: int,
+                                 bsz: int):
+        """Escalation phase 1 over short PAIRS (two windows per query);
+        -> (cls (K,B), over_bits (K,B/32), feats (K,B,2F), idx) device
+        arrays (always prefetch + return_feats: the paired redo reuses
+        phase-1 sketches)."""
+        import jax.numpy as jnp
+        from ..ops.rows import query_step_rows_scan_head
+        sk = self.sketching
+        opt = self.opt
+        wl = sk.winlen
+        stride = self.db.sketching.winstride
+        n = len(l1)
+        wmat = np.empty((n, 2, wl), np.uint8)
+        wmat[:, 0] = c1[:, :wl]
+        wmat[:, 1] = c2[:, :wl]
+        wmat = wmat.reshape(scan_k, bsz, 2, wl)
+        vmat = np.stack([np.where(l1 >= sk.kmerlen, l1, 0),
+                         np.where(l2 >= sk.kmerlen, l2, 0)],
+                        axis=1).astype(np.int32).reshape(scan_k, bsz, 2)
+        mwir = (2 + np.maximum(l1.astype(np.int64) + l2,
+                               opt.classify.insert_size_max)
+                // stride).astype(np.int32).reshape(scan_k, bsz)
+        tf, to, lt, lw, spf = self._tables[0]
+        ps, _steps = self._prefix[0]
+        return query_step_rows_scan_head(
+            jnp.asarray(wmat), jnp.asarray(vmat), jnp.asarray(mwir),
+            tf, to, lt, lw, self._merge_tax_dev, self._lineages_dev,
+            jnp.int32(self.hits_min),
+            jnp.float32(opt.classify.hits_diff_fraction),
+            jnp.int32(self.highest_rank), jnp.int32(self.merge_rank),
+            ps,
+            k=sk.kmerlen, sketchlen=sk.sketchlen,
+            slots_per_feature=spf,
+            max_candidates=opt.classify.max_candidates,
+            prefix_bits=self._prefix_bits[0], dense=self._dense[0],
+            use_pallas_sketch=self._use_pallas_sketch,
+            pack_bits=self._pack_bits,
+            **self._sweep_params(mwir.reshape(-1), 2),
+            fused_candidates=True, fast_top2=True,
+            prefetch=True, return_feats=True)
 
     def _dispatch_scan_head_fused(self, codes, lens, scan_k: int,
                                   bsz: int, rfeats, ridx, rlens,
@@ -1667,7 +1721,8 @@ class QueryRunner:
     def _dispatch_redo(self, feats, idx, lens, scan_k: int, bsz: int):
         """Escalation phase 2 over phase-1's device-resident sketches
         (query_step_rows_redo_scan): full-depth probe + candidates with
-        no re-sketch and no bucket-row gather."""
+        no re-sketch and no bucket-row gather. `lens` is the combined
+        query length (sum of mates for pairs); F infers wq."""
         import jax.numpy as jnp
         from ..ops.rows import query_step_rows_redo_scan
         sk = self.sketching
@@ -1676,6 +1731,7 @@ class QueryRunner:
         mwir = (2 + np.maximum(lens, opt.classify.insert_size_max)
                 // stride).astype(np.int32)
         F = feats.shape[-1]
+        wq = max(F // sk.sketchlen, 1)
         tf, to, lt, lw, spf = self._tables[0]
         return query_step_rows_redo_scan(
             feats.reshape(scan_k, bsz, F), idx.reshape(scan_k, bsz, F),
@@ -1688,7 +1744,7 @@ class QueryRunner:
             max_candidates=opt.classify.max_candidates,
             prefix_bits=self._prefix_bits[0], dense=self._dense[0],
             pack_bits=self._pack_bits,
-            walk_elems=int(mwir.max()) * sk.sketchlen,
+            **self._sweep_params(mwir, wq),
             fused_candidates=True, fast_top2=True)
 
     def _dispatch_scan(self, codes, lens, scan_k: int, bsz: int,

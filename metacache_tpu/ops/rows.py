@@ -1198,9 +1198,9 @@ def query_step_rows_scan_head_fused(windows_k, valid_k, mwir_k,
     jax.jit,
     static_argnames=("k", "sketchlen", "slots_per_feature",
                      "max_candidates", "prefix_bits", "dense",
-                     "use_pallas_sketch", "walk_elems", "fast_top2",
-                     "fused_candidates", "pack_bits", "infeed_packed",
-                     "prefetch", "return_feats"))
+                     "use_pallas_sketch", "walk_elems", "dedup_walk",
+                     "fast_top2", "fused_candidates", "pack_bits",
+                     "infeed_packed", "prefetch", "return_feats"))
 def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               table_feats, table_offsets, loc_tgt,
                               loc_win, merge_tax_of_target, lineages,
@@ -1212,6 +1212,7 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                               dense: tuple,
                               use_pallas_sketch: bool = False,
                               walk_elems: int = 0,
+                              dedup_walk: int = 0,
                               fast_top2: bool = True,
                               fused_candidates: bool = False,
                               pack_bits: int = 0,
@@ -1234,7 +1235,6 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
     """
     kk, b = windows_k.shape[0], windows_k.shape[1]
     wq, w = windows_k.shape[2], windows_k.shape[3]
-    assert wq == 1, "escalation phase 1 is the short-read scan path"
     assert not return_feats or prefetch, \
         "return_feats reuses the prefetch carry's (feats, idx) pair"
     if infeed_packed:
@@ -1263,6 +1263,7 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
             pk, pk, mw, merge_tax_of_target, lineages,
             hits_min, hits_diff_frac, highest_rank, merge_rank,
             max_candidates=max_candidates, walk_elems=walk_elems,
+            dedup_walk=dedup_walk,
             fast_top2=fast_top2, fused_candidates=fused_candidates,
             emit_hits=False, presorted_runs=rl, pack_bits=pack_bits)
         # pack the over flags 32/word so the d2h fetch stays tiny

@@ -543,3 +543,68 @@ def test_fused_escalation_scan_matches_separate():
     np.testing.assert_array_equal(np.asarray(fk), np.asarray(fk_f))
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(ik_f))
     np.testing.assert_array_equal(want_redo, np.asarray(cls2_f))
+
+
+def test_paired_escalation_summary_parity(tmp_path, monkeypatch):
+    """Paired-end escalation (head-only phase 1 + feats-reuse redo over
+    both mates' sketches) produces the same summary as the full-depth
+    paired scan on a deep-bucket DB."""
+    from metacache_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    from metacache_tpu.cli.main import Args, parse_query_options
+    from metacache_tpu.classify.runner import (ClassificationResults,
+                                               QueryOptions, QueryRunner,
+                                               map_queries_to_targets)
+    from metacache_tpu.db.build import BuildOptions, build_database
+    monkeypatch.setenv("MC_SCAN_K", "2")
+    monkeypatch.setenv("MC_FUSED_CANDIDATES", "1")
+    monkeypatch.setenv("MC_DENSE_LIMIT", "1")
+    rng = np.random.default_rng(4)
+    b2a = np.frombuffer(b"ACGT", np.uint8)
+    genomes = []
+    for _ in range(2):
+        base = rng.integers(0, 4, 20000, dtype=np.uint8)
+        for _s in range(70):
+            g = base.copy()
+            pos = rng.integers(0, 20000, 40)
+            g[pos] = rng.integers(0, 4, 40)
+            genomes.append(g)
+    for _ in range(6):
+        genomes.append(rng.integers(0, 4, 20000, dtype=np.uint8))
+    gfa = tmp_path / "g.fa"
+    with open(gfa, "wb") as fh:
+        for i, g in enumerate(genomes):
+            fh.write(b">g%d\n" % i + b2a[g].tobytes() + b"\n")
+    r1 = tmp_path / "r1.fa"
+    r2 = tmp_path / "r2.fa"
+    with open(r1, "wb") as f1, open(r2, "wb") as f2:
+        for i in range(1200):
+            gs = int(rng.integers(0, len(genomes)))
+            p = int(rng.integers(0, 20000 - 400))
+            ln = int(rng.integers(60, 120))
+            f1.write(b">r%d/1\n" % i +
+                     b2a[genomes[gs][p:p + ln]].tobytes() + b"\n")
+            q = p + 200
+            f2.write(b">r%d/2\n" % i +
+                     b2a[genomes[gs][q:q + ln]].tobytes() + b"\n")
+    db = build_database(BuildOptions(infiles=[str(gfa)]))
+    qr = QueryRunner(db, QueryOptions())
+    assert qr._escalation_ok(wq=2), (qr._dense[0], qr._tables[0][4])
+
+    def run(esc):
+        monkeypatch.setenv("MC_ESCALATE", esc)
+        qopt, _, _ = parse_query_options(
+            Args(["-pairfiles", "-no-map", "-no-query-params",
+                  "-batch-size", "512"]))
+        import io
+        out = io.StringIO()
+        res = ClassificationResults(out, out, out)
+        map_queries_to_targets([str(r1), str(r2)], db, qopt, res)
+        return res.query_count, res.statistics.assigned_.copy()
+
+    qa, ha = run("1")
+    qb, hb = run("0")
+    assert qa == qb == 1200
+    np.testing.assert_array_equal(ha, hb)
