@@ -97,6 +97,29 @@ def main():
     import jax.numpy as jnp
     from metacache_tpu.config import SketchingOptions
 
+    # If the TPU tunnel is down, the first device op hangs forever in
+    # the claim (observed: axon relay outage, no client-side timeout).
+    # Emit a diagnosable JSON line and exit instead of hanging the
+    # harness.
+    import threading
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(900):
+            print(json.dumps({
+                "metric": "100bp read classification throughput "
+                          "(1 chip, 64x1Mbp strain DB)",
+                "value": 0, "unit": "reads/min", "vs_baseline": 0.0,
+                "detail": {"error": "TPU unreachable: first device op "
+                                    "did not complete within 900 s "
+                                    "(axon claim hang)"}}))
+            sys.stdout.flush()
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    np.asarray(jnp.ones((8, 8), jnp.int32).sum())
+    ready.set()
+
     rng = np.random.default_rng(42)
     opt = SketchingOptions().resolved()
     use_pallas = jax.devices()[0].platform not in ("cpu",)
