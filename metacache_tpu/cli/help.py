@@ -243,6 +243,18 @@ ENVIRONMENT
                             building them on device.
     MC_HBM_GB=<n>           override the device-memory budget used for
                             probe-layout selection.
+    MC_CLASSED=0            disable the size-classed head layout (use
+                            fixed-width two-tier heads instead).
+    MC_ESCALATE=0           disable adaptive bucket-depth escalation
+                            (every read pays worst-case bucket depth).
+    MC_ESC_FUSED=1          run escalation phase 2 inside the phase-1
+                            scan dispatch (interleaves its sort under
+                            phase 1's row gathers).
+    MC_ESC_B2=<n>           flagged-read slice width per fused dispatch
+                            (default: half the batch size).
+    MC_NATIVE_FMT=0         disable the native per-read line formatter
+                            (fall back to the Python writer).
+    MC_PREFETCH=0           disable the software-pipelined scan.
 """,
     "build+query": """\
 metacache_tpu build+query — build a database in memory and query it
