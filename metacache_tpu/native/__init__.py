@@ -83,7 +83,7 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,                    # k, show_tophits
         ctypes.c_void_p, ctypes.c_void_p,                  # strtab, stroff
         ctypes.c_void_p, ctypes.c_int64,                   # sep, sep_len
-        ctypes.c_void_p, ctypes.c_int64]                   # out, cap
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]   # out,cap,bound
     _lib = lib
     return _lib
 
@@ -126,7 +126,7 @@ def format_map_lines(headers: np.ndarray, qid0: int,
         np.ascontiguousarray(stroff, np.int64).ctypes
           .data_as(ctypes.c_void_p),
         sep, len(sep),
-        out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+        out.ctypes.data_as(ctypes.c_void_p), out.nbytes, bound)
     if wrote < 0:
         return None
     return out[:wrote].tobytes()

@@ -49,16 +49,16 @@ int64_t format_map_lines(
     int32_t k, int32_t show_tophits,
     const uint8_t* strtab, const int64_t* stroff,
     const uint8_t* sep, int64_t sep_len,
-    uint8_t* out, int64_t cap)
+    uint8_t* out, int64_t cap, int64_t line_bound)
 {
     uint8_t* p = out;
-    // worst-case bytes one line can add: qid(20) + seps + header +
-    // tophits entries (prefix + ':' + 11) + best string; the caller
-    // passes cap >= n * line_bound + slack, so a single conservative
-    // check per line suffices.
+    // line_bound = the caller's worst-case bytes for ONE line (it also
+    // sizes `out` as n * line_bound + slack); checked per line so a
+    // miscomputed bound degrades to a clean fallback, never a write
+    // past `out + cap`.
     for (int64_t i = 0; i < n; ++i) {
         if (skip && skip[i]) continue;
-        if (p - out > cap - (hcap + 4 * sep_len + 24 * (k + 2) + 64))
+        if (p - out > cap - line_bound)
             return -1;  // caller's bound was too small: fall back
         if (qid0 >= 0) {
             p = put_u64(p, uint64_t(qid0 + i));

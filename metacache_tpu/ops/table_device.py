@@ -362,7 +362,6 @@ def _brows_build_classed(uniq, cls_f, bits: int, nch: int):
     local = fi - firsth
     # class-start ranks at each feature: number of same-class features
     # BEFORE it, converted to that class's cell address
-    w16v = jnp.asarray((1, 2, 4), jnp.int32)[cls_f]
     ccum = [jnp.cumsum((cls_f == c).astype(jnp.int32)) - (cls_f == c)
             for c in range(3)]
     # base addresses from total counts (same formula as _classed_addr)
