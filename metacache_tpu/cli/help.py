@@ -255,6 +255,8 @@ ENVIRONMENT
     MC_NATIVE_FMT=0         disable the native per-read line formatter
                             (fall back to the Python writer).
     MC_PREFETCH=0           disable the software-pipelined scan.
+    MC_SKETCH_MODE=extract  swap the Pallas sketcher's in-kernel sort
+                            for iterative min-extraction (bit-exact).
 """,
     "build+query": """\
 metacache_tpu build+query — build a database in memory and query it

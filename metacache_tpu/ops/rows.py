@@ -27,17 +27,21 @@ from .pipeline import QueryResult, classify_candidates
 
 def _sketch_dispatch(codes2d, valid, k, sketchlen, use_pallas):
     """XLA or Pallas sketcher; the Pallas kernel (lane-bitonic, bit-exact)
-    needs 128-lane windows and row tiles."""
+    needs 128-lane windows and row tiles. MC_SKETCH_MODE=extract swaps
+    the in-kernel full sort+compaction for s min-extractions (bit-exact
+    alternative, tests/test_pallas.py) — an on-chip A/B knob."""
     if not use_pallas:
         return sketch_windows(codes2d, valid, k=k, sketchlen=sketchlen)
+    import os
     from .sketch_pallas import sketch_windows_pallas, LANES
     n, w = codes2d.shape
     if w < LANES:
         codes2d = jnp.pad(codes2d, ((0, 0), (0, LANES - w)),
                           constant_values=4)
     tile = 512 if n % 512 == 0 else n
+    mode = os.environ.get("MC_SKETCH_MODE", "sort")
     return sketch_windows_pallas(codes2d, valid, k=k, sketchlen=sketchlen,
-                                 tile=tile)
+                                 tile=tile, mode=mode)
 
 I32_MAX = np.int32(2**31 - 1)
 
