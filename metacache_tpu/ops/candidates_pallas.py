@@ -15,10 +15,11 @@ src/gpu_result_processing.cuh:99-155); the algorithm mirrors
 ops.rows.rows_to_result exactly (same tie-breaking) and is parity-tested
 against it in tests/test_candidates_pallas.py.
 
-Because Pallas can mask every scan step by group id, the suffix max does
-NOT need rows.py's group-isolated packed key (hits*l2 - g*l2^2, which
-overflows i32 beyond L~192 and forces an i64 scan): the in-kernel key is
-plain hits * l2 + (l2-1-col) <= (walk_elems+1) * l2, always i32.
+Top-k selection needs NO segmented scan at all: a target group's
+representative key is its in-group max, so the global row max of the
+per-lane key (hits * l2 + (l2-1-col), always i32) is the best group's
+representative; masking the winner's whole target group between picks
+reproduces rows.py's group ordering and tie-breaking exactly.
 """
 from __future__ import annotations
 
@@ -217,45 +218,33 @@ def _candidates_kernel(t_ref, w_ref, mwir_ref, out_ref, *,
             hits = hits + ok.astype(jnp.int32)
             beg = jnp.where(ok, we, beg)  # last ok shift = smallest win
 
-    # group ids: inclusive prefix sum of new-target flags
-    prev_t = _roll(t, 1, l)
-    newt = (lane == 0) | (t != prev_t)
-    g = newt.astype(jnp.int32)
-    d = 1
-    while d < l:
-        g = g + jnp.where(lane >= d, _roll(g, d, l), 0)
-        d *= 2
-
-    # segmented suffix max of key within each target group
+    # top-k target groups by (hits desc, earliest best slot). A group's
+    # representative key is its in-group MAX, so the global row max of
+    # the per-lane key IS the best group's representative — no group-id
+    # prefix sum or segmented suffix scan needed (the segmented scan
+    # measured ~40% of the whole kernel at L=4096). After each pick the
+    # winner's ENTIRE target group is masked, which is exactly the old
+    # remove-the-representative semantics.
     key = hits * l2 + (l2 - 1 - lane)
     v = jnp.where(is_match, key, -1)
-    d = 1
-    while d < l:
-        vn = _roll(v, -d, l)
-        gn = _roll(g, -d, l)
-        ok = (lane < l - d) & (gn == g)
-        v = jnp.maximum(v, jnp.where(ok, vn, -1))
-        d *= 2
-    repkey = jnp.where(newt & is_match, v, -1)
-
-    # top-k groups by (hits desc, earliest best slot) == max key
     shift = int(l2).bit_length() - 1
     cols = []
     for _ in range(kk):
-        best = jnp.max(repkey, axis=1, keepdims=True)    # (n, 1)
+        best = jnp.max(v, axis=1, keepdims=True)         # (n, 1)
         ok = best > 0
         bestcol = jnp.where(ok, (l2 - 1) - (best & (l2 - 1)), 0)
         sel = lane == bestcol
         pick = lambda x, d_: jnp.where(
             ok[:, 0], jnp.max(jnp.where(sel, x, jnp.int32(-2**31)),
                               axis=1), d_)
+        tbest = pick(t, -1)
         cols.append(jnp.stack([
-            pick(t, -1),
+            tbest,
             jnp.where(ok[:, 0], best[:, 0] >> shift, 0),
             pick(beg, 0),
             pick(w, 0),
         ], axis=1))
-        repkey = jnp.where(repkey == best, -1, repkey)
+        v = jnp.where(t == tbest[:, None], -1, v)
 
     res = jnp.concatenate(cols, axis=1)                  # (n, 4*kk)
     pad = out_ref.shape[1] - res.shape[1]
@@ -347,46 +336,37 @@ def _packed_kernel(p_ref, mwir_ref, out_ref, *, walk_elems, kk, l2,
             hits = hits + ok.astype(jnp.int32)
             beg = jnp.where(ok, pe, beg)  # last ok shift = smallest win
 
-    # group ids: inclusive prefix sum of new-target flags
-    tq = jax.lax.shift_right_logical(p, wbits)
-    newt = (lane == 0) | (tq != _roll(tq, 1, l))
-    g = newt.astype(jnp.int32)
-    d = 1
-    while d < l:
-        g = g + jnp.where(lane >= d, _roll(g, d, l), 0)
-        d *= 2
-
-    # segmented suffix max of key within each target group
+    # top-k target groups by (hits desc, earliest best slot): global
+    # row max of the per-lane key == best group's representative (a
+    # group's rep was its in-group max); mask the winner's whole target
+    # group after each pick. Replaces the group-id prefix sum + the
+    # segmented suffix max, which measured ~40% of the kernel at L=4096.
     key = hits * l2 + (l2 - 1 - lane)
     v = jnp.where(is_match, key, -1)
-    d = 1
-    while d < l:
-        vn = _roll(v, -d, l)
-        gn = _roll(g, -d, l)
-        ok = (lane < l - d) & (gn == g)
-        v = jnp.maximum(v, jnp.where(ok, vn, -1))
-        d *= 2
-    repkey = jnp.where(newt & is_match, v, -1)
-
-    # top-k groups by (hits desc, earliest best slot) == max key
+    tq = jax.lax.shift_right_logical(p, wbits)
     shift = int(l2).bit_length() - 1
     wmask = (1 << wbits) - 1
     cols = []
     for _ in range(kk):
-        best = jnp.max(repkey, axis=1, keepdims=True)    # (n, 1)
+        best = jnp.max(v, axis=1, keepdims=True)         # (n, 1)
         ok = best > 0
         bestcol = jnp.where(ok, (l2 - 1) - (best & (l2 - 1)), 0)
         sel = lane == bestcol
-        pick = lambda x, d_: jnp.where(
-            ok[:, 0], jnp.max(jnp.where(sel, x, jnp.int32(-2**31)),
-                              axis=1), d_)
+        pick = lambda x: jnp.max(
+            jnp.where(sel, x, jnp.int32(-2**31)), axis=1)
+        # ONE pick of p yields both tgt (high bits) and end window (low
+        # bits) — 2 reductions per round instead of 4
+        pbest = pick(p)
+        tbest = jnp.where(ok[:, 0],
+                          jax.lax.shift_right_logical(pbest, wbits), -1)
         cols.append(jnp.stack([
-            pick(tq, -1),
+            tbest,
             jnp.where(ok[:, 0], best[:, 0] >> shift, 0),
-            pick(beg, 0) & wmask,
-            pick(p, 0) & wmask,
+            jnp.where(ok[:, 0], pick(beg) & wmask, 0),
+            jnp.where(ok[:, 0], pbest & wmask, 0),
         ], axis=1))
-        repkey = jnp.where(repkey == best, -1, repkey)
+        # mask the winner's whole target group
+        v = jnp.where(tq == tbest[:, None], -1, v)
 
     res = jnp.concatenate(cols, axis=1)                  # (n, 4*kk)
     pad = out_ref.shape[1] - res.shape[1]
