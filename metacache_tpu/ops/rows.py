@@ -433,23 +433,28 @@ def _classed_window(loc_tgt, pidx):
     """Extract each probe's classed head cell as a 64-lane window.
 
     pidx = (addr16 << 2) | cls (ops.probe.probe_bucket_classed);
-    loc_tgt = the unified (P, 128) cell array. ONE row gather + three
-    static lane-shift selects (the 16-lane-aligned dynamic window).
-    Lanes beyond the cell's width hold neighbor-cell data — callers
-    mask by bucket count, which never exceeds the cell class's slots.
+    loc_tgt = the unified (P, 128) cell array. Cell bases are 8-unit
+    aligned per class (table_device._classed_total16) and widths are
+    1/2/4 units at width-aligned offsets, so NO cell crosses a 64-lane
+    half: gather the row, select the half, then two static lane-shift
+    selects at half width. Lanes beyond the cell's width hold
+    neighbor-cell data — callers mask by bucket count, which never
+    exceeds the cell class's slots.
     """
     a16 = jax.lax.shift_right_logical(pidx, jnp.int32(2))
     cls = pidx & 3
-    row = loc_tgt[a16 >> 3]
-    o = a16 & 7
-    for k in (2, 1, 0):
+    row2 = loc_tgt[a16 >> 3]
+    half = jax.lax.shift_right_logical(a16, jnp.int32(2)) & 1
+    row = jnp.where(half[:, None] == 1, row2[:, 64:], row2[:, :64])
+    o = a16 & 3
+    for k in (1, 0):
         s = 16 << k
         shifted = jnp.concatenate(
             [row[:, s:], jnp.zeros((row.shape[0], s), row.dtype)],
             axis=1)
         bit = jax.lax.shift_right_logical(o, jnp.int32(k)) & 1
         row = jnp.where(bit[:, None] == 1, shifted, row)
-    return row[:, :64], cls
+    return row, cls
 
 
 def _classed_head_slots(flat, loc_tgt, dense, idx_c):

@@ -152,10 +152,35 @@ def measure_steps(dt, genomes, species, glen, opt, use_pallas):
 
     redo_ms = t(redo, fsel, isel, msel, *targs)
     eff = head_ms + frac * redo_ms
+
+    # fused dispatch: phase 1 of batch i + redo of a frac*B slice in
+    # ONE scan iteration (can the scheduler hide the redo's VPU sort
+    # under phase 1's gathers?)
+    from metacache_tpu.ops.rows import query_step_rows_scan_head_fused
+    b2 = max(256, -(-int(np.ceil(frac * B)) // 256) * 256)
+    sel2 = jnp.asarray(np.resize(idxs, K * b2).astype(np.int32))
+    rfs = fk.reshape(-1, F)[sel2].reshape(K, b2, F)
+    ris = ik.reshape(-1, F)[sel2].reshape(K, b2, F)
+    rms = mk.reshape(-1)[sel2].reshape(K, b2)
+    kw_f = {kk2: v for kk2, v in kw.items()
+            if kk2 not in ("prefix_steps",)}
+
+    def fused(wk, vk, mk_, rf, ri, rm, *ta):
+        return query_step_rows_scan_head_fused(
+            wk, vk, mk_, rf, ri, rm, *ta[:4], ta[5], ta[6],
+            jnp.int32(5), jnp.float32(1.0), jnp.int32(19), jnp.int32(0),
+            ta[4], use_pallas_sketch=use_pallas, fast_top2=True,
+            **kw_f)
+
+    fused_ms = t(fused, wk, vk, mk, rfs, ris, rms, *targs,
+                 barrier=lambda r: r[0])
+    # the fused step handles B fresh + b2 redo reads per iteration; in
+    # steady state that covers B reads' full pipeline when b2>=frac*B
     return (f"full={full_ms:.2f}ms head={head_ms:.2f}ms "
             f"redo={redo_ms:.2f}ms frac={frac:.3f} "
-            f"eff={eff:.2f}ms -> {8192 / eff * 1000 * 60 / 1e6:.1f}M "
-            f"reads/min (old effective={head_ms + frac * full_ms:.2f})")
+            f"eff={eff:.2f}ms -> {8192 / eff * 1000 * 60 / 1e6:.1f}M | "
+            f"fused(b2={b2})={fused_ms:.2f}ms -> "
+            f"{8192 / fused_ms * 1000 * 60 / 1e6:.1f}M reads/min")
 
 
 def overlap_test():
