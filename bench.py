@@ -277,17 +277,57 @@ def main():
             tr_s = (time.time() - t0) / (iters * SCAN_K)
 
             eff = t1_s + frac * tr_s
+
+            # fused dispatch (the runner's default): phase 1 of each
+            # fresh batch + a frac*B redo slice in ONE scan iteration,
+            # so the redo's VPU sort interleaves under phase 1's HBM
+            # row gathers
+            from metacache_tpu.ops.rows import (
+                query_step_rows_scan_head_fused)
+            b2 = max(256, -(-int(np.ceil(frac * B)) // 256) * 256)
+            sel2 = jnp.asarray(np.resize(idxs, SCAN_K * b2)
+                               .astype(np.int32))
+            rfs = fk.reshape(-1, F)[sel2].reshape(SCAN_K, b2, F)
+            ris = ik.reshape(-1, F)[sel2].reshape(SCAN_K, b2, F)
+            rms = mk.reshape(-1)[sel2].reshape(SCAN_K, b2)
+
+            def fused(wk_, vk_, mk_, rf, ri, rm):
+                return query_step_rows_scan_head_fused(
+                    wk_, vk_, mk_, rf, ri, rm, tf, to, la, lb, mt, lg,
+                    jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                    jnp.int32(0), ps,
+                    k=opt.kmerlen, sketchlen=opt.sketchlen,
+                    slots_per_feature=spf, max_candidates=2,
+                    prefix_bits=bbits, dense=dense,
+                    use_pallas_sketch=use_pallas,
+                    walk_elems=2 * opt.sketchlen,
+                    fused_candidates=use_pallas, pack_bits=pkb)
+
+            np.asarray(fused(wk, vk, mk, rfs, ris, rms)[0])
+            t0 = time.time()
+            prev = None
+            for _ in range(iters):
+                r = fused(wk, vk, mk, rfs, ris, rms)
+                if prev is not None:
+                    np.asarray(prev[0])
+                prev = r
+            np.asarray(prev[0])
+            tf_s = (time.time() - t0) / (iters * SCAN_K)
+
             out["escalation"] = {
                 "phase1_ms_per_batch": round(t1_s * 1000, 3),
                 "redo_ms_per_batch": round(tr_s * 1000, 3),
                 "full_ms_per_batch": round(dt_s * 1000, 3),
                 "overflow_frac": round(frac, 4),
                 "effective_ms_per_batch": round(eff * 1000, 3),
-                "reads_per_min": round(B / eff * 60),
+                "fused_ms_per_batch": round(tf_s * 1000, 3),
+                "fused_redo_slice": b2,
+                "reads_per_min": round(B / min(eff, tf_s) * 60),
             }
-            if eff < dt_s:
-                out["reads_per_min"] = round(B / eff * 60)
-                out["ms_per_batch"] = round(eff * 1000, 3)
+            if min(eff, tf_s) < dt_s:
+                best = min(eff, tf_s)
+                out["reads_per_min"] = round(B / best * 60)
+                out["ms_per_batch"] = round(best * 1000, 3)
 
         if long_reads:
             out["long"] = measure_long(dt, genomes, glen, mt, lg)
@@ -563,9 +603,11 @@ def main():
             big_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # ------- 3. XXL DB: single-chip capacity proof ----------------------
-    # ~1.8x the locations of section 2 — near the HBM budget ceiling for
-    # the current layout (resident rows ~3.9 B/location-byte + index);
-    # demonstrates the largest single-chip database this layout carries
+    # ~2.9x the locations of section 2 under the size-classed head
+    # layout (~2.0 resident bytes per location-byte + 0.5 index) — a DB
+    # the uniform two-tier layout could not hold on one chip (it would
+    # need ~14 GiB of rows alone). Forces MC_CLASSED=1 for this section;
+    # falls back to the smaller two-tier-scale spec if the build OOMs.
     xxl_detail = {}
     if os.environ.get("MC_BENCH_XXL", "1") == "1" and \
             os.environ.get("MC_BENCH_SMALL") != "1":
@@ -574,11 +616,23 @@ def main():
         except NameError:
             pass
         gc.collect()
+        mc_prev = os.environ.get("MC_CLASSED")
+        os.environ["MC_CLASSED"] = "1"
         try:
-            genomes, species = make_strain_genomes(
-                rng, [(76, 1, 0.0), (22, 52, 0.003), (2, 256, 0.003)],
-                GLEN)
-            dt_x, build_x_s = build_db(genomes, opt)
+            specs = [[(96, 1, 0.0), (36, 52, 0.003), (3, 256, 0.003)],
+                     [(76, 1, 0.0), (22, 52, 0.003), (2, 256, 0.003)]]
+            dt_x = None
+            for i, spec in enumerate(specs):
+                try:
+                    genomes, species = make_strain_genomes(rng, spec,
+                                                           GLEN)
+                    dt_x, build_x_s = build_db(genomes, opt)
+                    break
+                except Exception:
+                    if i == len(specs) - 1:
+                        raise
+                    genomes = species = None
+                    gc.collect()
             xxl = measure(dt_x, genomes, species, GLEN, iters=2)
             xxl_detail = {
                 "total_mbp": len(genomes),
@@ -595,6 +649,11 @@ def main():
             del dt_x, genomes
         except Exception as e:
             xxl_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            if mc_prev is None:
+                os.environ.pop("MC_CLASSED", None)
+            else:
+                os.environ["MC_CLASSED"] = mc_prev
 
     out = {
         "metric": "100bp read classification throughput (1 chip, "

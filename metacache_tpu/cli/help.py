@@ -243,13 +243,20 @@ ENVIRONMENT
                             building them on device.
     MC_HBM_GB=<n>           override the device-memory budget used for
                             probe-layout selection.
-    MC_CLASSED=0            disable the size-classed head layout (use
-                            fixed-width two-tier heads instead).
+    MC_CLASSED=<0|1>        size-classed head layout: 0 never, 1 always.
+                            Unset = auto: uniform two-tier heads when
+                            the memory budget allows a full 61-slot
+                            head (~12% faster probes), size-classed
+                            cells when the budget would otherwise pinch
+                            the head (deeper heads + ~2.4x capacity for
+                            the same bytes).
     MC_ESCALATE=0           disable adaptive bucket-depth escalation
                             (every read pays worst-case bucket depth).
-    MC_ESC_FUSED=1          run escalation phase 2 inside the phase-1
-                            scan dispatch (interleaves its sort under
-                            phase 1's row gathers).
+    MC_ESC_FUSED=0          run escalation phase 2 as separate redo
+                            dispatches instead of inside the phase-1
+                            scan (the fused default interleaves the
+                            redo's sort under phase 1's row gathers,
+                            measured ~5% faster).
     MC_ESC_B2=<n>           flagged-read slice width per fused dispatch
                             (default: half the batch size).
     MC_NATIVE_FMT=0         disable the native per-read line formatter
