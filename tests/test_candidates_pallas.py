@@ -259,3 +259,58 @@ def test_candidates_pallas_packed_presorted_parity():
         for a, g, nm in zip(ref, got, ("tgt", "hits", "beg", "end")):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(g),
                                           err_msg=nm)
+
+
+def test_candidates_pallas_topk_tie_stress():
+    """Adversarial ties for the global-max top-k: many target groups
+    with IDENTICAL best hit counts (winner must be the group whose best
+    window range sorts earliest), exact-duplicate slots, rows with a
+    single group, and rows where every group ties at hits=1."""
+    ntgt, l, walk = 16, 192, 12
+    lin = _lineages(ntgt)
+    merge_tax = lin[:, 0].copy()
+    rows_t, rows_w = [], []
+    # 8 groups x 6 identical-hit slots each (all same window => 6 hits)
+    t = np.full(l, I32_MAX, np.int32)
+    w = np.full(l, I32_MAX, np.int32)
+    for g in range(8):
+        t[g * 6:(g + 1) * 6] = g
+        w[g * 6:(g + 1) * 6] = 50
+    rows_t.append(t.copy()); rows_w.append(w.copy())
+    # every group ties at hits=1 (one slot each, distinct windows)
+    t = np.full(l, I32_MAX, np.int32)
+    w = np.full(l, I32_MAX, np.int32)
+    t[:ntgt] = np.arange(ntgt)
+    w[:ntgt] = np.arange(ntgt) * 7
+    rows_t.append(t.copy()); rows_w.append(w.copy())
+    # single group only
+    t = np.full(l, I32_MAX, np.int32)
+    w = np.full(l, I32_MAX, np.int32)
+    t[:10] = 3
+    w[:10] = np.arange(10)
+    rows_t.append(t.copy()); rows_w.append(w.copy())
+    # two groups, second has more hits (order inversion)
+    t = np.full(l, I32_MAX, np.int32)
+    w = np.full(l, I32_MAX, np.int32)
+    t[:4] = 1; w[:4] = 9
+    t[4:12] = 14; w[4:12] = 9
+    rows_t.append(t.copy()); rows_w.append(w.copy())
+    tgt = np.stack(rows_t); win = np.stack(rows_w)
+    mwir = np.full(len(rows_t), 3, np.int32)
+    ref = rows_to_result(
+        jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+        jnp.asarray(merge_tax), jnp.asarray(lin),
+        jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
+        max_candidates=2, walk_elems=walk, fast_top2=True)
+    with pltpu.force_tpu_interpret_mode():
+        ct, ch, cb, ce = candidates_pallas(
+            jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
+            walk_elems=walk, max_candidates=2)
+    np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
+                                  np.asarray(ct), err_msg="tgt")
+    np.testing.assert_array_equal(np.asarray(ref.cand_hits),
+                                  np.asarray(ch), err_msg="hits")
+    np.testing.assert_array_equal(np.asarray(ref.cand_beg),
+                                  np.asarray(cb), err_msg="beg")
+    np.testing.assert_array_equal(np.asarray(ref.cand_end),
+                                  np.asarray(ce), err_msg="end")
