@@ -78,15 +78,13 @@ def build_db(genomes, opt):
     """Device sketch + on-device table construction."""
     from metacache_tpu.db.sketch_exec import DeviceSketchAccumulator
     from metacache_tpu.ops import windows as W
-    from metacache_tpu.ops.table_device import build_device_table
+    from metacache_tpu.ops.table_device import build_device_table_chunked
     t0 = time.time()
     acc = DeviceSketchAccumulator(opt.kmerlen, opt.sketchlen)
     for tid, g in enumerate(genomes):
         wm, vl = W.sequence_windows(g, opt)
         acc.add_target(wm, vl, tid)
-    f, t, w = acc.finish_device()
-    dt = build_device_table(f, t, w, cap=254)
-    del f, t, w
+    dt = build_device_table_chunked(acc.finish_chunks(), cap=254)
     return dt, time.time() - t0
 
 
@@ -322,6 +320,7 @@ def main():
                 "effective_ms_per_batch": round(eff * 1000, 3),
                 "fused_ms_per_batch": round(tf_s * 1000, 3),
                 "fused_redo_slice": b2,
+                "best_mode": "fused" if tf_s < eff else "separate",
                 "reads_per_min": round(B / min(eff, tf_s) * 60),
             }
             if min(eff, tf_s) < dt_s:

@@ -66,6 +66,10 @@ TAXONOMY
                       (default: smart fallback chain).
     -reset-taxa       clear all existing target taxon assignments
                       before applying mappings.
+    -ref-format       save the database in the reference MetaCache
+                      binary format (.meta + .cacheN) so the original
+                      metacache binary can load and query it; databases
+                      in either format load here transparently.
 
 """ + _SKETCHING + """\
 

@@ -177,6 +177,7 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
                             " build parallelism is device-side")
     _apply_info_level(a)
     opt.reset_parents = a.take_flag("-reset-taxa", "-reset-parents")
+    ref_format = a.take_flag("-ref-format", "-reference-format")
     v = a.take_value("-sequence-id-format")
     if v:
         opt.seq_id_type = SequenceIdType(v.replace("-", "_"))
@@ -202,7 +203,14 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
                     t.parent_id = 0
             db.taxa._outdated = True
     db = build_database(opt, db)
-    db.save(opt.dbfile)
+    if ref_format:
+        # write the reference MetaCache binary format instead of the
+        # native JSON+npz — the reference binary can then load and
+        # query this database directly (src/database.cpp:247-325)
+        from ..db.mcformat import save_reference_db
+        save_reference_db(db, opt.dbfile)
+    else:
+        db.save(opt.dbfile)
     from ..utils import info as info_mod
     info_mod.status(f"Database saved to {opt.dbfile}")
     return 0

@@ -139,13 +139,13 @@ class Database:
         src/mode_build.cpp:74-87).
         """
         if self._device_build:
-            from ..ops.table_device import build_device_table
+            from ..ops.table_device import build_device_table_chunked
             for acc in self._pending:
-                f, t, w = acc.finish_device()
-                if f.shape[0]:
-                    self.device_parts.append(build_device_table(
-                        f, t, w, cap=self.max_locations_per_feature))
-                del f, t, w
+                chunks = acc.finish_chunks()
+                if chunks:
+                    self.device_parts.append(build_device_table_chunked(
+                        chunks, cap=self.max_locations_per_feature))
+                del chunks
             self._pending = [self._new_accumulator()
                              for _ in self._pending]
             return

@@ -239,17 +239,27 @@ class DeviceSketchAccumulator:
                                     (size, s)).reshape(-1)
             self.chunks.append((f.reshape(-1), tdev, wdev))
 
-    def finish_device(self):
-        """-> (features u32, tgt i32, win i32) flat device arrays
-        (sentinel features included; build_device_table drops them)."""
-        import jax.numpy as jnp
+    def finish_chunks(self):
+        """-> list of (features u32, tgt i32, win i32) flat device
+        chunk triples for ops.table_device.build_device_table_chunked
+        (sentinel features included; the build drops them). Never
+        concatenates — at RefSeq scale the concatenated stream plus its
+        sources would transiently double HBM use."""
         if self._nwin:
             self._flush(self._nwin)
-        if not self.chunks:
+        chunks, self.chunks = self.chunks, []
+        return chunks
+
+    def finish_device(self):
+        """-> (features u32, tgt i32, win i32) flat device arrays
+        (sentinel features included; build_device_table drops them).
+        Prefer finish_chunks() at scale — this concatenates."""
+        import jax.numpy as jnp
+        chunks = self.finish_chunks()
+        if not chunks:
             z = jnp.zeros(0, jnp.int32)
             return jnp.zeros(0, jnp.uint32), z, z
-        f = jnp.concatenate([c[0] for c in self.chunks])
-        t = jnp.concatenate([c[1] for c in self.chunks])
-        w = jnp.concatenate([c[2] for c in self.chunks])
-        self.chunks = []
+        f = jnp.concatenate([c[0] for c in chunks])
+        t = jnp.concatenate([c[1] for c in chunks])
+        w = jnp.concatenate([c[2] for c in chunks])
         return f, t, w

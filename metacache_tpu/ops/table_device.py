@@ -4,22 +4,30 @@ The host path (ops.table.FeatureTable + fused_rows/fused_rows_two_tier)
 sorts and fills rows in NumPy and ships multi-GB layouts over the
 host->device link — minutes at 100M+ locations through this
 environment's TPU tunnel. Here the (feature, target, window) stream
-stays on the TPU from the sketch kernel onward:
+stays on the TPU from the sketch kernel onward, and — unlike a single
+global sort, whose 2-3x-stream transients exhausted HBM at ~400M
+locations — the build is BOUNDED-MEMORY by construction:
 
-  1. one stable device sort by feature (~1 s for 133M pairs)
-  2. segment scans (cumsum/cummax/cummin) for bucket ids, in-bucket
-     columns, bucket sizes and overflow ids — all gather-free
-  3. HBM-chunked unique-destination scatters build the probe layouts in
-     place (head/overflow fused rows + bucket-row index)
+  1. the sketch chunks are radix-placed into G = 2^gbits feature-range
+     group buffers by their hash's top bits (each source chunk frees
+     right after placement; (tgt, win) packs to one pk lane here)
+  2. each group is stably sorted IN PLACE (transients ~ group size,
+     not stream size) and contributes its distinct-feature metadata to
+     global uniq/sizes arrays at a running row offset
+  3. segment scans (cumsum/cummax/cummin) per group derive bucket ids,
+     in-bucket columns and overflow ids — all gather-free
+  4. HBM-chunked unique-destination scatters fill the globally
+     allocated probe layouts group by group (head/overflow fused rows;
+     the bucket-row index builds from the small global uniq array)
 
 mirroring the reference's GPU-side bulk insert (gpu_hashmap.cu:190-230,
-warpcore insert + bb_segsort) rather than its host hashmap. Two tiny
-host syncs (distinct-feature count + bucket-size histogram) size the
-static output shapes.
+warpcore insert + bb_segsort) and its free-VRAM-bounded sizing
+(gpu_hashmap.cu:1114-1133). A handful of tiny host syncs (per-group
+distinct counts + bucket-size histograms) size the static shapes.
 
 Layout parity: rows are bit-identical to ops.table.FeatureTable's
 fused_rows / fused_rows_two_tier / ops.probe.make_bucket_index for the
-same input stream (tests/test_table_device.py).
+same input stream regardless of gbits (tests/test_table_device.py).
 """
 from __future__ import annotations
 
@@ -97,44 +105,108 @@ def _segments(fs):
     return newf, r, col, size_el
 
 
-@functools.partial(jax.jit, static_argnames=("presorted",),
-                   donate_argnums=(0, 1, 2))
-def _stage_sort(f, t, w, presorted: bool):
-    """Stable sort by feature; returns sorted triplet + (nf, maxb)."""
-    if presorted:
-        fs, ts, ws = jax.lax.sort((f, t, w), dimension=0, num_keys=1,
-                                  is_stable=True)
+@functools.partial(jax.jit, static_argnames=("gbits",))
+def _chunk_stats(f, t, w, gbits: int):
+    """Per-chunk radix pass: -> (per-group element counts incl.
+    sentinels, max window, max target over valid elements)."""
+    f = f.astype(jnp.uint32)
+    valid = f != SENT
+    if gbits:
+        grp = (f >> np.uint32(32 - gbits)).astype(jnp.int32)
     else:
-        fs, ts, ws = jax.lax.sort((f, t, w), dimension=0, num_keys=3)
+        grp = jnp.zeros(f.shape, jnp.int32)
+    counts = jnp.bincount(grp, length=1 << gbits)
+    maxw = jnp.max(jnp.where(valid, w, 0))
+    maxt = jnp.max(jnp.where(valid, t, 0))
+    return counts, maxw, maxt
+
+
+@functools.partial(jax.jit, static_argnames=("gbits", "slot_bits"),
+                   donate_argnums=(0, 1))
+def _place_chunk(bufF, bufV, offs, f, t, w, gbits: int, slot_bits: int):
+    """Scatter one chunk's elements into the (G, S) group buffers at
+    the running per-group offsets (donated: updated in place).
+
+    ``slot_bits > 0``: (tgt, win) packs to pk = (tgt << bits) | win in
+    bufV[0] right here — the stream carries 8 B/element from this point
+    on. Otherwise bufV[0] = tgt, bufV[1] = win."""
+    G = 1 << gbits
+    S = bufF.shape[1]
+    f = f.astype(jnp.uint32)
+    t = t.astype(jnp.int32)
+    w = w.astype(jnp.int32)
+    if slot_bits:
+        vals = [(t << slot_bits) | w]
+    else:
+        vals = [t, w]
+    if gbits:
+        grp = (f >> np.uint32(32 - gbits)).astype(jnp.int32)
+    else:
+        grp = jnp.zeros(f.shape, jnp.int32)
+    for g in range(G):
+        m = grp == g
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        dest = jnp.where(m, offs[g] + rank, S)
+        bufF = bufF.at[g, dest].set(f, mode="drop",
+                                    unique_indices=True)
+        for v, vv in enumerate(vals):
+            bufV = bufV.at[v, g, dest].set(vv, mode="drop",
+                                           unique_indices=True)
+    return bufF, bufV, offs + jnp.bincount(grp, length=G)
+
+
+@functools.partial(jax.jit, static_argnames=("presorted", "nkeys"),
+                   donate_argnums=(0, 1))
+def _sort_group(bufF, bufV, g, presorted: bool, nkeys: int):
+    """Stably sort group row g by feature in place; -> (bufF, bufV,
+    nf_g distinct real features, maxb_g max bucket size).
+
+    When not presorted, the value lanes join the sort key (pk sorts
+    identically to lexicographic (tgt, win))."""
+    S = bufF.shape[1]
+    V = bufV.shape[0]
+    fr = jax.lax.dynamic_slice(bufF, (g, 0), (1, S)).reshape(S)
+    vr = [jax.lax.dynamic_slice(bufV, (v, g, 0), (1, 1, S)).reshape(S)
+          for v in range(V)]
+    if presorted:
+        srt = jax.lax.sort((fr, *vr), dimension=0, num_keys=1,
+                           is_stable=True)
+    else:
+        srt = jax.lax.sort((fr, *vr), dimension=0,
+                           num_keys=min(1 + nkeys, 1 + V))
+    fs = srt[0]
     newf, r, col, _ = _segments(fs)
-    valid = fs != SENT           # sentinel slots sort last; dropped
-    nf = jnp.sum((newf & valid).astype(jnp.int32))
-    maxb = jnp.max(jnp.where(valid, col, -1)) + 1
-    maxw = jnp.max(jnp.where(valid, ws, 0))
-    maxt = jnp.max(jnp.where(valid, ts, 0))
-    return fs, ts, ws, nf, maxb, maxw, maxt
+    valid = fs != SENT
+    nf_g = jnp.sum((newf & valid).astype(jnp.int32))
+    maxb_g = jnp.max(jnp.where(valid, col, -1)) + 1
+    bufF = jax.lax.dynamic_update_slice(bufF, fs.reshape(1, S), (g, 0))
+    for v in range(V):
+        bufV = jax.lax.dynamic_update_slice(
+            bufV, srt[1 + v].reshape(1, 1, S), (v, g, 0))
+    return bufF, bufV, nf_g, maxb_g
 
 
-@functools.partial(jax.jit, static_argnames=("nf", "cap", "nch"))
-def _stage_sizes(fs, nf: int, cap: int, nch: int):
-    """-> (sizes (nf,) capped bucket sizes, uniq (nf,) u32 features,
-    hist (cap+2,) bucket-size histogram)."""
-    n = fs.shape[0]
+@functools.partial(jax.jit, static_argnames=("cap", "nch"),
+                   donate_argnums=(0, 1))
+def _group_meta(uniq, sizes, bufF, g, nf_off, cap: int, nch: int):
+    """Scatter group g's distinct features + capped bucket sizes into
+    the global uniq/sizes arrays (donated) at row offset nf_off;
+    -> (uniq, sizes, hist (cap+2,) group bucket-size histogram)."""
+    S = bufF.shape[1]
+    nf_pad = uniq.shape[0]
+    fs = jax.lax.dynamic_slice(bufF, (g, 0), (1, S)).reshape(S)
     newf, r, col, size_el = _segments(fs)
+    valid = fs != SENT
     capped = jnp.minimum(size_el, cap)
-    # the sentinel bucket (padding elements + empty sketch slots) must
-    # not write its size into the first padding feature row
-    start_rows = jnp.where(newf & (fs != SENT), r, nf)
-    zcol = jnp.zeros((n,), jnp.int32)
-    sizes = _chunked_scatter(jnp.zeros((nf, 1), jnp.int32),
-                             start_rows, zcol, capped, nch).reshape(nf)
-    # padding feature rows (beyond the real distinct count) stay SENT so
-    # they sort-order consistently and never match a probe
-    uniq = _chunked_scatter(jnp.full((nf, 1), SENT, jnp.uint32),
-                            start_rows, zcol, fs, nch).reshape(nf)
-    hist = jnp.bincount(jnp.where(newf & (fs != SENT), capped, cap + 1),
+    start_rows = jnp.where(newf & valid, nf_off + r, nf_pad)
+    zcol = jnp.zeros((S,), jnp.int32)
+    sizes = _chunked_scatter(sizes.reshape(nf_pad, 1), start_rows, zcol,
+                             capped, nch).reshape(nf_pad)
+    uniq = _chunked_scatter(uniq.reshape(nf_pad, 1), start_rows, zcol,
+                            fs, nch).reshape(nf_pad)
+    hist = jnp.bincount(jnp.where(newf & valid, capped, cap + 1),
                         length=cap + 2)
-    return sizes, uniq, hist
+    return uniq, sizes, hist
 
 
 def _marks_segments(marks):
@@ -155,33 +227,56 @@ def _marks_segments(marks):
     return start, r, col, size_el
 
 
+def _slice_marks_vals(marks, vals, g, vsel: int):
+    """Resolve the (marks, vals) element streams for one fill pass:
+    device path passes the (G, S) feature matrix + (V, G, S) value
+    stack and a group index; the CSR staging path passes flat arrays
+    (bool bucket-start marks) with g ignored."""
+    if marks.ndim == 2:
+        S = marks.shape[1]
+        marks = jax.lax.dynamic_slice(marks, (g, 0), (1, S)).reshape(S)
+    if vals.ndim == 3:
+        S = vals.shape[2]
+        vals = jax.lax.dynamic_slice(vals, (vsel, g, 0),
+                                     (1, 1, S)).reshape(S)
+    return marks, vals
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "colbase", "head",
                                              "cap", "nch", "nrows",
-                                             "pack"),
+                                             "pack", "vsel"),
                    donate_argnums=(0,))
-def _fill_span(rows, marks, vals, *, kind: str, colbase: int,
-               head: int, cap: int, nch: int, nrows: int,
-               pack: bool = False):
-    """One scatter pass writing `vals` into `rows` (donated: updated in
-    place). kind="head": bucket columns [0, head) at colbase+col of row
-    r; kind="ovf": columns [head, cap) of oversized buckets at
-    colbase+(col-head) of overflow row ovfid. Each pass is its own jit
-    so only ONE (rows, marks, vals) triple is resident at a time —
-    RefSeq-scale fills would exceed HBM in a single fused stage.
+def _fill_span_g(rows, marks, vals, g, nf_off, novf_off, nf_g, *,
+                 kind: str, colbase: int, head: int, cap: int,
+                 nch: int, nrows: int, pack: bool = False,
+                 vsel: int = 0):
+    """One scatter pass writing group g's `vals` into `rows` (donated:
+    updated in place). kind="head": bucket columns [0, head) at
+    colbase+col of global row nf_off+r; kind="ovf": columns [head, cap)
+    of oversized buckets at colbase+(col-head) of global overflow row
+    novf_off+ovfid. Each pass is its own jit so only ONE group's
+    segment-scan working set is resident at a time — RefSeq-scale fills
+    would exceed HBM in a single fused stage.
+
+    Buckets at local r >= nf_g (sentinel features and group-buffer
+    padding, which sort last) are dropped — their global rows would
+    collide with the next group's.
 
     `pack=True`: two logical 64-lane rows share one physical 128-lane
     row (logical row r -> physical (r >> 1, (r & 1) * 64 + col)); the
     TPU's (8, 128) int32 tiling would otherwise pad 64-lane rows 2x.
     `nrows` is the LOGICAL row count (must be even when packing)."""
+    marks, vals = _slice_marks_vals(marks, vals, g, vsel)
     newf, r, col, size_el = _marks_segments(marks)
+    ok_r = r < nf_g
     if kind == "head":
-        rr = jnp.where(col < head, r, nrows)
-        cc = colbase + col
+        rr = jnp.where((col < head) & ok_r, nf_off + r, nrows)
+        cc = colbase + jnp.minimum(col, max(head - 1, 0))
     else:
         over_el = jnp.minimum(size_el, cap) > head
         ovfid_el = jnp.cumsum((newf & over_el).astype(jnp.int32))
-        in_ovf = (col >= head) & (col < cap) & over_el
-        rr = jnp.where(in_ovf, ovfid_el, nrows)
+        in_ovf = (col >= head) & (col < cap) & over_el & ok_r
+        rr = jnp.where(in_ovf, novf_off + ovfid_el, nrows)
         cc = colbase + jnp.clip(col - head, 0, max(cap - head - 1, 0))
     if pack:
         rr, cc = rr >> 1, (rr & 1) * 64 + cc
@@ -208,13 +303,6 @@ def _head_init(sizes, uniq, hw: int, dense: bool, head: int,
                             jnp.cumsum(over_f.astype(jnp.int32)), 0)
         headrows = headrows.at[ri, cb + 2].set(ovfid_f)
     return headrows
-
-
-@functools.partial(jax.jit, static_argnames=("wbits",),
-                   donate_argnums=(0, 1))
-def _pack_stream(ts, ws, wbits: int):
-    """(tgt, win) location stream -> packed pk stream (donates both)."""
-    return (ts << wbits) | ws
 
 
 def slot_pack_bits(maxwin: int, maxtgt: int) -> int:
@@ -287,8 +375,10 @@ def _want_classed(head: int, spf: int, dense: bool, slot_bits: int):
     mc = _os.environ.get("MC_CLASSED", "")
     if mc == "0" or dense or not slot_bits:
         return False
-    if mc:
+    if mc == "1":
         return True
+    # unrecognized values fall through to the auto heuristic
+    # (help.py documents 0|1|unset only)
     return head < min(CLASS_LADDER[2], spf)
 
 
@@ -340,20 +430,25 @@ def _classed_meta_fill(rows, uniq, sizes, addr16, cls, ovfid,
     return rows
 
 
-@functools.partial(jax.jit, static_argnames=("spf", "P", "nch"),
-                   donate_argnums=(0, 1, 2))
-def _classed_slot_fill(rows, marks, vals, addr16_f, cls_f,
-                       spf: int, P: int, nch: int):
-    """Scatter in-head slots of the feature-sorted stream into classed
-    cells (slot lanes start at meta+col; class C head = 61 slots)."""
+@functools.partial(jax.jit, static_argnames=("spf", "P", "nch", "vsel"),
+                   donate_argnums=(0,))
+def _classed_slot_fill_g(rows, marks, vals, g, nf_off, nf_g,
+                         addr16_f, cls_f, spf: int, P: int, nch: int,
+                         vsel: int = 0):
+    """Scatter group g's in-head slots into classed cells (slot lanes
+    start at meta+col; class C head = 61 slots). addr16_f/cls_f are the
+    GLOBAL per-feature arrays, indexed at the global row nf_off+r."""
+    marks, vals = _slice_marks_vals(marks, vals, g, vsel)
     newf, r, col, _ = _marks_segments(marks)
-    a16 = addr16_f[r]
-    cl = cls_f[r]
+    ok_r = r < nf_g
+    rg = jnp.minimum(nf_off + r, addr16_f.shape[0] - 1)
+    a16 = addr16_f[rg]
+    cl = cls_f[rg]
     meta = jnp.where(cl == 2, 3, 2)
     cap = jnp.where(cl == 2, min(61, spf),
                     jnp.where(cl == 1, CLASS_LADDER[1], CLASS_LADDER[0]))
     pos = a16 * 16 + meta + col
-    ok = col < cap
+    ok = (col < cap) & ok_r
     rr = jnp.where(ok, pos >> 7, P)
     cc = jnp.where(ok, pos & 127, 0)
     return _chunked_scatter(rows, rr, cc, vals, nch)
@@ -459,57 +554,67 @@ def _pack_auto(nf_rows: int) -> bool:
     return nf_rows * 512 > (3 << 30)
 
 
-def _build_rows(owned, sizes, uniq, *, nf: int, novf: int,
-                cap: int, head: int, bits: int, nch: int, dense: bool,
-                pack_rows: bool = True, slot_bits: int = 0):
-    """Head rows, overflow rows and the bucket index via per-fill jits,
-    bounding concurrent HBM residency to one fill's working set.
+def _vsel(vals, v: int):
+    """Value stream for fill pass v: the 3-D (V, G, S) device stack
+    itself (vsel selects inside the jit) or element v of a flat list."""
+    return vals if hasattr(vals, "ndim") else vals[v]
 
-    `owned` is a [marks, ts, ws] list whose refs this function consumes
-    (callers must not keep their own) so each array frees right after
-    its last fill.
+
+def _fill_layouts(get_mv, G: int, nf_offs, nf_gs, novf_offs, sizes,
+                  uniq, *, nf_pad: int, novf: int, cap: int, head: int,
+                  bits: int, nch: int, dense: bool,
+                  pack_rows: bool = True, slot_bits: int = 0):
+    """Head rows, overflow rows and the bucket index, filled group by
+    group via per-fill jits — concurrent HBM residency is the group
+    buffers + the two layout arrays + ONE fill's working set.
+
+    get_mv(g) -> (marks, vals) for group g: the shared (G, S)/(V, G, S)
+    device matrices, or freshly-staged flat arrays (CSR path — freed
+    when the loop iteration drops them).
 
     ``slot_bits > 0``: rows store packed pk = (tgt << slot_bits) | win
     in ONE lane per slot — half the layout bytes, half the fills."""
-    marks, ts, ws = owned
-    owned.clear()
     base = 2 if dense else 3
     spl = 1 if slot_bits else 2        # lanes per slot
     hw = _pad64(base + spl * head)
-    pack = pack_rows and hw == 64 and nf % 2 == 0
+    pack = pack_rows and hw == 64 and nf_pad % 2 == 0
     ow = cap - head
     ocols = _pad64(spl * ow) if ow > 0 else 64
-    novf_rows = novf + 2 if novf % 2 else novf + 1   # even when packing
+    novf_pad = _quantize(novf, 10) if novf else 0
+    novf_rows = novf_pad + 2 if novf_pad % 2 else novf_pad + 1
     opack = ocols == 64 and novf_rows % 2 == 0
-    if slot_bits:
-        ts = _pack_stream(ts, ws, slot_bits)
-        ws = None
-    # overflow rows first — while the (larger) head rows don't exist
-    # yet, keeping peak residency = max(head, ovf) + fill working set
     ovfrows = jnp.zeros((novf_rows // 2, 128) if opack else
                         (novf_rows, ocols), jnp.int32)
-    if ow > 0 and novf > 0:
-        ovfrows = _fill_span(ovfrows, marks, ts, kind="ovf", colbase=0,
-                             head=head, cap=cap, nch=nch,
-                             nrows=novf_rows, pack=opack)
-        if not slot_bits:
-            ovfrows = _fill_span(ovfrows, marks, ws, kind="ovf",
-                                 colbase=ow, head=head, cap=cap,
-                                 nch=nch, nrows=novf_rows, pack=opack)
     headrows = _head_init(sizes, uniq, hw=hw, dense=dense, head=head,
                           pack=pack)
-    headrows = _fill_span(headrows, marks, ts, kind="head",
-                          colbase=base, head=head, cap=cap, nch=nch,
-                          nrows=nf, pack=pack)
-    ts = None
-    if not slot_bits:
-        headrows = _fill_span(headrows, marks, ws, kind="head",
-                              colbase=base + head, head=head, cap=cap,
-                              nch=nch, nrows=nf, pack=pack)
-    ws = marks = None
-    brows, maxspan = _brows_build(uniq, bits=bits,
-                                  nch=max(nch // 8, 1))
-    return headrows, ovfrows, brows, maxspan, pack, opack
+    for g in range(G):
+        if nf_gs[g] == 0:
+            continue
+        marks, vals = get_mv(g)
+        gi, fo = np.int32(g), np.int32(nf_offs[g])
+        no, ng = np.int32(novf_offs[g]), np.int32(nf_gs[g])
+        if ow > 0 and novf > 0:
+            ovfrows = _fill_span_g(
+                ovfrows, marks, _vsel(vals, 0), gi, fo, no, ng,
+                kind="ovf", colbase=0, head=head, cap=cap, nch=nch,
+                nrows=novf_rows, pack=opack, vsel=0)
+            if not slot_bits:
+                ovfrows = _fill_span_g(
+                    ovfrows, marks, _vsel(vals, 1), gi, fo, no, ng,
+                    kind="ovf", colbase=ow, head=head, cap=cap,
+                    nch=nch, nrows=novf_rows, pack=opack, vsel=1)
+        headrows = _fill_span_g(
+            headrows, marks, _vsel(vals, 0), gi, fo, no, ng,
+            kind="head", colbase=base, head=head, cap=cap, nch=nch,
+            nrows=nf_pad, pack=pack, vsel=0)
+        if not slot_bits:
+            headrows = _fill_span_g(
+                headrows, marks, _vsel(vals, 1), gi, fo, no, ng,
+                kind="head", colbase=base + head, head=head, cap=cap,
+                nch=nch, nrows=nf_pad, pack=pack, vsel=1)
+    brows, _maxspan = _brows_build(uniq, bits=bits,
+                                   nch=max(nch // 8, 1))
+    return headrows, ovfrows, brows, pack, opack
 
 
 def _pad64(c: int) -> int:
@@ -543,37 +648,44 @@ def _classed_bytes(hist: np.ndarray, nf_pad: int, spf: int,
     return b
 
 
-def _build_rows_classed(owned, sizes, uniq, *, nf: int, novf: int,
-                        cap: int, bits: int, nch: int, slot_bits: int,
-                        P16: int):
+def _fill_layouts_classed(get_mv, G: int, nf_offs, nf_gs, novf_offs,
+                          sizes, uniq, *, novf: int, cap: int,
+                          bits: int, nch: int, slot_bits: int,
+                          P16: int):
     """Classed unified head cells + overflow rows + classed bucket
-    index (per-fill jits bound HBM residency like _build_rows)."""
-    marks, ts, ws = owned
-    owned.clear()
+    index, filled group by group (HBM residency bounded like
+    _fill_layouts). Requires slot_bits > 0 (enforced by
+    _want_classed)."""
     hC = min(CLASS_LADDER[2], cap)
     ow = cap - hC
     ocols = _pad64(ow) if ow > 0 else 64
-    novf_rows = novf + 2 if novf % 2 else novf + 1
+    novf_pad = _quantize(novf, 10) if novf else 0
+    novf_rows = novf_pad + 2 if novf_pad % 2 else novf_pad + 1
     opack = ocols == 64 and novf_rows % 2 == 0
-    ts = _pack_stream(ts, ws, slot_bits)
-    ws = None
     P = -(-P16 // 8)
     addr16_f, cls_f, ovfid_f = _classed_addr(sizes, spf=cap)
     ovfrows = jnp.zeros((novf_rows // 2, 128) if opack else
                         (novf_rows, ocols), jnp.int32)
-    if ow > 0 and novf > 0:
-        ovfrows = _fill_span(ovfrows, marks, ts, kind="ovf", colbase=0,
-                             head=hC, cap=cap, nch=nch,
-                             nrows=novf_rows, pack=opack)
     headrows = jnp.zeros((P, 128), jnp.int32)
     headrows = _classed_meta_fill(headrows, uniq, sizes, addr16_f,
                                   cls_f, ovfid_f, P=P, nch=nch)
-    headrows = _classed_slot_fill(headrows, marks, ts, addr16_f, cls_f,
-                                  spf=cap, P=P, nch=nch)
-    ts = marks = None
-    brows, maxspan = _brows_build_classed(uniq, cls_f, bits=bits,
-                                          nch=max(nch // 8, 1))
-    return headrows, ovfrows, brows, maxspan, opack
+    for g in range(G):
+        if nf_gs[g] == 0:
+            continue
+        marks, vals = get_mv(g)
+        gi, fo = np.int32(g), np.int32(nf_offs[g])
+        no, ng = np.int32(novf_offs[g]), np.int32(nf_gs[g])
+        if ow > 0 and novf > 0:
+            ovfrows = _fill_span_g(
+                ovfrows, marks, _vsel(vals, 0), gi, fo, no, ng,
+                kind="ovf", colbase=0, head=hC, cap=cap, nch=nch,
+                nrows=novf_rows, pack=opack, vsel=0)
+        headrows = _classed_slot_fill_g(
+            headrows, marks, _vsel(vals, 0), gi, fo, ng,
+            addr16_f, cls_f, spf=cap, P=P, nch=nch, vsel=0)
+    brows, _maxspan = _brows_build_classed(uniq, cls_f, bits=bits,
+                                           nch=max(nch // 8, 1))
+    return headrows, ovfrows, brows, opack
 
 
 def _choose_head(spf, cum_over, bytes_for, budget_bytes, what,
@@ -632,55 +744,142 @@ def _bytes_for_fn(nf_pad, spf, spl):
                 row_b(_pad64(spl * (spf - hd))))
     return bytes_for
 
+def _choose_gbits(total_elems: int) -> int:
+    """Feature-range group count (2^gbits) for the bounded-memory
+    build: target <= ~48M elements per group so per-group sort + fill
+    transients stay a few hundred MB regardless of database size.
+    MC_BUILD_GBITS overrides (0 = single group, the round-4 layout)."""
+    import os
+    env = os.environ.get("MC_BUILD_GBITS")
+    if env is not None:
+        try:
+            return max(0, min(4, int(env)))
+        except ValueError:
+            pass
+    g = 0
+    while (total_elems >> g) > (48 << 20) and g < 4:
+        g += 1
+    return g
+
+
 def build_device_table(f, t, w, *, cap: int = 254,
                        budget_bytes: int | None = None,
                        presorted: bool = True,
                        nch: int = 16) -> DeviceTable:
-    """(feature, tgt, win) device arrays -> probe-ready DeviceTable.
+    """(feature, tgt, win) device arrays -> probe-ready DeviceTable
+    (single-chunk convenience wrapper over the grouped builder)."""
+    return build_device_table_chunked([(f, t, w)], cap=cap,
+                                      budget_bytes=budget_bytes,
+                                      presorted=presorted, nch=nch)
 
-    Two tiny host syncs size the static shapes (distinct-feature count,
-    bucket-size histogram); everything else stays on device. The head
-    width is chosen against `budget_bytes` like
-    FeatureTable.choose_layout: dense (head == spf, dummy overflow row)
-    when it fits, else the smallest fitting two-tier split.
 
-    `presorted=True` asserts the input stream is already ascending in
+def build_device_table_chunked(chunks, *, cap: int = 254,
+                               budget_bytes: int | None = None,
+                               presorted: bool = True, nch: int = 16,
+                               gbits: int | None = None) -> DeviceTable:
+    """List of (feature, tgt, win) device chunk triples -> probe-ready
+    DeviceTable, with transient HBM bounded to ~1/G of the stream (see
+    module docstring). CONSUMES the list (chunks free as they are
+    radix-placed into the group buffers).
+
+    A handful of tiny host syncs size the static shapes (per-group
+    distinct-feature counts, bucket-size histograms); everything else
+    stays on device. The head width is chosen against `budget_bytes`
+    like FeatureTable.choose_layout: dense (head == spf, dummy overflow
+    row) when it fits, else the smallest fitting two-tier split (or the
+    size-classed cells, _want_classed).
+
+    `presorted=True` asserts the concatenated stream is ascending in
     (tgt, win) within each feature (true for any sequential build
-    accumulation) — the stable feature sort then preserves it.
-    """
+    accumulation) — the stable per-group feature sort preserves it."""
     from ..utils.platform import hbm_budget_bytes
     if budget_bytes is None:
         budget_bytes = hbm_budget_bytes()
-    n = f.shape[0]
-    n_pad = _quantize(n, 14)
-    if n_pad != n:
-        import jax.numpy as _jnp
-        f = _jnp.concatenate(
-            [f, _jnp.full((n_pad - n,), SENT, _jnp.uint32)])
-        t = _jnp.concatenate([t, _jnp.zeros((n_pad - n,), _jnp.int32)])
-        w = _jnp.concatenate([w, _jnp.zeros((n_pad - n,), _jnp.int32)])
-    fs, ts, ws, nf_d, maxb_d, maxw_d, maxt_d = _stage_sort(
-        f, t, w, presorted)
-    del f, t, w
-    nf = int(np.asarray(nf_d))
-    maxb = int(np.asarray(maxb_d))
-    maxw = int(np.asarray(maxw_d))
-    maxt = int(np.asarray(maxt_d))
+    if not isinstance(chunks, list):
+        chunks = list(chunks)
+    chunks = [c for c in chunks if int(c[0].shape[0]) > 0]
+    if not chunks:           # empty stream: one all-sentinel element
+        chunks = [(jnp.full((1,), SENT, jnp.uint32),
+                   jnp.zeros((1,), jnp.int32),
+                   jnp.zeros((1,), jnp.int32))]
+    total = sum(int(c[0].shape[0]) for c in chunks)
+    if gbits is None:
+        gbits = _choose_gbits(total)
+    G = 1 << gbits
+
+    # phase 1: radix stats (per-group counts + max window/target)
+    stats = [_chunk_stats(cf, ct, cw, gbits=gbits)
+             for (cf, ct, cw) in chunks]
+    counts = np.zeros(G, np.int64)
+    maxw = maxt = 0
+    for cd, wd, td in stats:
+        counts += np.asarray(cd)
+        maxw = max(maxw, int(wd))
+        maxt = max(maxt, int(td))
+    del stats
+    slot_bits = slot_pack_bits(maxw, maxt)
+    V = 1 if slot_bits else 2
+
+    # phase 2: place chunks into the (G, S) group buffers; each source
+    # chunk frees right after its placement scatter
+    S = _quantize(int(max(counts.max(), 1)), 14)
+    bufF = jnp.full((G, S), SENT, jnp.uint32)
+    bufV = jnp.zeros((V, G, S), jnp.int32)
+    offs = jnp.zeros((G,), jnp.int32)
+    while chunks:
+        cf, ct, cw = chunks.pop(0)
+        bufF, bufV, offs = _place_chunk(bufF, bufV, offs, cf, ct, cw,
+                                        gbits=gbits,
+                                        slot_bits=slot_bits)
+        del cf, ct, cw
+    del offs
+
+    # phase 3: in-place per-group sorts
+    nf_gs = []
+    maxb = 0
+    for g in range(G):
+        bufF, bufV, nf_g_d, maxb_d = _sort_group(
+            bufF, bufV, np.int32(g), presorted=presorted, nkeys=2)
+        nf_gs.append(int(np.asarray(nf_g_d)))
+        maxb = max(maxb, int(np.asarray(maxb_d)))
+    nf = sum(nf_gs)
+    nf_offs = np.concatenate([[0], np.cumsum(nf_gs)]).astype(np.int64)
     spf = max(min(maxb, cap), 1)
     nf_pad = _quantize(nf, 12)
-    slot_bits = slot_pack_bits(maxw, maxt)
 
-    sizes, uniq, hist_d = _stage_sizes(fs, nf=nf_pad, cap=spf, nch=nch)
-    hist = np.asarray(hist_d)[:spf + 1]   # drop the non-start junk bin
+    # phase 4: global distinct-feature metadata + per-group histograms
+    uniq = jnp.full((nf_pad,), SENT, jnp.uint32)
+    sizes = jnp.zeros((nf_pad,), jnp.int32)
+    hists = []
+    for g in range(G):
+        uniq, sizes, hist_d = _group_meta(uniq, sizes, bufF,
+                                          np.int32(g),
+                                          np.int32(nf_offs[g]),
+                                          cap=spf, nch=nch)
+        hists.append(hist_d)
+    hists = [np.asarray(h)[:spf + 1] for h in hists]  # drop junk bin
+    hist = np.sum(hists, axis=0)
 
+    dt = _layout_and_fill(
+        lambda g: (bufF, bufV), G, nf_offs, nf_gs, hists,
+        sizes, uniq, nf=nf, nf_pad=nf_pad, spf=spf, hist=hist,
+        slot_bits=slot_bits, maxw=maxw, budget_bytes=budget_bytes,
+        nch=nch, what="table")
+    return dt
+
+
+def _layout_and_fill(get_mv, G, nf_offs, nf_gs, hists, sizes, uniq, *,
+                     nf, nf_pad, spf, hist, slot_bits, maxw,
+                     budget_bytes, nch, what, allow_dense=True):
+    """Shared tail of the grouped builders: choose the layout against
+    the HBM budget, run the grouped fills, assemble the DeviceTable."""
     bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2)
-
     cum_over = np.cumsum(hist[::-1])[::-1]        # #buckets size >= idx
-    if bytes_for(spf, 0) <= budget_bytes:
+    if allow_dense and bytes_for(spf, 0) <= budget_bytes:
         head = spf                                 # dense: no overflow
     else:
         head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
-                            "table", slot_packed=bool(slot_bits))
+                            what, slot_packed=bool(slot_bits))
     dense = head == spf
 
     use_classed = _want_classed(head, spf, dense, slot_bits)
@@ -689,24 +888,28 @@ def build_device_table(f, t, w, *, cap: int = 254,
         use_classed = cb <= budget_bytes and \
             cb < bytes_for(head, int(cum_over[head + 1]))
     base_bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 4))
-    offsets_src = sizes
+
+    def novf_offsets(h):
+        """Per-group overflow-row offsets for head width h (cumulative
+        count of earlier groups' oversized buckets)."""
+        per_g = [int(hg[h + 1:].sum()) for hg in hists]
+        return np.concatenate([[0], np.cumsum(per_g)]).astype(np.int64)
+
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(sizes)])
+    num_loc = int(np.asarray(offsets[-1]))
+
     if use_classed:
         hC = min(CLASS_LADDER[2], spf)
         novf = int(cum_over[hC + 1]) if hC < spf else 0
-        novf_pad = _quantize(novf, 10) if novf else 0
         bits = _choose_bits(uniq, base_bits, span_cap=122, min_bits=18)
         nA, nB, nC = _classed_counts(hist, nf_pad)
         *_bases, total16 = _classed_total16(nA, nB, nC)
         P16 = _quantize(max(total16, 8), 10)
-        owned = [fs, ts, ws]
-        del fs, ts, ws
-        headrows, ovfrows, brows, maxspan_d, opack = _build_rows_classed(
-            owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-            bits=bits, nch=nch, slot_bits=slot_bits, P16=P16)
-        del maxspan_d
-        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(offsets_src)])
-        num_loc = int(np.asarray(offsets[-1]))
+        headrows, ovfrows, brows, opack = _fill_layouts_classed(
+            get_mv, G, nf_offs, nf_gs, novf_offsets(hC), sizes, uniq,
+            novf=novf, cap=spf, bits=bits, nch=nch,
+            slot_bits=slot_bits, P16=P16)
         return DeviceTable(uniq=uniq, offsets=offsets,
                            head=headrows, ovf=ovfrows, brows=brows,
                            bbits=bits, nf=nf, spf=spf, head_slots=hC,
@@ -718,18 +921,12 @@ def build_device_table(f, t, w, *, cap: int = 254,
                            classed=True)
 
     novf = int(cum_over[head + 1]) if head < spf else 0
-    novf_pad = _quantize(novf, 10) if novf else 0
     bits = _choose_bits(uniq, base_bits)
-    owned = [fs, ts, ws]
-    del fs, ts, ws
-    headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
-        owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-        head=head, bits=bits, nch=nch, dense=dense,
-        pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
-    del maxspan_d
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(sizes)])
-    num_loc = int(np.asarray(offsets[-1]))
+    headrows, ovfrows, brows, pack, opack = _fill_layouts(
+        get_mv, G, nf_offs, nf_gs, novf_offsets(head), sizes, uniq,
+        nf_pad=nf_pad, novf=novf, cap=spf, head=head, bits=bits,
+        nch=nch, dense=dense, pack_rows=_pack_auto(nf_pad),
+        slot_bits=slot_bits)
     return DeviceTable(uniq=uniq, offsets=offsets,
                        head=headrows, ovf=ovfrows, brows=brows,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
@@ -831,22 +1028,27 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
                            cap: int = 254,
                            budget_bytes: int | None = None,
                            allow_dense: bool = True,
-                           nch: int = 16) -> DeviceTable:
+                           nch: int = 16,
+                           gbits: int | None = None) -> DeviceTable:
     """Stage a saved/loaded CSR table as device probe rows.
 
-    Uploads only the CSR stream (12 bytes/location) and builds the
-    fused-row layouts on device — the staged rows (up to ~8x the CSR
-    bytes after padding) never cross the host->device link. This is how
-    `query` stages multi-GB databases after load.
-    """
+    Uploads the CSR stream feature-range group by group (8 bytes/
+    location slot-packed) and builds the fused-row layouts on device —
+    the staged rows (up to ~8x the CSR bytes after padding) never cross
+    the host->device link, and at most ONE group's stream is device-
+    resident beyond the layouts themselves (each group's upload frees
+    after its fills). This is how `query` stages multi-GB databases
+    after load."""
     from ..utils.platform import hbm_budget_bytes
     if budget_bytes is None:
         budget_bytes = hbm_budget_bytes()
     nf = len(uniq_host)
     n = len(ltgt)
     nf_pad = _quantize(nf, 12)
-    n_pad = _quantize(n, 14)
-    sizes_h = np.diff(offsets_host).astype(np.int32)
+    if gbits is None:
+        gbits = _choose_gbits(n)
+    G = 1 << gbits
+    sizes_h = np.diff(offsets_host).astype(np.int64)
     maxb = int(sizes_h.max()) if nf else 1
     spf = max(min(maxb, cap), 1)
     sizes_capped = np.minimum(sizes_h, spf).astype(np.int32)
@@ -854,76 +1056,53 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     maxt = int(ltgt.max()) if n else 0
     slot_bits = slot_pack_bits(maxw, maxt)
 
-    bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2)
-
-    hist = np.bincount(sizes_capped, minlength=spf + 1)
-    cum_over = np.cumsum(hist[::-1])[::-1]
-    if allow_dense and bytes_for(spf, 0) <= budget_bytes:
-        head = spf
+    # feature-range group boundaries (the CSR is feature-sorted)
+    if gbits:
+        fb = np.searchsorted(
+            uniq_host, (np.arange(1, G, dtype=np.uint64)
+                        << np.uint64(32 - gbits)).astype(np.uint32))
+        lo_f = np.concatenate([[0], fb, [nf]]).astype(np.int64)
     else:
-        head = _choose_head(spf, cum_over, bytes_for, budget_bytes,
-                            "layout", slot_packed=bool(slot_bits))
-    novf = int(cum_over[head + 1]) if head < spf else 0
-    novf_pad = _quantize(novf, 10) if novf else 0
-    dense = head == spf
+        lo_f = np.asarray([0, nf], np.int64)
+    nf_gs = np.diff(lo_f)
+    nf_offs = lo_f
+    offs64 = np.asarray(offsets_host, np.int64)
+    hists = [np.bincount(sizes_capped[lo_f[g]:lo_f[g + 1]],
+                         minlength=spf + 1) for g in range(G)]
+    hist = np.sum(hists, axis=0) if G > 1 else hists[0]
 
-    use_classed = _want_classed(head, spf, dense, slot_bits)
-    if use_classed:
-        cb = _classed_bytes(hist, nf_pad, spf, cum_over)
-        use_classed = cb <= budget_bytes and cb < bytes_for(head, novf)
-
-    import jax.numpy as jnp
-    # pad stream: extra elements are singleton buckets landing in the
-    # sentinel feature rows (harmless; see build_device_table)
-    start = np.ones(max(n_pad, 1), bool)
-    start[:n] = False
-    start[offsets_host[:-1][sizes_h > 0]] = True
     uniq = jnp.asarray(np.pad(uniq_host, (0, nf_pad - nf),
                               constant_values=0xFFFFFFFF))
     sizes = jnp.asarray(np.pad(sizes_capped, (0, nf_pad - nf)))
-    ltgt32 = np.zeros(n_pad, np.int32)
-    ltgt32[:n] = ltgt
-    lwin32 = np.zeros(n_pad, np.int32)
-    lwin32[:n] = lwin
-    base_bits = min(24, max(12, int(max(nf_pad, 1)).bit_length() - 4))
-    owned = [jnp.asarray(start), jnp.asarray(ltgt32),
-             jnp.asarray(lwin32)]
-    del start, ltgt32, lwin32
-    offsets = jnp.asarray(np.concatenate(
-        [[0], np.cumsum(sizes_capped),
-         np.full(nf_pad - nf, sizes_capped.sum())]).astype(np.int32))
-    if use_classed:
-        hC = min(CLASS_LADDER[2], spf)
-        novf = int(cum_over[hC + 1]) if hC < spf else 0
-        novf_pad = _quantize(novf, 10) if novf else 0
-        bits = _choose_bits(uniq, base_bits, span_cap=122, min_bits=18)
-        nA, nB, nC = _classed_counts(hist, nf_pad)
-        *_bases, total16 = _classed_total16(nA, nB, nC)
-        P16 = _quantize(max(total16, 8), 10)
-        headrows, ovfrows, brows, maxspan_d, opack = _build_rows_classed(
-            owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-            bits=bits, nch=nch, slot_bits=slot_bits, P16=P16)
-        del maxspan_d
-        return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
-                           ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
-                           spf=spf, head_slots=hC,
-                           num_locations=int(sizes_capped.sum()),
-                           dense=False,
-                           layout_bytes=_classed_bytes(hist, nf_pad,
-                                                       spf, cum_over),
-                           packed=False, ovf_packed=opack,
-                           max_win=maxw, slot_bits=slot_bits,
-                           classed=True)
-    bits = _choose_bits(uniq, base_bits)
-    headrows, ovfrows, brows, maxspan_d, pack, opack = _build_rows(
-        owned, sizes, uniq, nf=nf_pad, novf=novf_pad, cap=spf,
-        head=head, bits=bits, nch=nch, dense=dense,
-        pack_rows=_pack_auto(nf_pad), slot_bits=slot_bits)
-    del maxspan_d
-    return DeviceTable(uniq=uniq, offsets=offsets, head=headrows,
-                       ovf=ovfrows, brows=brows, bbits=bits, nf=nf,
-                       spf=spf, head_slots=head,
-                       num_locations=int(sizes_capped.sum()),
-                       dense=dense, layout_bytes=bytes_for(head, novf),
-                       packed=pack, ovf_packed=opack, max_win=maxw,
-                       slot_bits=slot_bits)
+
+    def get_mv(g):
+        """Stage group g's stream: bool bucket-start marks + values
+        (slot-packed pk, or tgt/win lanes); padded tail elements are
+        singleton buckets at local r >= nf_g (dropped by the fills)."""
+        e0, e1 = int(offs64[lo_f[g]]), int(offs64[lo_f[g + 1]])
+        m = e1 - e0
+        Sg = _quantize(max(m, 1), 14)
+        start = np.ones(Sg, bool)
+        start[:m] = False
+        st = offs64[lo_f[g]:lo_f[g + 1]][
+            sizes_h[lo_f[g]:lo_f[g + 1]] > 0] - e0
+        start[st] = True
+        tg = ltgt[e0:e1].astype(np.int64, copy=False)
+        wg = lwin[e0:e1].astype(np.int64, copy=False)
+        if slot_bits:
+            pk = np.zeros(Sg, np.int32)
+            pk[:m] = (tg << slot_bits) | wg
+            vals = [jnp.asarray(pk)]
+        else:
+            t32 = np.zeros(Sg, np.int32)
+            t32[:m] = tg
+            w32 = np.zeros(Sg, np.int32)
+            w32[:m] = wg
+            vals = [jnp.asarray(t32), jnp.asarray(w32)]
+        return jnp.asarray(start), vals
+
+    return _layout_and_fill(
+        get_mv, G, nf_offs, nf_gs, hists, sizes, uniq,
+        nf=nf, nf_pad=nf_pad, spf=spf, hist=hist,
+        slot_bits=slot_bits, maxw=maxw, budget_bytes=budget_bytes,
+        nch=nch, what="layout", allow_dense=allow_dense)

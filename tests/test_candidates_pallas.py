@@ -302,15 +302,26 @@ def test_candidates_pallas_topk_tie_stress():
         jnp.asarray(merge_tax), jnp.asarray(lin),
         jnp.int32(1), jnp.float32(0.5), jnp.int32(19), jnp.int32(0),
         max_candidates=2, walk_elems=walk, fast_top2=True)
+    wbits = max(1, int(2 * win[win != I32_MAX].max()).bit_length())
+    from metacache_tpu.ops.candidates_pallas import \
+        candidates_pallas_packed
     with pltpu.force_tpu_interpret_mode():
         ct, ch, cb, ce = candidates_pallas(
             jnp.asarray(tgt), jnp.asarray(win), jnp.asarray(mwir),
             walk_elems=walk, max_candidates=2)
-    np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
-                                  np.asarray(ct), err_msg="tgt")
-    np.testing.assert_array_equal(np.asarray(ref.cand_hits),
-                                  np.asarray(ch), err_msg="hits")
-    np.testing.assert_array_equal(np.asarray(ref.cand_beg),
-                                  np.asarray(cb), err_msg="beg")
-    np.testing.assert_array_equal(np.asarray(ref.cand_end),
-                                  np.asarray(ce), err_msg="end")
+        # the packed kernel received the same global-max top-k rewrite
+        # plus a single-pbest (tgt, end) reduction — mirror the
+        # adversarial tie rows through it as well (ADVICE round 4)
+        pt, ph, pb, pe = candidates_pallas_packed(
+            jnp.asarray(_pack(tgt, win, wbits)), jnp.asarray(mwir),
+            wbits, walk_elems=walk, max_candidates=2)
+    for got in ((ct, ch, cb, ce), (pt, ph, pb, pe)):
+        np.testing.assert_array_equal(np.asarray(ref.cand_tgt),
+                                      np.asarray(got[0]), err_msg="tgt")
+        np.testing.assert_array_equal(np.asarray(ref.cand_hits),
+                                      np.asarray(got[1]),
+                                      err_msg="hits")
+        np.testing.assert_array_equal(np.asarray(ref.cand_beg),
+                                      np.asarray(got[2]), err_msg="beg")
+        np.testing.assert_array_equal(np.asarray(ref.cand_end),
+                                      np.asarray(got[3]), err_msg="end")

@@ -204,3 +204,90 @@ def test_export_csr_roundtrip(budget):
     np.testing.assert_array_equal(uniq, ft.unique_features)
     np.testing.assert_array_equal(offs, ft.offsets)
     np.testing.assert_array_equal(locs, ft.locations)
+
+
+@pytest.mark.parametrize("cap,budget", [
+    (254, None),            # dense
+    (254, 4 << 20),         # two-tier split
+    (6, None),              # tight cap
+])
+def test_grouped_build_parity(cap, budget):
+    """The bounded-memory grouped build (gbits > 0, multiple input
+    chunks) must produce the exact same DeviceTable as the single-group
+    path — global row/overflow/bucket-index layouts are invariant to
+    the feature-range grouping."""
+    from metacache_tpu.ops.table_device import build_device_table_chunked
+    rng = np.random.default_rng(17)
+    f, t, w = _stream(rng, 8000, 400, 8)
+    if budget is None:
+        budget = 1 << 40
+
+    def chunked(lst, k):
+        out = []
+        for i in range(0, len(lst[0]), k):
+            out.append(tuple(jnp.asarray(a[i:i + k]) for a in lst))
+        return out
+
+    dt1 = build_device_table_chunked(chunked((f, t, w), len(f)),
+                                     cap=cap, budget_bytes=budget,
+                                     nch=4, gbits=0)
+    dt4 = build_device_table_chunked(chunked((f, t, w), 1111),
+                                     cap=cap, budget_bytes=budget,
+                                     nch=4, gbits=2)
+    assert dt1.nf == dt4.nf
+    assert dt1.spf == dt4.spf
+    assert dt1.num_locations == dt4.num_locations
+    assert dt1.dense == dt4.dense and dt1.head_slots == dt4.head_slots
+    for name in ("uniq", "offsets", "head", "ovf", "brows"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dt1, name)),
+            np.asarray(getattr(dt4, name)), err_msg=name)
+
+
+def test_grouped_csr_parity():
+    """device_layout_from_csr grouped staging (gbits=2) == single-group
+    staging, dense and two-tier."""
+    from metacache_tpu.ops.table import unpack_locations
+    from metacache_tpu.ops.table_device import device_layout_from_csr
+    rng = np.random.default_rng(29)
+    f, t, w = _stream(rng, 7000, 300, 6)
+    ft = FeatureTable.build(f.copy(), pack_locations(t, w),
+                            max_locations_per_feature=254,
+                            presorted_within_feature=True)
+    ltgt, lwin = unpack_locations(ft.locations)
+    for budget in (1 << 40, 4 << 20):
+        dt1 = device_layout_from_csr(ft.unique_features, ft.offsets,
+                                     ltgt, lwin, cap=254,
+                                     budget_bytes=budget, nch=4,
+                                     gbits=0)
+        dt4 = device_layout_from_csr(ft.unique_features, ft.offsets,
+                                     ltgt, lwin, cap=254,
+                                     budget_bytes=budget, nch=4,
+                                     gbits=2)
+        for name in ("uniq", "offsets", "head", "ovf", "brows"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(dt1, name)),
+                np.asarray(getattr(dt4, name)), err_msg=name)
+
+
+def test_grouped_classed_parity(monkeypatch):
+    """Grouped fills reproduce the size-classed layout bit-for-bit."""
+    from metacache_tpu.ops.table import unpack_locations
+    from metacache_tpu.ops.table_device import device_layout_from_csr
+    monkeypatch.setenv("MC_CLASSED", "1")
+    rng = np.random.default_rng(31)
+    f, t, w = _stream(rng, 9000, 250, 6, deep_every=3)
+    ft = FeatureTable.build(f.copy(), pack_locations(t, w),
+                            max_locations_per_feature=254,
+                            presorted_within_feature=True)
+    ltgt, lwin = unpack_locations(ft.locations)
+    dts = [device_layout_from_csr(ft.unique_features, ft.offsets,
+                                  ltgt, lwin, cap=254,
+                                  budget_bytes=6 << 20, nch=4,
+                                  gbits=gb, allow_dense=False)
+           for gb in (0, 2)]
+    assert dts[0].classed and dts[1].classed
+    for name in ("uniq", "offsets", "head", "ovf", "brows"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dts[0], name)),
+            np.asarray(getattr(dts[1], name)), err_msg=name)
