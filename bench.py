@@ -455,6 +455,57 @@ def main():
                 dst.write(src.readline())
         rpm_top, dt_top = run(
             ["-tophits", "-no-summary", "-no-query-params"], tfa, ntop)
+
+        # the DEFAULT mode: one mapping line per read written to a file
+        # (the reference's 110M reads/min benchmark includes exactly
+        # this output)
+        mapfile = os.path.join(tmp, "map.out")
+
+        def run_map(flags, infile, n):
+            opt2, _, _ = parse_query_options(Args(list(flags)))
+            mf = open(mapfile, "w")
+            devnull = open(os.devnull, "w")
+            results = ClassificationResults(mf, devnull, devnull)
+            t0 = time.time()
+            map_queries_to_targets([infile], db, opt2, results)
+            dtm = time.time() - t0
+            mf.close()
+            devnull.close()
+            return round(n / dtm * 60), dtm
+        rpm_map, _ = run_map(["-no-summary", "-no-query-params"],
+                             tfa, ntop)
+
+        # decomposition: which stage bounds e2e on this link?
+        # 1. reader-only: native parse+pack of the same file, discarded
+        from metacache_tpu import native
+        wl = db.sketching.winlen
+        rd = native.NativeFastxReader(rfa, max_len=256)
+        t0 = time.time()
+        ngot = 0
+        while True:
+            item = rd.read_batch_packed(32768, wl)
+            if item[5] == 0:
+                break
+            ngot += len(item[1]) + len(item[3])
+        rd.close()
+        rpm_read = round(ngot / (time.time() - t0) * 60)
+        # 2. infeed-only: h2d of the packed infeed layout + a trivial
+        # device reduction per batch (no classification work)
+        ps = (wl + 3) // 4
+        binf = 65536
+        arr = np.random.randint(0, 255, (binf, ps), np.uint8)
+        import jax as _jax
+
+        @_jax.jit
+        def _touch(x):
+            return x[0, 0] + x[-1, -1]
+
+        np.asarray(_touch(jnp.asarray(arr)))
+        t0 = time.time()
+        nb = max(nreads // binf, 8)
+        for _ in range(nb):
+            np.asarray(_touch(jnp.asarray(arr)))
+        rpm_infeed = round(nb * binf / (time.time() - t0) * 60)
         subprocess.run(["rm", "-rf", tmp], check=False)
         return {
             "e2e_reads_per_min": rpm_sum,
@@ -462,6 +513,10 @@ def main():
             "e2e_reads": nreads,
             "e2e_tophits_reads_per_min": rpm_top,
             "e2e_tophits_reads": ntop,
+            "e2e_map_reads_per_min": rpm_map,
+            "reader_only_reads_per_min": rpm_read,
+            "infeed_only_reads_per_min": rpm_infeed,
+            "infeed_bytes_per_read": ps,
         }
 
     # ------- 1. toy strain DB (round-1 comparable) ----------------------
@@ -561,9 +616,18 @@ def main():
             slots_per_feature=st.slots_per_feature, windows_per_query=1,
             max_candidates=2, prefix_bits=bits, prefix_steps=0,
             dense=True), args_pl)
+        # all_to_all exchange volume of the sharded step: each device
+        # sends (P-1)/P of its (b_loc, slots) pk matrix; the head-only
+        # escalation phase exchanges head_slots-wide rows instead
+        slots = opt.sketchlen * st.slots_per_feature
+        hs = min(61, st.slots_per_feature)
         return {"plain_ms": round(pl_ms, 3),
                 "sharded_1x1_ms": round(sh_ms, 3),
-                "overhead_pct": round((sh_ms / pl_ms - 1) * 100, 1)}
+                "overhead_pct": round((sh_ms / pl_ms - 1) * 100, 1),
+                "all_to_all_bytes_per_read_full": 4 * slots,
+                "all_to_all_bytes_per_read_head": 4 * opt.sketchlen *
+                hs,
+                "sketch_exchange_bytes_per_read": 4 * opt.sketchlen}
 
     try:
         toy_detail["sharding_overhead"] = measure_sharding_overhead()

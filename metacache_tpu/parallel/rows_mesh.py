@@ -185,11 +185,23 @@ def sharded_query_step_rows(windows, valid, mwir,
               hits_min, hits_diff_frac, highest_rank, merge_rank):
         tf, to = tf[0], to[0]
         lt2, lw2, ps = lt2[0], lw2[0], ps[0]
-        b_loc, wq, w = wmat.shape
-        feats = sketch_windows(wmat.reshape(b_loc * wq, w),
-                               vmat.reshape(b_loc * wq), k=k,
+        # sketch ONCE per read: the window matrix is sharded over BOTH
+        # mesh axes, each device sketches 1/P of its data-shard's
+        # reads, and one small all_gather over "table" redistributes
+        # the finished sketches (wq*s u32/read — a fraction of the
+        # probe-slot exchange) so every table shard probes the full
+        # local batch. The reference likewise forwards sketches to
+        # every GPU instead of re-sketching
+        # (src/query_batch.cu:464-527, gpu_hashmap_operations.cuh:
+        # 896-901).
+        b_sub, wq, w = wmat.shape
+        feats = sketch_windows(wmat.reshape(b_sub * wq, w),
+                               vmat.reshape(b_sub * wq), k=k,
                                sketchlen=sketchlen)
-        feats = feats.reshape(b_loc, wq * sketchlen)
+        feats = feats.reshape(b_sub, wq * sketchlen)
+        if num_table > 1:
+            feats = jax.lax.all_gather(feats, "table", axis=0,
+                                       tiled=True)
         tgt, win = probe_rows(feats, tf, to, lt2, lw2,
                               slots_per_feature, ps, prefix_bits,
                               prefix_steps, dense=dense_tag,
@@ -205,8 +217,7 @@ def sharded_query_step_rows(windows, valid, mwir,
             else:
                 win = tgt
             r = jax.lax.axis_index("table")
-            bsub = b_loc // num_table
-            mw = jax.lax.dynamic_slice_in_dim(mw, r * bsub, bsub)
+            mw = jax.lax.dynamic_slice_in_dim(mw, r * b_sub, b_sub)
         return rows_to_result(
             tgt, win, mw, mt, lin, hits_min, hits_diff_frac,
             highest_rank, merge_rank, max_candidates=max_candidates,
@@ -214,7 +225,7 @@ def sharded_query_step_rows(windows, valid, mwir,
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"),
+        in_specs=(P(("data", "table")), P(("data", "table")), P("data"),
                   P("table"), P("table"), P("table"), P("table"),
                   P("table"), None, None, None, None, None, None),
         out_specs=QueryResult(
@@ -223,6 +234,85 @@ def sharded_query_step_rows(windows, valid, mwir,
             cand_end=P(("data", "table")), cls_tax=P(("data", "table")),
             hit_qid=P(("data", "table")), hit_tgt=P(("data", "table")),
             hit_win=P(("data", "table"))),
+        check_vma=False,
+    )(windows, valid, mwir, st_features, st_offsets, st_lt2, st_lw2,
+      st_prefix, merge_tax_of_target, lineages,
+      hits_min, hits_diff_frac, highest_rank, merge_rank)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "sketchlen", "slots_per_feature",
+                     "windows_per_query", "max_candidates",
+                     "prefix_bits", "prefix_steps", "pack_bits",
+                     "head_slots"))
+def sharded_query_step_rows_head(windows, valid, mwir,
+                                 st_features, st_offsets, st_lt2,
+                                 st_lw2, st_prefix,
+                                 merge_tax_of_target, lineages,
+                                 hits_min, hits_diff_frac,
+                                 highest_rank, merge_rank,
+                                 *, mesh: Mesh, k: int, sketchlen: int,
+                                 slots_per_feature: int,
+                                 windows_per_query: int,
+                                 max_candidates: int, prefix_bits: int,
+                                 prefix_steps: int, pack_bits: int,
+                                 head_slots: int):
+    """Escalation phase 1 on table-sharded two-tier layouts: every
+    shard probes ONLY its head rows (one gather, no overflow rows);
+    the exchange trades head slots for row subsets and each read's
+    per-shard `over` flags OR-reduce through the same all_to_all.
+
+    -> (QueryResult, over (B,) bool): over=False reads are EXACT;
+    over=True reads must re-run through the full-depth step
+    (sharded_query_step_rows) — the same two-phase structure as the
+    single-chip summary loop. Requires slot-packed two-tier shards."""
+    from jax import shard_map
+    from ..ops.rows import probe_rows_head
+    num_table = mesh.shape["table"]
+    assert pack_bits and head_slots
+    dense_tag = ("two_tier", head_slots, False, False, pack_bits)
+
+    def local(wmat, vmat, mw, tf, to, lt2, lw2, ps, mt, lin,
+              hits_min, hits_diff_frac, highest_rank, merge_rank):
+        tf, to = tf[0], to[0]
+        lt2, lw2, ps = lt2[0], lw2[0], ps[0]
+        b_sub, wq, w = wmat.shape
+        feats = sketch_windows(wmat.reshape(b_sub * wq, w),
+                               vmat.reshape(b_sub * wq), k=k,
+                               sketchlen=sketchlen)
+        feats = feats.reshape(b_sub, wq * sketchlen)
+        if num_table > 1:
+            feats = jax.lax.all_gather(feats, "table", axis=0,
+                                       tiled=True)
+        pk, over = probe_rows_head(feats, lt2, ps, prefix_bits,
+                                   dense_tag, 0, pack_bits)
+        if num_table > 1:
+            pk = jax.lax.all_to_all(pk, "table", split_axis=0,
+                                    concat_axis=1, tiled=True)
+            over = jax.lax.all_to_all(
+                over.astype(jnp.int32)[:, None], "table",
+                split_axis=0, concat_axis=1, tiled=True)
+            over = jnp.any(over > 0, axis=1)
+            r = jax.lax.axis_index("table")
+            mw = jax.lax.dynamic_slice_in_dim(mw, r * b_sub, b_sub)
+        res = rows_to_result(
+            pk, pk, mw, mt, lin, hits_min, hits_diff_frac,
+            highest_rank, merge_rank, max_candidates=max_candidates,
+            pack_bits=pack_bits)
+        return res, over
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("data", "table")), P(("data", "table")), P("data"),
+                  P("table"), P("table"), P("table"), P("table"),
+                  P("table"), None, None, None, None, None, None),
+        out_specs=(QueryResult(
+            cand_tgt=P(("data", "table")), cand_tax=P(("data", "table")),
+            cand_hits=P(("data", "table")), cand_beg=P(("data", "table")),
+            cand_end=P(("data", "table")), cls_tax=P(("data", "table")),
+            hit_qid=P(("data", "table")), hit_tgt=P(("data", "table")),
+            hit_win=P(("data", "table"))), P(("data", "table"))),
         check_vma=False,
     )(windows, valid, mwir, st_features, st_offsets, st_lt2, st_lw2,
       st_prefix, merge_tax_of_target, lineages,

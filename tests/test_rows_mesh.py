@@ -158,3 +158,92 @@ def test_sharded_two_tier_deep_buckets():
             np.asarray(res.cand_tgt).reshape(nd, nt, bsub, -1)[d, t_]
             for d in range(nd) for t_ in range(nt)])
         np.testing.assert_array_equal(ctgt, np.asarray(ref.cand_tgt))
+
+
+def test_sharded_escalation_head_plus_redo():
+    """Sharded escalation: head-only phase 1 is exact for reads whose
+    probed buckets all fit the 61-slot heads (over=False), the OR of
+    per-shard over flags rides the same all_to_all, and re-running the
+    flagged reads through the full-depth sharded step reproduces the
+    full-step answer for every read."""
+    from metacache_tpu.ops.sketch_jax import sketch_windows
+    from metacache_tpu.ops.table import FeatureTable, pack_locations
+    from metacache_tpu.parallel.rows_mesh import (
+        sharded_query_step_rows_head)
+
+    rng = np.random.default_rng(21)
+    B, WL, NTGT = 64, 128, 48
+    codes = rng.integers(0, 4, (B, 1, WL), dtype=np.uint8)
+    lens = np.full((B, 1), 100, np.int32)
+    mwir = np.full(B, 2, np.int32)
+    feats_all = np.asarray(sketch_windows(
+        jnp.asarray(codes.reshape(B, WL)),
+        jnp.asarray(lens.reshape(B)), k=16,
+        sketchlen=16)).reshape(B, 16)
+    uf = np.unique(feats_all.reshape(-1))
+    uf = uf[uf != 0xFFFFFFFF]
+    fs, ts, ws = [], [], []
+    for i, fv in enumerate(uf):
+        depth = 100 if i % 37 == 0 else 5    # a few buckets > 61
+        for j in range(depth):
+            fs.append(fv)
+            ts.append((i + j) % NTGT)
+            ws.append(j % 40)
+    f = np.asarray(fs, np.uint32)
+    t = np.asarray(ts, np.int32)
+    w = np.asarray(ws, np.int32)
+    order = np.lexsort((w, t, f))
+    ft = FeatureTable.build(f[order].copy(),
+                            pack_locations(t[order], w[order]),
+                            max_locations_per_feature=254)
+    lin = np.zeros((NTGT, 21), np.int32)
+    lin[:, 0] = -np.arange(NTGT) - 1
+    lin[:, 4] = np.arange(NTGT) // 2 + 100
+    lin[:, 20] = 1
+    mt, lg = jnp.asarray(lin[:, 0].copy()), jnp.asarray(lin)
+
+    for nd, nt in ((1, 4), (2, 2)):
+        mesh = M.make_mesh(nd, nt)
+        st = shard_row_table(ft, nt, 254, layout="two_tier")
+        assert st.slot_bits > 0
+        args = (jnp.asarray(codes), jnp.asarray(lens),
+                jnp.asarray(mwir),
+                jnp.asarray(st.features), jnp.asarray(st.offsets),
+                jnp.asarray(st.loc_tgt2d), jnp.asarray(st.loc_win2d),
+                jnp.asarray(st.prefix), mt, lg,
+                jnp.int32(1), jnp.float32(0.5), jnp.int32(19),
+                jnp.int32(0))
+        kw = dict(mesh=mesh, k=16, sketchlen=16,
+                  slots_per_feature=st.slots_per_feature,
+                  windows_per_query=1, max_candidates=2,
+                  prefix_bits=st.prefix_bits,
+                  prefix_steps=st.prefix_steps,
+                  pack_bits=st.slot_bits, head_slots=st.head_slots)
+        full = sharded_query_step_rows(*args, **kw)
+        res1, over = sharded_query_step_rows_head(*args, **kw)
+        b_loc = B // nd
+        bsub = b_loc // nt
+
+        def unshuffle(x):
+            x = np.asarray(x)
+            return np.concatenate([
+                x.reshape((nd, nt, bsub) + x.shape[1:])[d, t_]
+                for d in range(nd) for t_ in range(nt)])
+
+        cls_full = unshuffle(full.cls_tax)
+        cls_head = unshuffle(res1.cls_tax)
+        ov = unshuffle(over)
+        # some reads must escalate, some must not, or the test is vacuous
+        assert ov.any() and not ov.all()
+        # phase 1 is exact for non-escalated reads
+        np.testing.assert_array_equal(cls_head[~ov], cls_full[~ov])
+        # phase 2: re-dispatch the flagged reads through the full step
+        idx = np.nonzero(ov)[0]
+        sel = np.resize(idx, B)              # pad to the full batch
+        redo = sharded_query_step_rows(
+            jnp.asarray(codes[sel]), jnp.asarray(lens[sel]),
+            jnp.asarray(mwir[sel]), *args[3:], **kw)
+        cls_redo = unshuffle(redo.cls_tax)
+        merged = cls_head.copy()
+        merged[idx] = cls_redo[:len(idx)]
+        np.testing.assert_array_equal(merged, cls_full)
