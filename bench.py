@@ -519,6 +519,161 @@ def main():
             "infeed_bytes_per_read": ps,
         }
 
+    def _preset_loop(dt, genomes, species, glen, popt, rlen, scan_k=16,
+                     iters=3):
+        """Device scan-loop throughput for one sketching preset."""
+        from metacache_tpu.ops.rows import query_step_rows_scan
+        ntgt = len(genomes)
+        lineages, merge_tax = lineage_arrays(species)
+        mt, lg = jnp.asarray(merge_tax), jnp.asarray(lineages)
+        rng2 = np.random.default_rng(17)
+        gsel = rng2.integers(0, ntgt, B)
+        pos = rng2.integers(0, glen - rlen, B)
+        wins = np.full((B, 1, popt.winlen), 4, np.uint8)
+        for i in range(B):
+            wins[i, 0, :rlen] = genomes[gsel[i]][pos[i]:pos[i] + rlen]
+        valid = np.full((B, 1), rlen, np.int32)
+        mwir = np.full(B, 2, np.int32)
+        dense = dense_tag(dt)
+        wide = popt.kmerlen > 16
+
+        def qscan(wk, vk, mk):
+            return query_step_rows_scan(
+                wk, vk, mk, dt.uniq, dt.offsets, dt.head, dt.ovf,
+                mt, lg, jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                jnp.int32(0), dt.brows,
+                k=popt.kmerlen, sketchlen=popt.sketchlen,
+                slots_per_feature=dt.spf, windows_per_query=1,
+                max_candidates=2, prefix_bits=dt.bbits, prefix_steps=0,
+                dense=dense, use_pallas_sketch=use_pallas and not wide,
+                walk_elems=2 * popt.sketchlen, fast_top2=True,
+                fused_candidates=use_pallas, pack_bits=dt.slot_bits,
+                prefetch=bool(dt.dense))
+
+        wk = jnp.asarray(np.broadcast_to(
+            wins[None], (scan_k,) + wins.shape).copy())
+        vk = jnp.asarray(np.broadcast_to(
+            valid[None], (scan_k,) + valid.shape).copy())
+        mk = jnp.asarray(np.broadcast_to(
+            mwir[None], (scan_k,) + mwir.shape).copy())
+        cls = np.asarray(qscan(wk, vk, mk))
+        np.asarray(qscan(wk, vk, mk))
+        t0 = time.time()
+        prev = None
+        for _ in range(iters):
+            r = qscan(wk, vk, mk)
+            if prev is not None:
+                np.asarray(prev)
+            prev = r
+        np.asarray(prev)
+        dt_s = (time.time() - t0) / (iters * scan_k)
+        return {
+            "reads_per_min": round(B / dt_s * 60),
+            "ms_per_batch": round(dt_s * 1000, 3),
+            "classified_fraction": round(float((cls[0] != 0).mean()),
+                                         4),
+            "db_locations": dt.num_locations,
+            "max_bucket": dt.spf,
+        }
+
+    def measure_preset_w255(rng):
+        """Reference "small" preset: winlen 255 -> strided-chunk Pallas
+        sketcher (sketch_windows_pallas_long), 250 bp reads."""
+        popt = SketchingOptions(winlen=255).resolved()
+        genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)],
+                                               GLEN)
+        from metacache_tpu.db.sketch_exec import DeviceSketchAccumulator
+        from metacache_tpu.ops import windows as W
+        from metacache_tpu.ops.table_device import \
+            build_device_table_chunked
+        acc = DeviceSketchAccumulator(popt.kmerlen, popt.sketchlen)
+        for tid, g in enumerate(genomes):
+            wm, vl = W.sequence_windows(g, popt)
+            acc.add_target(wm, vl, tid)
+        dt = build_device_table_chunked(acc.finish_chunks(), cap=254)
+        out = _preset_loop(dt, genomes, species, GLEN, popt, rlen=250)
+        out["winlen"] = 255
+        return out
+
+    def measure_preset_k18(rng):
+        """kmerlen 18 (u64 features): searchsorted + CSR-gather probe
+        (no 32-bit fused rows), host-built table."""
+        from metacache_tpu.ops.rows import query_step_rows_scan
+        from metacache_tpu.ops.table import (FeatureTable,
+                                             unpack_locations)
+        from metacache_tpu.db.sketch_exec import SketchAccumulator
+        from metacache_tpu.ops import windows as W
+        from metacache_tpu.utils.platform import ensure_feature_width
+        ensure_feature_width(18)
+        popt = SketchingOptions(kmerlen=18).resolved()
+        genomes, species = make_strain_genomes(rng, [(8, 4, 0.01)],
+                                               GLEN)
+        acc = SketchAccumulator(popt.kmerlen, popt.sketchlen)
+        for tid, g in enumerate(genomes):
+            wm, vl = W.sequence_windows(g, popt)
+            acc.add_target(wm, vl, tid)
+        bf, bl = acc.finish()
+        ft = FeatureTable.build(bf, bl, 254,
+                                presorted_within_feature=True)
+        spf = min(ft.max_bucket_size, 254) or 1
+        ltgt, lwin = unpack_locations(ft.locations)
+        ntgt = len(genomes)
+        lineages, merge_tax = lineage_arrays(species)
+        mt, lg = jnp.asarray(merge_tax), jnp.asarray(lineages)
+        rng2 = np.random.default_rng(19)
+        gsel = rng2.integers(0, ntgt, B)
+        pos = rng2.integers(0, GLEN - READ_LEN, B)
+        wins = np.full((B, 1, popt.winlen), 4, np.uint8)
+        for i in range(B):
+            wins[i, 0, :READ_LEN] = \
+                genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
+        valid = np.full((B, 1), READ_LEN, np.int32)
+        mwir = np.full(B, 2, np.int32)
+        tf = jnp.asarray(ft.unique_features)
+        to = jnp.asarray(ft.offsets.astype(np.int32))
+        la = jnp.asarray(ltgt.astype(np.int32))
+        lb = jnp.asarray(lwin.astype(np.int32))
+        scan_k, iters = 16, 3
+
+        def qscan(wk, vk, mk):
+            return query_step_rows_scan(
+                wk, vk, mk, tf, to, la, lb, mt, lg,
+                jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                jnp.int32(0), None,
+                k=popt.kmerlen, sketchlen=popt.sketchlen,
+                slots_per_feature=spf, windows_per_query=1,
+                max_candidates=2, prefix_bits=0, prefix_steps=0,
+                dense=False, use_pallas_sketch=False,
+                walk_elems=2 * popt.sketchlen, fast_top2=True,
+                fused_candidates=use_pallas)
+
+        wk = jnp.asarray(np.broadcast_to(
+            wins[None], (scan_k,) + wins.shape).copy())
+        vk = jnp.asarray(np.broadcast_to(
+            valid[None], (scan_k,) + valid.shape).copy())
+        mk = jnp.asarray(np.broadcast_to(
+            mwir[None], (scan_k,) + mwir.shape).copy())
+        cls = np.asarray(qscan(wk, vk, mk))
+        np.asarray(qscan(wk, vk, mk))
+        t0 = time.time()
+        prev = None
+        for _ in range(iters):
+            r = qscan(wk, vk, mk)
+            if prev is not None:
+                np.asarray(prev)
+            prev = r
+        np.asarray(prev)
+        dt_s = (time.time() - t0) / (iters * scan_k)
+        return {
+            "reads_per_min": round(B / dt_s * 60),
+            "ms_per_batch": round(dt_s * 1000, 3),
+            "classified_fraction": round(float((cls[0] != 0).mean()),
+                                         4),
+            "db_locations": ft.num_locations,
+            "max_bucket": int(ft.max_bucket_size),
+            "kmerlen": 18,
+        }
+
     # ------- 1. toy strain DB (round-1 comparable) ----------------------
     GLEN = 1_000_000
     genomes, species = make_strain_genomes(rng, [(16, 4, 0.01)], GLEN)
@@ -718,6 +873,22 @@ def main():
             else:
                 os.environ["MC_CLASSED"] = mc_prev
 
+    # ------- 4. reference preset sections -------------------------------
+    # winlen 255 (the reference "small" preset, metacache-build-refseq:
+    # 57-58) through the strided-chunk Pallas sketcher, and kmerlen 18
+    # (u64 features, searchsorted+CSR probe). Both device-loop numbers,
+    # comparable to the toy section.
+    presets = {}
+    if os.environ.get("MC_BENCH_SMALL") != "1":
+        try:
+            presets["winlen255"] = measure_preset_w255(rng)
+        except Exception as e:
+            presets["winlen255"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        try:
+            presets["k18_u64"] = measure_preset_k18(rng)
+        except Exception as e:
+            presets["k18_u64"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     out = {
         "metric": "100bp read classification throughput (1 chip, "
                   "64x1Mbp strain DB)",
@@ -728,6 +899,7 @@ def main():
             "toy_db": toy_detail,
             "bigdb_944mbp_maxbucket254": big_detail,
             "xxl_db_single_chip": xxl_detail,
+            "presets": presets,
             "batch_reads": B,
             "scan_batches_per_dispatch": SCAN_K,
             "devices": [str(d) for d in __import__("jax").devices()],

@@ -534,7 +534,9 @@ class QueryRunner:
             (_env != "0") and
             (_env == "1" or _jax.devices()[0].platform not in ("cpu",)) and
             self._mesh is None and  # XLA sketcher shards transparently
-            self.sketching.kmerlen <= 16 and self.sketching.winlen <= 128)
+            self.sketching.kmerlen <= 16)
+        # winlen > 128 routes through the strided-chunk kernel
+        # (ops.sketch_pallas.sketch_windows_pallas_long)
         # fused Pallas candidate kernel (sort+sweep+top-k in VMEM,
         # ops.candidates_pallas) — usable whenever per-hit lists are not
         # requested; MC_FUSED_CANDIDATES=0 disables, =1 forces (interpret

@@ -42,16 +42,20 @@ def _device_sketcher(w: int, k: int, sketchlen: int):
     cache is cold), the XLA sort-based sketcher elsewhere."""
     import jax
     from ..ops.sketch_jax import sketch_windows
-    if (jax.devices()[0].platform != "cpu" and k <= 16 and w <= 128
+    if (jax.devices()[0].platform != "cpu" and k <= 16
             and os.environ.get("MC_PALLAS_SKETCH") != "0"):
         import jax.numpy as jnp
-        from ..ops.sketch_pallas import LANES, sketch_windows_pallas
+        from ..ops.sketch_pallas import (LANES, sketch_windows_pallas,
+                                         sketch_windows_pallas_long)
 
         def run(wj, vj):
+            n = wj.shape[0]
+            if w > LANES:
+                return sketch_windows_pallas_long(
+                    wj, vj, k=k, sketchlen=sketchlen, tile=512)
             if w < LANES:
                 wj = jnp.pad(wj, ((0, 0), (0, LANES - w)),
                              constant_values=PAD_CODE)
-            n = wj.shape[0]
             tile = 512 if n % 512 == 0 else n
             return sketch_windows_pallas(wj, vj, k=k, sketchlen=sketchlen,
                                          tile=tile)

@@ -33,13 +33,19 @@ def _sketch_dispatch(codes2d, valid, k, sketchlen, use_pallas):
     if not use_pallas:
         return sketch_windows(codes2d, valid, k=k, sketchlen=sketchlen)
     import os
-    from .sketch_pallas import sketch_windows_pallas, LANES
+    from .sketch_pallas import (sketch_windows_pallas,
+                                sketch_windows_pallas_long, LANES)
     n, w = codes2d.shape
+    mode = os.environ.get("MC_SKETCH_MODE", "sort")
+    if w > LANES:
+        # strided-chunk kernel for winlen > 128 (255/511 presets)
+        return sketch_windows_pallas_long(
+            codes2d, valid, k=k, sketchlen=sketchlen,
+            tile=512, mode=mode)
     if w < LANES:
         codes2d = jnp.pad(codes2d, ((0, 0), (0, LANES - w)),
                           constant_values=4)
     tile = 512 if n % 512 == 0 else n
-    mode = os.environ.get("MC_SKETCH_MODE", "sort")
     return sketch_windows_pallas(codes2d, valid, k=k, sketchlen=sketchlen,
                                  tile=tile, mode=mode)
 

@@ -192,6 +192,53 @@ def _sketch_kernel(codes_ref, valid_ref, out_ref, *, k, sketchlen,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "sketchlen", "tile", "mode"))
+def sketch_windows_pallas_long(codes: jax.Array, valid_lens: jax.Array,
+                               k: int = 16, sketchlen: int = 16,
+                               tile: int = 512,
+                               mode: str = "sort") -> jax.Array:
+    """Pallas sketcher for windows LONGER than 128 chars (the
+    reference's "standard"/"small" presets use winlen 255/511).
+
+    Mirrors the reference GPU's strided-chunk loop carrying the running
+    sketch (warp_make_sketch, src/gpu_hashmap_operations.cuh:385-453):
+    the window is cut into overlapping 128-char chunks at stride
+    128-(k-1), so consecutive chunks PARTITION the k-mer start
+    positions; each chunk runs the 128-lane kernel, and the per-chunk
+    s-sketches merge by sort + dedup + take-s (a value in the global
+    s smallest distinct is necessarily in its own chunk's s smallest
+    distinct, so the union of chunk sketches suffices).
+
+    codes: (N, W) u8, W > 128; valid_lens: (N,) i32.
+    Returns (N, sketchlen) u32, sentinel-padded. Bit-exact vs the XLA
+    sketcher (tests/test_pallas.py)."""
+    n, w = codes.shape
+    stride = LANES - (k - 1)
+    nch = max(1, -(-max(w - (k - 1), 1) // stride))
+    chunks = []
+    vals = []
+    for c in range(nch):
+        lo = c * stride
+        sl = codes[:, lo:lo + LANES]
+        if sl.shape[1] < LANES:
+            sl = jnp.pad(sl, ((0, 0), (0, LANES - sl.shape[1])),
+                         constant_values=4)
+        chunks.append(sl)
+        vals.append(jnp.clip(valid_lens - lo, 0, LANES))
+    big = jnp.stack(chunks, 1).reshape(n * nch, LANES)
+    bval = jnp.stack(vals, 1).reshape(n * nch)
+    t = tile if (n * nch) % tile == 0 else n * nch
+    sk = sketch_windows_pallas(big, bval, k=k, sketchlen=sketchlen,
+                               tile=t, mode=mode)
+    sk = sk.reshape(n, nch * sketchlen)
+    srt = jnp.sort(sk, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1)
+    srt = jnp.sort(jnp.where(dup, SENT, srt), axis=1)
+    return srt[:, :sketchlen]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sketchlen", "tile", "mode"))
 def sketch_windows_pallas(codes: jax.Array, valid_lens: jax.Array,
                           k: int = 16, sketchlen: int = 16,
                           tile: int = 512, mode: str = "sort") -> jax.Array:

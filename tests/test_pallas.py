@@ -71,3 +71,28 @@ def test_pallas_sketch_extract_mode(case):
         jnp.asarray(codes[:, :127]), jnp.asarray(valid), k=16,
         sketchlen=16))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("winlen,kk", [(255, 16), (511, 16), (200, 12)])
+def test_pallas_sketch_long_windows(winlen, kk):
+    """Strided-chunk kernel (winlen > 128, the reference's standard/
+    small presets) == XLA sketcher, including ambiguous runs, short
+    valid lengths, and chunk-boundary-spanning kmers."""
+    from metacache_tpu.ops.sketch_pallas import sketch_windows_pallas_long
+    rng = np.random.default_rng(41)
+    n = 64
+    codes = rng.integers(0, 4, (n, winlen)).astype(np.uint8)
+    codes[3, 100:180] = 4             # ambiguous run across chunk cut
+    codes[4, :] = 4
+    valid = np.full(n, winlen, np.int32)
+    valid[7] = 130                    # just past one chunk
+    valid[9] = kk - 1                 # below kmerlen -> all sentinel
+    valid[11] = 113                   # exactly one chunk of starts
+    valid[13] = 250
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sketch_windows_pallas_long(
+            jnp.asarray(codes), jnp.asarray(valid), k=kk, sketchlen=16,
+            tile=64))
+    want = np.asarray(sketch_windows(
+        jnp.asarray(codes), jnp.asarray(valid), k=kk, sketchlen=16))
+    np.testing.assert_array_equal(got, want)
