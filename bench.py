@@ -448,6 +448,9 @@ def main():
 
         rpm_sum, dt_sum = run(
             ["-no-map", "-no-summary", "-no-query-params"], rfa, nreads)
+        rpm_sum4, _ = run(
+            ["-no-map", "-no-summary", "-no-query-params",
+             "-threads", "4"], rfa, nreads)
         ntop = min(nreads, 500_000)
         tfa = os.path.join(tmp, "reads_top.fa")
         with open(rfa, "rb") as src, open(tfa, "wb") as dst:
@@ -479,16 +482,35 @@ def main():
         # 1. reader-only: native parse+pack of the same file, discarded
         from metacache_tpu import native
         wl = db.sketching.winlen
-        rd = native.NativeFastxReader(rfa, max_len=256)
-        t0 = time.time()
-        ngot = 0
-        while True:
-            item = rd.read_batch_packed(32768, wl)
-            if item[5] == 0:
-                break
-            ngot += len(item[1]) + len(item[3])
-        rd.close()
-        rpm_read = round(ngot / (time.time() - t0) * 60)
+        def read_only(nthreads):
+            import threading as _th
+            fsz = os.path.getsize(rfa)
+            cuts = [fsz * i // nthreads for i in range(nthreads + 1)]
+            rds = [native.NativeFastxReader(rfa, max_len=256,
+                                            start=cuts[i],
+                                            end=cuts[i + 1])
+                   for i in range(nthreads)]
+            tot = [0] * nthreads
+
+            def work(i):
+                while True:
+                    item = rds[i].read_batch_packed(32768, wl)
+                    if item[5] == 0:
+                        break
+                    tot[i] += len(item[1]) + len(item[3])
+            t0 = time.time()
+            ths = [_th.Thread(target=work, args=(i,))
+                   for i in range(nthreads)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            dtr = time.time() - t0
+            for r in rds:
+                r.close()
+            return round(sum(tot) / dtr * 60)
+        rpm_read = read_only(1)
+        rpm_read4 = read_only(4)
         # 2. infeed-only: h2d of the packed infeed layout + a trivial
         # device reduction per batch (no classification work)
         ps = (wl + 3) // 4
@@ -514,7 +536,9 @@ def main():
             "e2e_tophits_reads_per_min": rpm_top,
             "e2e_tophits_reads": ntop,
             "e2e_map_reads_per_min": rpm_map,
+            "e2e_threads4_reads_per_min": rpm_sum4,
             "reader_only_reads_per_min": rpm_read,
+            "reader_only_t4_reads_per_min": rpm_read4,
             "infeed_only_reads_per_min": rpm_infeed,
             "infeed_bytes_per_read": ps,
         }

@@ -784,12 +784,33 @@ class QueryRunner:
             bsz = batch_reads
             if _jax.devices()[0].platform != "cpu":
                 bsz = max(bsz, 8192)
+            # -threads N: N byte-range readers parse the file in
+            # parallel (summary path only — per-read output order is
+            # not defined across ranges; reference P1 reader threads,
+            # src/building.cpp:337-461). gz can't seek: single reader.
+            extra = []
+            T = max(1, int(getattr(opt, "num_threads", 1) or 1))
+            if T > 1 and not path.endswith(".gz"):
+                try:
+                    fsz = _os.path.getsize(path)
+                    cuts = [fsz * i // T for i in range(T + 1)]
+                    rngs = [native.NativeFastxReader(
+                        path, max_len=max_len,
+                        start=cuts[i], end=cuts[i + 1])
+                        for i in range(T)]
+                    reader.close()
+                    reader, extra = rngs[0], rngs[1:]
+                except (ValueError, RuntimeError, OSError):
+                    extra = []
             try:
                 self._run_scan_native_packed(reader, bsz, scan_k,
-                                             results)
+                                             results,
+                                             extra_readers=extra)
                 return True
             finally:
                 reader.close()
+                for rd_ in extra:
+                    rd_.close()
         pending = None
         buf: list = []      # (codes, lens) short-read chunks for the scan
         nbuf = 0
@@ -859,7 +880,8 @@ class QueryRunner:
         return True
 
     def _run_scan_native_packed(self, reader, batch_reads: int,
-                                scan_k: int, results):
+                                scan_k: int, results,
+                                extra_readers=None):
         """Summary fast path fed by the native packed reader.
 
         Clean short reads arrive from C++ already in the device infeed
@@ -956,25 +978,34 @@ class QueryRunner:
 
         buf: list = []
         nbuf = 0
-        # producer thread: the C parser releases the GIL, so file
-        # parsing fully overlaps device dispatch/transfer (reference
-        # P1: N reader threads, src/database_query.hpp:256-284)
+        # producer thread(s): the C parser releases the GIL, so file
+        # parsing fully overlaps device dispatch/transfer; -threads N
+        # adds byte-range readers over the same file (reference P1:
+        # N reader threads, src/building.cpp:337-461)
         import queue as _q
         import threading as _th
-        chunks: _q.Queue = _q.Queue(maxsize=4)
+        readers = [reader] + list(extra_readers or [])
+        chunks: _q.Queue = _q.Queue(maxsize=2 + 2 * len(readers))
+        done = _th.Lock()
+        live = [len(readers)]
 
-        def _produce():
+        def _produce(rd):
             try:
                 while True:
-                    item = reader.read_batch_packed(4 * batch_reads, wl)
+                    item = rd.read_batch_packed(4 * batch_reads, wl)
                     if item[5] == 0:
                         break
                     chunks.put(item)
             finally:
-                chunks.put(None)
+                with done:
+                    live[0] -= 1
+                    if live[0] == 0:
+                        chunks.put(None)
 
-        th = _th.Thread(target=_produce, daemon=True)
-        th.start()
+        ths = [_th.Thread(target=_produce, args=(rd,), daemon=True)
+               for rd in readers]
+        for th in ths:
+            th.start()
         while True:
             item = chunks.get()
             if item is None:
@@ -1015,7 +1046,8 @@ class QueryRunner:
         flush_redo(final=True)
         while pending:
             self._collect_batch(*pending.popleft(), results)
-        th.join()
+        for th in ths:
+            th.join()
 
     def run_pair_files_native(self, path1: str, path2: str,
                               results: "ClassificationResults") -> bool:

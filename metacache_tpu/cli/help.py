@@ -217,8 +217,12 @@ PERFORMANCE / DEVICES
                       feature range; probes travel via one all-to-all
                       exchange. Combine with -replicate for
                       2-D meshes.
-    -threads <n>      accepted for compatibility (device batching
-                      replaces host thread pools).
+    -threads <n>      number of parallel file-reader threads on the
+                      summary path (byte-range partition of each
+                      uncompressed input file; classification itself
+                      runs on the device, so threads only need to keep
+                      the infeed fed). Compressed (.gz) inputs and
+                      per-read output modes use one reader.
 
 DATABASE SCOPE
 

@@ -52,6 +52,9 @@ def get_lib():
         return None
     lib.fastx_open.restype = ctypes.c_void_p
     lib.fastx_open.argtypes = [ctypes.c_char_p]
+    lib.fastx_open_range.restype = ctypes.c_void_p
+    lib.fastx_open_range.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                     ctypes.c_int64]
     lib.fastx_close.argtypes = [ctypes.c_void_p]
     lib.fastx_read_batch.restype = ctypes.c_int64
     lib.fastx_read_batch.argtypes = [
@@ -150,17 +153,28 @@ def decode_header(row: np.ndarray) -> str:
 
 
 class NativeFastxReader:
-    """Batch reader over one FASTA/FASTQ(.gz) file using the C++ parser."""
+    """Batch reader over one FASTA/FASTQ(.gz) file using the C++ parser.
+
+    ``start``/``end`` open a byte range of an uncompressed file for the
+    parallel-reader partition (-threads): records whose first byte lies
+    in [start, end). Raises ValueError when the range cannot be opened
+    (compressed input, or no record boundary found)."""
 
     def __init__(self, path: str, max_len: int = 1024,
-                 header_cap: int = 256):
+                 header_cap: int = 256, start: int = 0, end: int = -1):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self.lib = lib
-        self.h = lib.fastx_open(path.encode())
-        if not self.h:
-            raise FileNotFoundError(path)
+        if start > 0 or end >= 0:
+            self.h = lib.fastx_open_range(path.encode(), start, end)
+            if not self.h:
+                raise ValueError(
+                    f"cannot open byte range [{start}, {end}) of {path}")
+        else:
+            self.h = lib.fastx_open(path.encode())
+            if not self.h:
+                raise FileNotFoundError(path)
         self.max_len = max_len
         self.header_cap = header_cap
 

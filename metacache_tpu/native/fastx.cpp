@@ -36,6 +36,10 @@ struct Reader {
     std::string chunk;    // raw chunk buffer
     bool eof = false;
     int peeked = -1;
+    int64_t chunk_off = 0;  // absolute file offset of chunk[0]
+    int64_t limit = -1;     // stop at first record START >= limit (<0: off)
+
+    int64_t tell() const { return chunk_off + (int64_t)pos; }
 
     bool fill() {
         if (eof) return false;
@@ -54,11 +58,16 @@ struct Reader {
             if (nl != std::string::npos) {
                 out.append(chunk, pos, nl - pos);
                 pos = nl + 1;
-                if (pos > (1 << 20)) { chunk.erase(0, pos); pos = 0; }
+                if (pos > (1 << 20)) {
+                    chunk_off += (int64_t)pos;
+                    chunk.erase(0, pos);
+                    pos = 0;
+                }
                 if (!out.empty() && out.back() == '\r') out.pop_back();
                 return true;
             }
             out.append(chunk, pos, chunk.size() - pos);
+            chunk_off += (int64_t)chunk.size();
             chunk.clear();
             pos = 0;
             if (!fill()) return !out.empty();
@@ -67,16 +76,79 @@ struct Reader {
 
     int peekc() {
         while (pos >= chunk.size()) {
+            chunk_off += (int64_t)chunk.size();
             chunk.clear(); pos = 0;
             if (!fill()) return -1;
         }
         return (unsigned char)chunk[pos];
     }
+
+    // at a record boundary: stop once the next record would start at
+    // or past `limit` (byte-range partition rule: a record belongs to
+    // the range containing its first byte)
+    bool past_limit() const { return limit >= 0 && tell() >= limit; }
 };
+
+// line [a, b) length without a trailing '\r'
+static size_t line_len(const std::string& s, size_t a, size_t b) {
+    size_t n = b - a;
+    if (n && s[b - 1] == '\r') --n;
+    return n;
+}
+
+// Advance r->pos to the first record start strictly AFTER the current
+// line (used by range opens landing mid-file). FASTA: the next line
+// starting with '>'. FASTQ: a line starting with '@' whose +2 line
+// starts with '+' and whose +3 line has the +1 line's length (quality
+// lines may themselves start with '@'/'+', so the 4-line shape is the
+// discriminator). Scans raw buffered bytes only — offsets stay exact.
+static bool resync_reader(Reader* r, bool fastq) {
+    size_t p = r->chunk.find('\n', r->pos);
+    for (;;) {
+        while (p == std::string::npos) {
+            if (!r->fill()) return false;
+            p = r->chunk.find('\n', r->pos);
+        }
+        size_t ls = p + 1;                       // candidate line start
+        while (ls >= r->chunk.size()) {
+            if (!r->fill()) return false;
+        }
+        char c = r->chunk[ls];
+        if (!fastq) {
+            if (c == '>') { r->pos = ls; return true; }
+        } else if (c == '@') {
+            // need 4 complete lines from ls
+            size_t e[4];
+            size_t from = ls;
+            bool ok = true;
+            for (int i = 0; i < 4; ++i) {
+                size_t nl = r->chunk.find('\n', from);
+                while (nl == std::string::npos) {
+                    if (!r->fill()) { ok = false; break; }
+                    nl = r->chunk.find('\n', from);
+                }
+                if (!ok) break;
+                e[i] = nl;
+                from = nl + 1;
+            }
+            if (!ok) return false;               // truncated tail
+            size_t l2a = e[0] + 1, l3a = e[1] + 1, l4a = e[2] + 1;
+            if (l3a < r->chunk.size() && r->chunk[l3a] == '+' &&
+                line_len(r->chunk, l4a, e[3]) ==
+                    line_len(r->chunk, l2a, e[1])) {
+                r->pos = ls;
+                return true;
+            }
+        }
+        p = r->chunk.find('\n', ls);
+    }
+}
 
 }  // namespace
 
 extern "C" {
+
+void fastx_close(void* h);
 
 void* fastx_open(const char* path) {
     gzFile gz = gzopen(path, "rb");
@@ -84,6 +156,43 @@ void* fastx_open(const char* path) {
     gzbuffer(gz, 1 << 20);
     Reader* r = new Reader();
     r->gz = gz;
+    return r;
+}
+
+// Open a byte range [start, end) of an UNCOMPRESSED FASTA/FASTQ file
+// (the parallel-reader partition; reference P1's N producer threads,
+// src/building.cpp:337-461). A record belongs to the range holding its
+// first byte: the reader resyncs to the first record start >= start
+// and stops at the first record start >= end. Returns nullptr for
+// compressed files with start > 0 (no cheap seek) or on resync
+// failure. end < 0 means end-of-file.
+void* fastx_open_range(const char* path, int64_t start, int64_t end) {
+    gzFile gz = gzopen(path, "rb");
+    if (!gz) return nullptr;
+    gzbuffer(gz, 1 << 20);
+    Reader* r = new Reader();
+    r->gz = gz;
+    r->limit = end;
+    if (start > 0) {
+        if (!gzdirect(gz)) { fastx_close(r); return nullptr; }
+        // format marker = the file's very first record char
+        int c0 = r->peekc();
+        bool fastq = (c0 == '@');
+        if (gzseek(gz, (z_off_t)(start - 1), SEEK_SET) < 0) {
+            fastx_close(r);
+            return nullptr;
+        }
+        r->chunk.clear();
+        r->pos = 0;
+        r->chunk_off = start - 1;
+        r->eof = false;
+        if (!resync_reader(r, fastq) || r->past_limit()) {
+            // no record starts in [start, end): empty range
+            r->chunk.clear();
+            r->pos = 0;
+            r->eof = true;
+        }
+    }
     return r;
 }
 
@@ -114,6 +223,8 @@ int64_t fastx_read_batch(void* h, int64_t max_reads, int64_t max_len,
             r->getline(line);
             continue;
         }
+        if (r->past_limit()) break;  // next record belongs to the
+                                     // following byte range
         bool fastq = (c == '@');
         r->getline(line);
         // header (skip marker char)
@@ -193,6 +304,7 @@ int64_t fastx_read_packed(void* h, int64_t max_reads, int32_t winlen,
         int c = r->peekc();
         if (c < 0) break;
         if (c != '>' && c != '@') { r->getline(line); continue; }
+        if (r->past_limit()) break;
         bool fastq = (c == '@');
         r->getline(line);
         size_t hl = line.size() > 1 ? line.size() - 1 : 0;
