@@ -170,11 +170,14 @@ def mode_build(argv: List[str], modify: bool = False) -> int:
             info_mod.status("note: -max-load-fac accepted for "
                             "compatibility; CSR tables have no load "
                             "factor")
-    if a.take_value("-threads"):
-        from ..utils import info as info_mod
-        if info_mod.level() == info_mod.VERBOSE:
-            info_mod.status("note: -threads accepted for compatibility;"
-                            " build parallelism is device-side")
+    v = a.take_value("-threads")
+    if v:
+        # N file-parser threads feed the (device-side) inserter
+        # (reference producer threads, src/building.cpp:337-461)
+        try:
+            opt.num_threads = max(1, int(v))
+        except ValueError:
+            pass
     _apply_info_level(a)
     opt.reset_parents = a.take_flag("-reset-taxa", "-reset-parents")
     ref_format = a.take_flag("-ref-format", "-reference-format")

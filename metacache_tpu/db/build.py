@@ -45,6 +45,7 @@ class BuildOptions:
     seq_id_type: SequenceIdType = SequenceIdType.SMART
     device_tables: bool = False   # build+query fast path: tables stay
                                   # on device (no save/merge/culls)
+    num_threads: int = 1          # -threads: parallel file parsing
 
 
 def find_taxon_id(name2tax: Dict[str, int], name: str) -> int:
@@ -114,15 +115,38 @@ def expand_input_paths(paths: Iterable[str],
 def add_targets_to_database(db: Database, infiles: list[str],
                             sequ2taxid: Dict[str, int],
                             seq_id_type: SequenceIdType = SequenceIdType.SMART,
-                            show_progress=None):
-    """Reference: add_targets_to_database (src/building.cpp:337-461)."""
+                            show_progress=None, num_threads: int = 1):
+    """Reference: add_targets_to_database (src/building.cpp:337-461).
+
+    ``num_threads > 1``: up to N files parse ahead on reader threads
+    (the reference's producer threads, building.cpp:337-356) while the
+    main thread inserts in deterministic file order — target ids never
+    depend on thread timing."""
     smap = _PrefixMap(sequ2taxid)
+    ex = None
+    futs: dict = {}
+    if num_threads > 1 and len(infiles) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(min(num_threads, 8))
+        window = min(num_threads + 1, len(infiles))
+        for i in range(window):
+            futs[i] = ex.submit(
+                lambda p: list(seqio.read_sequences(p)), infiles[i])
     for fi, path in enumerate(infiles):
         # taxid from the file name's accession
         file_acc = extract_accession_string(os.path.basename(path),
                                             SequenceIdType.SMART)
         file_taxid = smap.find(file_acc) if file_acc else 0
-        for rec in seqio.read_sequences(path):
+        if ex is not None:
+            recs = futs.pop(fi).result()
+            nxt = fi + len(futs) + 1
+            if nxt < len(infiles):
+                futs[nxt] = ex.submit(
+                    lambda p: list(seqio.read_sequences(p)),
+                    infiles[nxt])
+        else:
+            recs = seqio.read_sequences(path)
+        for rec in recs:
             if not rec.seq:
                 continue
             seqid = extract_accession_string(rec.header, seq_id_type)
@@ -141,6 +165,8 @@ def add_targets_to_database(db: Database, infiles: list[str],
                           FileSource(path, rec.index), part=part)
         if show_progress:
             show_progress(fi + 1, len(infiles))
+    if ex is not None:
+        ex.shutdown(wait=False)
 
 
 def try_to_rank_unranked_targets(db: Database, opt: BuildOptions):
@@ -211,7 +237,8 @@ def build_database(opt: BuildOptions,
     bar = ProgressBar()
     add_targets_to_database(
         db, infiles, sequ2taxid, opt.seq_id_type,
-        show_progress=bar.update if info_mod.show_info() else None)
+        show_progress=bar.update if info_mod.show_info() else None,
+        num_threads=opt.num_threads)
     db.finalize()
     db.merge_parts(opt.parts, opt.max_part_bytes)
 

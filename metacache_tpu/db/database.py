@@ -297,12 +297,22 @@ class Database:
         db._load_taxonomy(path + ".tax.npz")
         if not metadata_only:
             nparts = meta["part_count"]
-            idxs = range(nparts) if part is None else [part]
-            for i in idxs:
+            idxs = list(range(nparts)) if part is None else [part]
+
+            def _load_part(i):
                 z = np.load(path + f".cache{i}.npz")
-                db.parts.append(FeatureTable(
+                return FeatureTable(
                     z["features"], z["offsets"], z["locations"],
-                    db.max_locations_per_feature))
+                    db.max_locations_per_feature)
+            if len(idxs) > 1:
+                # concurrent part loading (reference: one reader thread
+                # per .cache part, src/database.cpp:204-237); np.load IO
+                # releases the GIL
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(min(len(idxs), 8)) as ex:
+                    db.parts.extend(ex.map(_load_part, idxs))
+            else:
+                db.parts.extend(_load_part(i) for i in idxs)
         return db
 
     def _load_taxonomy(self, path: str):

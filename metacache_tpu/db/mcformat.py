@@ -276,9 +276,19 @@ def load_reference_db(path: str, metadata_only: bool = False,
         return db
 
     fdt = np.uint32 if feature_size == 4 else np.uint64
-    idxs = range(num_parts) if part is None else [part]
-    for i in idxs:
-        db.parts.append(_read_cache(f"{path}.cache{i}", fdt, max_loc))
+    idxs = list(range(num_parts)) if part is None else [part]
+    if len(idxs) > 1:
+        # concurrent part loading (reference: one reader thread per
+        # .cache part, src/database.cpp:204-237)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(len(idxs), 8)) as ex:
+            db.parts.extend(ex.map(
+                lambda i: _read_cache(f"{path}.cache{i}", fdt, max_loc),
+                idxs))
+    else:
+        for i in idxs:
+            db.parts.append(_read_cache(f"{path}.cache{i}", fdt,
+                                        max_loc))
     return db
 
 

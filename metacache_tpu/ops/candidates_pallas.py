@@ -374,20 +374,57 @@ def _packed_kernel(p_ref, mwir_ref, out_ref, *, walk_elems, kk, l2,
         [res, jnp.zeros((n, pad), jnp.int32)], axis=1)
 
 
+def _sort_kernel(p_ref, out_ref, *, presorted):
+    """Standalone lane sort (split pipeline stage 1): with only 2 live
+    row arrays the VMEM scope admits a 4-8x larger row tile than the
+    fused kernel, which measured 21% faster on the sort portion."""
+    out_ref[:] = _sort1_lanes(p_ref[:], presorted)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "presorted"))
+def sort_pallas_packed(pk: jax.Array, tile: int = 0,
+                       presorted: int = 0) -> jax.Array:
+    """(B, L2) packed slots -> lane-sorted rows (Pallas, own tile)."""
+    b, l2 = pk.shape
+    if tile <= 0:
+        tile = max(8, min(256, (1 << 20) // (l2 * 4)))
+    while b % tile:
+        tile //= 2
+    import contextlib
+    ctx = pltpu.force_tpu_interpret_mode() \
+        if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    with ctx:
+        return pl.pallas_call(
+            functools.partial(_sort_kernel, presorted=presorted),
+            out_shape=jax.ShapeDtypeStruct((b, l2), jnp.int32),
+            grid=(b // tile,),
+            in_specs=[pl.BlockSpec((tile, l2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, l2), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(pk)
+
+
 @functools.partial(jax.jit, static_argnames=("walk_elems", "pack_bits",
                                              "max_candidates", "tile",
-                                             "dedup_walk", "presorted"))
+                                             "dedup_walk", "presorted",
+                                             "split"))
 def candidates_pallas_packed(pk: jax.Array, mwir: jax.Array,
                              pack_bits: int,
                              walk_elems: int = 0,
                              max_candidates: int = 2,
                              tile: int = 0, dedup_walk: int = 0,
-                             presorted: int = 0):
+                             presorted: int = 0, split: bool = False):
     """(B, L) packed match slots pk = (tgt << pack_bits) | win ->
     per-row top-k candidates (cand_tgt, cand_hits, cand_beg, cand_end).
 
     Caller contract: 2^pack_bits > 2 * max_window AND mwir clamped to
     max_window + 1; padding slots hold I32_MAX.
+
+    ``split=True``: run the lane sort as its OWN pallas_call at a
+    larger row tile (fewer live VMEM arrays), then the sweep+top-k
+    kernel with the sort skipped — one extra HBM round-trip of the slot
+    matrix buys the sort stage a better tile (MC_SPLIT_CAND knob).
     """
     b, l = pk.shape
     kk = max_candidates
@@ -406,6 +443,9 @@ def candidates_pallas_packed(pk: jax.Array, mwir: jax.Array,
     if presorted:
         assert l % presorted == 0 and l == l2, \
             "presorted runs must tile the padded row exactly"
+    if split:
+        pk = sort_pallas_packed(pk, presorted=presorted)
+        presorted = l2     # phase start 2*l2 > l2: sort becomes a no-op
     with ctx:
         out = pl.pallas_call(
             functools.partial(_packed_kernel, walk_elems=walk_elems,

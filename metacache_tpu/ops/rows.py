@@ -122,13 +122,15 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
         assert not emit_hits, \
             "fused_candidates cannot emit per-hit lists"
         if pack_bits:
+            import os as _os
             from .candidates_pallas import candidates_pallas_packed
             cand_tgt, cand_hits, cand_beg, cand_end = \
                 candidates_pallas_packed(
                     tgt, mwir, pack_bits,
                     walk_elems=0 if dedup_walk else walk_elems,
                     dedup_walk=dedup_walk, max_candidates=kk,
-                    presorted=presorted_runs)
+                    presorted=presorted_runs,
+                    split=_os.environ.get("MC_SPLIT_CAND") == "1")
         else:
             from .candidates_pallas import candidates_pallas
             cand_tgt, cand_hits, cand_beg, cand_end = candidates_pallas(

@@ -325,3 +325,26 @@ def test_candidates_pallas_topk_tie_stress():
                                       np.asarray(got[2]), err_msg="beg")
         np.testing.assert_array_equal(np.asarray(ref.cand_end),
                                       np.asarray(got[3]), err_msg="end")
+
+
+def test_candidates_pallas_packed_split_parity():
+    """split=True (standalone sort kernel + sort-skipping sweep kernel)
+    == the fused single-kernel path."""
+    from metacache_tpu.ops.candidates_pallas import \
+        candidates_pallas_packed
+    rng = np.random.default_rng(67)
+    b, l, ntgt, nwin = 32, 384, 24, 200
+    wbits = max(1, (2 * (nwin - 1)).bit_length())
+    tgt, win = _random_slots(rng, b, l, ntgt, nwin)
+    pk = _pack(tgt, win, wbits)
+    mwir = np.full(b, 3, np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = candidates_pallas_packed(
+            jnp.asarray(pk), jnp.asarray(mwir), wbits,
+            walk_elems=10, max_candidates=2)
+        got = candidates_pallas_packed(
+            jnp.asarray(pk), jnp.asarray(mwir), wbits,
+            walk_elems=10, max_candidates=2, split=True)
+    for a, g, nm in zip(ref, got, ("tgt", "hits", "beg", "end")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g),
+                                      err_msg=nm)
