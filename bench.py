@@ -541,6 +541,8 @@ def main():
             "reader_only_t4_reads_per_min": rpm_read4,
             "infeed_only_reads_per_min": rpm_infeed,
             "infeed_bytes_per_read": ps,
+            "d2h_bytes_per_read_map": 4,          # cls only (micro)
+            "d2h_bytes_per_read_tophits": 4 * (3 * 2 + 1),
         }
 
     def _preset_loop(dt, genomes, species, glen, popt, rlen, scan_k=16,

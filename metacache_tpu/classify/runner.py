@@ -1969,11 +1969,18 @@ class QueryRunner:
         slim = not (oa.show_locations or oa.show_alignment or
                     oa.show_hits_per_target or need_allhits or
                     opt.classify.cov_percentile > 0)
+        # the DEFAULT mapping mode (one line per read, no -tophits)
+        # prints only the classification: fetch cls alone — 1 word/read
+        # instead of 3k+1 (the d2h link bounds the per-read path)
+        micro = slim and not oa.show_top_hits
         import jax as _jax
         for (idxs, rows, res) in launched:
             sel = np.asarray(idxs)
             if isinstance(res.cand_tgt, _jax.Array):
                 kk = res.cand_tgt.shape[1]
+                if micro:
+                    cls_tax[sel] = np.asarray(res.cls_tax)[:len(idxs)]
+                    continue
                 if slim:
                     packed = np.asarray(_pack_result_slim_jit()(
                         res.cand_tgt, res.cand_tax, res.cand_hits,
