@@ -63,15 +63,18 @@ def make_strain_genomes(rng, specs, glen):
 
 def dense_tag(dt):
     """probe_rows `dense` static tag for a DeviceTable layout."""
+    wide = str(dt.uniq.dtype) == "uint64"
     if dt.dense:
+        if wide:
+            return f"u64pk{dt.slot_bits}" + ("p" if dt.packed else "")
         if dt.slot_bits:
             return f"pk{dt.slot_bits}" + ("p" if dt.packed else "")
         return "packed" if dt.packed else True
     if getattr(dt, "classed", False):
         return ("classed", dt.head_slots, False, dt.ovf_packed,
                 dt.slot_bits)
-    return ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed,
-            dt.slot_bits)
+    return (("u64_two_tier" if wide else "two_tier"), dt.head_slots,
+            dt.packed, dt.ovf_packed, dt.slot_bits)
 
 
 def build_db(genomes, opt):
@@ -622,11 +625,11 @@ def main():
         return out
 
     def measure_preset_k18(rng):
-        """kmerlen 18 (u64 features): searchsorted + CSR-gather probe
-        (no 32-bit fused rows), host-built table."""
-        from metacache_tpu.ops.rows import query_step_rows_scan
+        """kmerlen 18 (u64 features) through the u64-native fused-row
+        device layout ([flo, fhi, ...] meta + low-32 bucket index)."""
         from metacache_tpu.ops.table import (FeatureTable,
                                              unpack_locations)
+        from metacache_tpu.ops.table_device import device_layout_from_csr
         from metacache_tpu.db.sketch_exec import SketchAccumulator
         from metacache_tpu.ops import windows as W
         from metacache_tpu.utils.platform import ensure_feature_width
@@ -641,64 +644,14 @@ def main():
         bf, bl = acc.finish()
         ft = FeatureTable.build(bf, bl, 254,
                                 presorted_within_feature=True)
-        spf = min(ft.max_bucket_size, 254) or 1
         ltgt, lwin = unpack_locations(ft.locations)
-        ntgt = len(genomes)
-        lineages, merge_tax = lineage_arrays(species)
-        mt, lg = jnp.asarray(merge_tax), jnp.asarray(lineages)
-        rng2 = np.random.default_rng(19)
-        gsel = rng2.integers(0, ntgt, B)
-        pos = rng2.integers(0, GLEN - READ_LEN, B)
-        wins = np.full((B, 1, popt.winlen), 4, np.uint8)
-        for i in range(B):
-            wins[i, 0, :READ_LEN] = \
-                genomes[gsel[i]][pos[i]:pos[i] + READ_LEN]
-        valid = np.full((B, 1), READ_LEN, np.int32)
-        mwir = np.full(B, 2, np.int32)
-        tf = jnp.asarray(ft.unique_features)
-        to = jnp.asarray(ft.offsets.astype(np.int32))
-        la = jnp.asarray(ltgt.astype(np.int32))
-        lb = jnp.asarray(lwin.astype(np.int32))
-        scan_k, iters = 16, 3
-
-        def qscan(wk, vk, mk):
-            return query_step_rows_scan(
-                wk, vk, mk, tf, to, la, lb, mt, lg,
-                jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
-                jnp.int32(0), None,
-                k=popt.kmerlen, sketchlen=popt.sketchlen,
-                slots_per_feature=spf, windows_per_query=1,
-                max_candidates=2, prefix_bits=0, prefix_steps=0,
-                dense=False, use_pallas_sketch=False,
-                walk_elems=2 * popt.sketchlen, fast_top2=True,
-                fused_candidates=use_pallas)
-
-        wk = jnp.asarray(np.broadcast_to(
-            wins[None], (scan_k,) + wins.shape).copy())
-        vk = jnp.asarray(np.broadcast_to(
-            valid[None], (scan_k,) + valid.shape).copy())
-        mk = jnp.asarray(np.broadcast_to(
-            mwir[None], (scan_k,) + mwir.shape).copy())
-        cls = np.asarray(qscan(wk, vk, mk))
-        np.asarray(qscan(wk, vk, mk))
-        t0 = time.time()
-        prev = None
-        for _ in range(iters):
-            r = qscan(wk, vk, mk)
-            if prev is not None:
-                np.asarray(prev)
-            prev = r
-        np.asarray(prev)
-        dt_s = (time.time() - t0) / (iters * scan_k)
-        return {
-            "reads_per_min": round(B / dt_s * 60),
-            "ms_per_batch": round(dt_s * 1000, 3),
-            "classified_fraction": round(float((cls[0] != 0).mean()),
-                                         4),
-            "db_locations": ft.num_locations,
-            "max_bucket": int(ft.max_bucket_size),
-            "kmerlen": 18,
-        }
+        dt = device_layout_from_csr(ft.unique_features, ft.offsets,
+                                    ltgt, lwin, cap=254)
+        out = _preset_loop(dt, genomes, species, GLEN, popt,
+                           rlen=READ_LEN)
+        out["kmerlen"] = 18
+        out["layout"] = "u64_dense" if dt.dense else "u64_two_tier"
+        return out
 
     # ------- 1. toy strain DB (round-1 comparable) ----------------------
     GLEN = 1_000_000

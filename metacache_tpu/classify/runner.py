@@ -296,15 +296,20 @@ class _ShardedRows:
 
 def _device_dense_tag(dtab):
     """probe_rows `dense` static tag for a DeviceTable layout."""
+    import numpy as _np
+    wide = dtab.uniq.dtype == _np.uint64
     if dtab.dense:
+        if wide:
+            return (f"u64pk{dtab.slot_bits}" +
+                    ("p" if dtab.packed else ""))
         if dtab.slot_bits:
             return f"pk{dtab.slot_bits}" + ("p" if dtab.packed else "")
         return "packed" if dtab.packed else True
     if getattr(dtab, "classed", False):
         return ("classed", dtab.head_slots, False, dtab.ovf_packed,
                 dtab.slot_bits)
-    return ("two_tier", dtab.head_slots, dtab.packed, dtab.ovf_packed,
-            dtab.slot_bits)
+    return (("u64_two_tier" if wide else "two_tier"), dtab.head_slots,
+            dtab.packed, dtab.ovf_packed, dtab.slot_bits)
 
 
 class QueryRunner:
@@ -451,9 +456,31 @@ class QueryRunner:
         for p in (db.parts if self._tmesh is None else []):
             spf = min(p.max_bucket_size, db.max_locations_per_feature) or 1
             if self._wide_features:
-                # u64 features: the fused-row/bucket-index layouts are
-                # 32-bit; probe via device binary search over the u64
-                # key array + CSR location gathers
+                # u64 features: fused rows carry [flo, fhi, ...] meta
+                # and the bucket index matches low-32 in-lane
+                # (exactness: two-lane verify after the gather +
+                # collision-checked index). Falls back to device
+                # binary search + CSR gathers when the index can't be
+                # built (low-32 collision, unpackable locations).
+                if use_dev_layout and p.num_features:
+                    try:
+                        from ..ops.table_device import \
+                            device_layout_from_csr
+                        ltgt, lwin = unpack_locations(p.locations)
+                        dtab = device_layout_from_csr(
+                            p.unique_features, p.offsets, ltgt, lwin,
+                            cap=db.max_locations_per_feature or 254,
+                            budget_bytes=remaining)
+                        remaining -= dtab.layout_bytes
+                        self._tables.append((
+                            dtab.uniq, dtab.offsets, dtab.head,
+                            dtab.ovf, dtab.spf))
+                        self._dense.append(_device_dense_tag(dtab))
+                        self._prefix.append((dtab.brows, 0))
+                        self._prefix_bits.append(dtab.bbits)
+                        continue
+                    except MemoryError:
+                        pass                  # CSR fallback below
                 ltgt, lwin = unpack_locations(p.locations)
                 self._tables.append((
                     _dev(p.unique_features),

@@ -69,6 +69,72 @@ def make_bucket_index(features: np.ndarray, bits: int | None = None):
     return rows, bits
 
 
+def make_bucket_index64(features: np.ndarray, bits: int | None = None):
+    """u64-feature bucket-row index: row h (hash = top `bits` of the
+    64-bit feature) = [start, low32(f_0) .. low32(f_{S-1})].
+
+    The probe compares only the LOW 32 bits in-lane and verifies the
+    full feature against the fused head row's two meta lanes — exact as
+    long as no two features in one bucket share their low 32 bits.
+    Returns None when such a collision exists (callers fall back to the
+    searchsorted CSR probe; at realistic span widths the probability is
+    ~1e-6 per database)."""
+    nf = len(features)
+    assert features.dtype == np.uint64
+    if bits is None:
+        bits = min(24, max(12, int(max(nf, 1)).bit_length() - 2))
+    while True:
+        nbuckets = 1 << bits
+        bounds = (np.arange(nbuckets, dtype=np.uint64)
+                  << np.uint64(64 - bits))
+        starts = np.searchsorted(features, bounds).astype(np.int64)
+        ends = np.append(starts[1:], np.int64(nf))
+        max_span = int((ends - starts).max()) if nf else 1
+        if max_span <= 63 or bits >= 26:
+            break
+        bits += 1
+    if max_span > 63:
+        return None
+    low = (features & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    h = (features >> np.uint64(64 - bits)).astype(np.int64)
+    # collision check: duplicate low-32 within one bucket
+    if nf:
+        order = np.lexsort((low, h))
+        hl, ll = h[order], low[order]
+        if bool(((hl[1:] == hl[:-1]) & (ll[1:] == ll[:-1])).any()):
+            return None
+    w = max(64, 1 + (1 << max(0, int(max_span - 1).bit_length())))
+    rows = np.full((nbuckets, w), -1, np.int32)
+    rows[:, 0] = starts.astype(np.int32)
+    if nf:
+        col = np.arange(nf, dtype=np.int64) - starts[h]
+        rows[h, 1 + col] = low.view(np.int32)
+    return rows, bits
+
+
+def probe_bucket64(flat: jax.Array, bucket_rows: jax.Array, bits: int):
+    """u64 variant of probe_bucket: hash = top `bits` of the 64-bit
+    feature, in-lane match on the LOW 32 bits (make_bucket_index64
+    guarantees per-bucket uniqueness); the caller verifies the full
+    feature against the head row's two meta lanes."""
+    h = (flat >> jnp.uint64(64 - bits)).astype(jnp.int32)
+    if bucket_rows.shape[1] == 128:
+        row2 = bucket_rows[h >> 1]
+        row = jnp.where((h & 1)[:, None] == 1, row2[:, 64:],
+                        row2[:, :64])
+    else:
+        row = bucket_rows[h]                   # ONE row gather
+    lo_i32 = jax.lax.bitcast_convert_type(
+        (flat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+    match = row[:, 1:] == lo_i32[:, None]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
+    local = jnp.where(match, lanes, 0).sum(axis=1)
+    idx = row[:, 0] + local
+    found = match.any(axis=1) & \
+        (flat != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return idx, found
+
+
 def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     """-> (idx i32, found bool) via one bucket-row gather + lane match.
 

@@ -52,6 +52,31 @@ def _sketch_dispatch(codes2d, valid, k, sketchlen, use_pallas):
 I32_MAX = np.int32(2**31 - 1)
 
 
+def _tag_wide(dense) -> bool:
+    """True when the probe layout tag is a u64-feature variant
+    ("u64pk<bits>(p)" dense, ("u64_two_tier", ...) tuple)."""
+    if isinstance(dense, str):
+        return dense.startswith("u64")
+    if isinstance(dense, tuple):
+        return isinstance(dense[0], str) and dense[0].startswith("u64")
+    return False
+
+
+def _meta_match(rows, flat, wide: bool):
+    """Row-gather feature verification: one meta lane for u32 features,
+    two (lo, hi) for u64."""
+    if wide:
+        lo = jax.lax.bitcast_convert_type(
+            (flat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            (flat >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+        return ((rows[:, 0] == lo) & (rows[:, 1] == hi) &
+                (flat != jnp.uint64(0xFFFFFFFFFFFFFFFF)))
+    flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    return (rows[:, 0] == flat_i32) & (flat != jnp.uint32(0xFFFFFFFF))
+
+
 def _alt_runs(fused: bool, fast_top2: bool, walk_elems: int,
               dedup_walk: int, feats_per_query: int, spf: int) -> int:
     """Run length for alternating-direction probe emission (0 = off):
@@ -545,8 +570,13 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
         hit = j < jnp.minimum(cnt, hsl)[:, None]
         pk = jnp.where(hit, rows3, I32_MAX)
     else:
+        wide = _tag_wide(dense)
         if idx_pre is not None:
             idx_c = idx_pre
+        elif wide:
+            from .probe import probe_bucket64
+            idx_c, _ = probe_bucket64(flat, prefix_starts, prefix_bits)
+            idx_c = jnp.clip(idx_c, 0, None)
         else:
             idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
             idx_c = jnp.clip(idx_c, 0, None)
@@ -556,14 +586,13 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
                              r2[:, :64])
         else:
             rows = loc_tgt[idx_c]
-        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        found = (rows[:, 0] == flat_i32) & \
-            (flat != jnp.uint32(0xFFFFFFFF))
-        cnt = jnp.where(found, rows[:, 1], 0)
+        nx = 2 if wide else 1
+        found = _meta_match(rows, flat, wide)
+        cnt = jnp.where(found, rows[:, nx], 0)
         over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
         j = jax.lax.broadcasted_iota(jnp.int32, (b * f, hsl), 1)
         hit = j < jnp.minimum(cnt, hsl)[:, None]
-        pk = jnp.where(hit, rows[:, 3:3 + hsl], I32_MAX)
+        pk = jnp.where(hit, rows[:, nx + 2:nx + 2 + hsl], I32_MAX)
     rl = alt_runs if alt_runs else hsl
     if rl > hsl:
         pk = jnp.concatenate(
@@ -598,12 +627,14 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
     bucket size and every location — small separate gathers are
     near-serial on TPU.
     """
-    from .probe import probe_bucket, probe_bucket_classed, probe_features
+    from .probe import (probe_bucket, probe_bucket64,
+                        probe_bucket_classed, probe_features)
     b, f = feats.shape
     c = slots_per_feature
     flat = feats.reshape(-1)
     nf = table_feats.shape[0]
     classed = isinstance(dense, tuple) and dense[0] == "classed"
+    wide = _tag_wide(dense)
     pks_classed = None
     if classed:
         if idx_pre is not None:
@@ -620,7 +651,12 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         # iteration's row gathers + candidates)
         idx_c, found = idx_pre, None
     elif prefix_starts is not None and prefix_starts.ndim == 2 and nf > 0:
-        idx_c, found = probe_bucket(flat, prefix_starts, prefix_bits)
+        if wide:
+            idx_c, found = probe_bucket64(flat, prefix_starts,
+                                          prefix_bits)
+        else:
+            idx_c, found = probe_bucket(flat, prefix_starts,
+                                        prefix_bits)
         idx_c = jnp.clip(idx_c, 0, nf - 1)
     elif prefix_starts is not None and nf > 0:
         idx_c, found = probe_features(flat, table_feats, prefix_starts,
@@ -653,33 +689,40 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         # when the worst bucket is C deep. Slots are (tgt, win) lane
         # pairs, or ONE pk lane each when dense[4] = slot_bits > 0.
         # dense[2]/dense[3] flag pair-packed head/overflow rows.
+        # u64 variant: meta = [flo, fhi, count, ovf_idx] (both lanes
+        # verified after the gather — the bucket index matched low-32).
         hsl = dense[1]
         hpack = len(dense) > 2 and dense[2]
         opack = len(dense) > 3 and dense[3]
         slot_bits = dense[4] if len(dense) > 4 else 0
+        nx = 2 if wide else 1
         rows = half_gather(loc_tgt, idx_c) if hpack else loc_tgt[idx_c]
-        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        found = (rows[:, 0] == flat_i32) & \
-            (flat != jnp.uint32(0xFFFFFFFF))
-        cnt = jnp.where(found, rows[:, 1], 0)
+        found = _meta_match(rows, flat, wide)
+        cnt = jnp.where(found, rows[:, nx], 0)
         hit = j < cnt[:, None]
         ow = c - hsl
-        oidx = jnp.where(found, rows[:, 2], 0)
+        oidx = jnp.where(found, rows[:, nx + 1], 0)
         orow = half_gather(loc_win, oidx) if opack else loc_win[oidx]
+        hb = nx + 2
         if slot_bits:
             pks = jnp.concatenate(
-                [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
+                [rows[:, hb:hb + hsl], orow[:, :ow]], axis=1)
             pks = jnp.where(hit, pks, I32_MAX)
         else:
             tgts = jnp.concatenate(
-                [rows[:, 3:3 + hsl], orow[:, :ow]], axis=1)
+                [rows[:, hb:hb + hsl], orow[:, :ow]], axis=1)
             wins = jnp.concatenate(
-                [rows[:, 3 + hsl:3 + 2 * hsl], orow[:, ow:2 * ow]],
+                [rows[:, hb + hsl:hb + 2 * hsl], orow[:, ow:2 * ow]],
                 axis=1)
             tgts = jnp.where(hit, tgts, I32_MAX)
             wins = jnp.where(hit, wins, I32_MAX)
     elif dense:
-        if isinstance(dense, str) and dense.startswith("pk"):
+        if isinstance(dense, str) and dense.startswith("u64pk"):
+            # u64 dense rows [flo, fhi, count, pk*C]
+            slot_bits = int(dense[5:].rstrip("p"))
+            rows = half_gather(loc_tgt, idx_c) \
+                if dense.endswith("p") else loc_tgt[idx_c]
+        elif isinstance(dense, str) and dense.startswith("pk"):
             # "pk<bits>" / "pk<bits>p" (pair-packed): dense rows with
             # packed slots [feat, count, pk*C]
             slot_bits = int(dense[2:].rstrip("p"))
@@ -688,16 +731,16 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         else:
             rows = half_gather(loc_tgt, idx_c) if dense == "packed" \
                 else loc_tgt[idx_c]                 # ONE gather
-        flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        found = (rows[:, 0] == flat_i32) & \
-            (flat != jnp.uint32(0xFFFFFFFF))
-        cnt = jnp.where(found, rows[:, 1], 0)
+        nx = 2 if wide else 1
+        found = _meta_match(rows, flat, wide)
+        cnt = jnp.where(found, rows[:, nx], 0)
         hit = j < cnt[:, None]
+        sb = nx + 1
         if slot_bits:
-            pks = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
+            pks = jnp.where(hit, rows[:, sb:sb + c], I32_MAX)
         else:
-            tgts = jnp.where(hit, rows[:, 2:2 + c], I32_MAX)
-            wins = jnp.where(hit, rows[:, 2 + c:2 + 2 * c], I32_MAX)
+            tgts = jnp.where(hit, rows[:, sb:sb + c], I32_MAX)
+            wins = jnp.where(hit, rows[:, sb + c:sb + 2 * c], I32_MAX)
     else:
         assert idx_pre is None, \
             "prefetched probe needs a fused-row layout (CSR recomputes)"
@@ -955,6 +998,11 @@ def query_step_rows_scan(windows_k, valid_k, mwir_k,
                                                prefix_starts,
                                                prefix_bits)
                 return pidx
+            if _tag_wide(dense):
+                from .probe import probe_bucket64
+                idx_w, _ = probe_bucket64(feats.reshape(-1),
+                                          prefix_starts, prefix_bits)
+                return jnp.clip(idx_w, 0, None)
             idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
                                     prefix_bits)
             return jnp.clip(idx_c, 0, nf - 1)
@@ -1160,6 +1208,11 @@ def query_step_rows_scan_head_fused(windows_k, valid_k, mwir_k,
             pidx, _ = probe_bucket_classed(feats.reshape(-1),
                                            prefix_starts, prefix_bits)
             return pidx
+        if _tag_wide(dense):
+            from .probe import probe_bucket64
+            idx_w, _ = probe_bucket64(feats.reshape(-1),
+                                      prefix_starts, prefix_bits)
+            return jnp.clip(idx_w, 0, None)
         idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
                                 prefix_bits)
         return jnp.clip(idx_c, 0, None)
@@ -1299,6 +1352,11 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
                                                prefix_starts,
                                                prefix_bits)
                 return pidx
+            if _tag_wide(dense):
+                from .probe import probe_bucket64
+                idx_w, _ = probe_bucket64(feats.reshape(-1),
+                                          prefix_starts, prefix_bits)
+                return jnp.clip(idx_w, 0, None)
             idx_c, _ = probe_bucket(feats.reshape(-1), prefix_starts,
                                     prefix_bits)
             return jnp.clip(idx_c, 0, None)

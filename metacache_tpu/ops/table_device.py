@@ -287,21 +287,37 @@ def _fill_span_g(rows, marks, vals, g, nf_off, novf_off, nf_g, *,
                                              "pack"))
 def _head_init(sizes, uniq, hw: int, dense: bool, head: int,
                pack: bool = False):
-    """Feature-row headers: [f, count(, ovfid)] + zeroed location lanes."""
+    """Feature-row headers: [f, count(, ovfid)] + zeroed location lanes.
+
+    With u64 features (uniq.dtype == uint64) the feature takes TWO meta
+    lanes [flo, fhi, count(, ovfid)] — the probe verifies both after
+    the row gather (the bucket index only compares the low 32 bits)."""
     nf = sizes.shape[0]
+    wide = uniq.dtype == jnp.uint64
     fi = jax.lax.broadcasted_iota(jnp.int32, (nf,), 0)
     shape = (nf // 2, 128) if pack else (nf, hw)
     headrows = jnp.zeros(shape, jnp.int32)
     ri = fi >> 1 if pack else fi
     cb = (fi & 1) * 64 if pack else jnp.zeros((nf,), jnp.int32)
-    headrows = headrows.at[ri, cb].set(
-        jax.lax.bitcast_convert_type(uniq, jnp.int32))
-    headrows = headrows.at[ri, cb + 1].set(sizes)
+    if wide:
+        lo = jax.lax.bitcast_convert_type(
+            (uniq & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            (uniq >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32)
+        headrows = headrows.at[ri, cb].set(lo)
+        headrows = headrows.at[ri, cb + 1].set(hi)
+        nx = 2
+    else:
+        headrows = headrows.at[ri, cb].set(
+            jax.lax.bitcast_convert_type(uniq, jnp.int32))
+        nx = 1
+    headrows = headrows.at[ri, cb + nx].set(sizes)
     if not dense:
         over_f = sizes > head
         ovfid_f = jnp.where(over_f,
                             jnp.cumsum(over_f.astype(jnp.int32)), 0)
-        headrows = headrows.at[ri, cb + 2].set(ovfid_f)
+        headrows = headrows.at[ri, cb + nx + 1].set(ovfid_f)
     return headrows
 
 
@@ -563,7 +579,8 @@ def _vsel(vals, v: int):
 def _fill_layouts(get_mv, G: int, nf_offs, nf_gs, novf_offs, sizes,
                   uniq, *, nf_pad: int, novf: int, cap: int, head: int,
                   bits: int, nch: int, dense: bool,
-                  pack_rows: bool = True, slot_bits: int = 0):
+                  pack_rows: bool = True, slot_bits: int = 0,
+                  brows_ready=None):
     """Head rows, overflow rows and the bucket index, filled group by
     group via per-fill jits — concurrent HBM residency is the group
     buffers + the two layout arrays + ONE fill's working set.
@@ -573,8 +590,12 @@ def _fill_layouts(get_mv, G: int, nf_offs, nf_gs, novf_offs, sizes,
     when the loop iteration drops them).
 
     ``slot_bits > 0``: rows store packed pk = (tgt << slot_bits) | win
-    in ONE lane per slot — half the layout bytes, half the fills."""
-    base = 2 if dense else 3
+    in ONE lane per slot — half the layout bytes, half the fills.
+
+    u64 features (uniq.dtype == uint64) take an extra meta lane; the
+    bucket index is then host-built (``brows_ready``)."""
+    wide = uniq.dtype == jnp.uint64
+    base = (2 if dense else 3) + (1 if wide else 0)
     spl = 1 if slot_bits else 2        # lanes per slot
     hw = _pad64(base + spl * head)
     pack = pack_rows and hw == 64 and nf_pad % 2 == 0
@@ -612,8 +633,11 @@ def _fill_layouts(get_mv, G: int, nf_offs, nf_gs, novf_offs, sizes,
                 headrows, marks, _vsel(vals, 1), gi, fo, no, ng,
                 kind="head", colbase=base + head, head=head, cap=cap,
                 nch=nch, nrows=nf_pad, pack=pack, vsel=1)
-    brows, _maxspan = _brows_build(uniq, bits=bits,
-                                   nch=max(nch // 8, 1))
+    if brows_ready is not None:
+        brows = brows_ready
+    else:
+        brows, _maxspan = _brows_build(uniq, bits=bits,
+                                       nch=max(nch // 8, 1))
     return headrows, ovfrows, brows, pack, opack
 
 
@@ -730,16 +754,19 @@ def _quantize(n: int, min_bits: int) -> int:
 
 
 
-def _bytes_for_fn(nf_pad, spf, spl):
+def _bytes_for_fn(nf_pad, spf, spl, wide: bool = False):
     """Physical layout bytes for head width hd + n_over overflow rows;
-    spl = lanes per slot (1 when slot-packed, 2 otherwise)."""
+    spl = lanes per slot (1 when slot-packed, 2 otherwise); wide = u64
+    features (two meta lanes for the feature value)."""
+    ex = 1 if wide else 0
+
     def row_b(c):
         return max(-(-c // 128) * 128, 128) * 4 // (2 if c <= 64 else 1)
 
     def bytes_for(hd, n_over):
         if hd == spf:                              # dense layout
-            return nf_pad * row_b(_pad64(2 + spl * spf)) + 512
-        return (nf_pad * row_b(_pad64(3 + spl * hd)) +
+            return nf_pad * row_b(_pad64(2 + ex + spl * spf)) + 512
+        return (nf_pad * row_b(_pad64(3 + ex + spl * hd)) +
                 (_quantize(n_over, 10) + 1) *
                 row_b(_pad64(spl * (spf - hd))))
     return bytes_for
@@ -870,10 +897,16 @@ def build_device_table_chunked(chunks, *, cap: int = 254,
 
 def _layout_and_fill(get_mv, G, nf_offs, nf_gs, hists, sizes, uniq, *,
                      nf, nf_pad, spf, hist, slot_bits, maxw,
-                     budget_bytes, nch, what, allow_dense=True):
+                     budget_bytes, nch, what, allow_dense=True,
+                     brows_ready=None, bits_ready=0):
     """Shared tail of the grouped builders: choose the layout against
-    the HBM budget, run the grouped fills, assemble the DeviceTable."""
-    bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2)
+    the HBM budget, run the grouped fills, assemble the DeviceTable.
+
+    u64 features: pass the host-built low-32-lane bucket index via
+    ``brows_ready``/``bits_ready`` (classed layouts are 32-bit-only)."""
+    wide = uniq.dtype == jnp.uint64
+    bytes_for = _bytes_for_fn(nf_pad, spf, 1 if slot_bits else 2,
+                              wide=wide)
     cum_over = np.cumsum(hist[::-1])[::-1]        # #buckets size >= idx
     if allow_dense and bytes_for(spf, 0) <= budget_bytes:
         head = spf                                 # dense: no overflow
@@ -882,7 +915,8 @@ def _layout_and_fill(get_mv, G, nf_offs, nf_gs, hists, sizes, uniq, *,
                             what, slot_packed=bool(slot_bits))
     dense = head == spf
 
-    use_classed = _want_classed(head, spf, dense, slot_bits)
+    use_classed = not wide and _want_classed(head, spf, dense,
+                                             slot_bits)
     if use_classed:
         cb = _classed_bytes(hist, nf_pad, spf, cum_over)
         use_classed = cb <= budget_bytes and \
@@ -921,12 +955,13 @@ def _layout_and_fill(get_mv, G, nf_offs, nf_gs, hists, sizes, uniq, *,
                            classed=True)
 
     novf = int(cum_over[head + 1]) if head < spf else 0
-    bits = _choose_bits(uniq, base_bits)
+    bits = bits_ready if brows_ready is not None else \
+        _choose_bits(uniq, base_bits)
     headrows, ovfrows, brows, pack, opack = _fill_layouts(
         get_mv, G, nf_offs, nf_gs, novf_offsets(head), sizes, uniq,
         nf_pad=nf_pad, novf=novf, cap=spf, head=head, bits=bits,
         nch=nch, dense=dense, pack_rows=_pack_auto(nf_pad),
-        slot_bits=slot_bits)
+        slot_bits=slot_bits, brows_ready=brows_ready)
     return DeviceTable(uniq=uniq, offsets=offsets,
                        head=headrows, ovf=ovfrows, brows=brows,
                        bbits=bits, nf=nf, spf=spf, head_slots=head,
@@ -950,6 +985,8 @@ def export_csr(dt: DeviceTable, chunk: int = 1 << 25):
     """
     import jax
 
+    assert dt.uniq.dtype != jnp.uint64, \
+        "u64 tables are query-staging only (built FROM a CSR save)"
     uniq = np.asarray(dt.uniq[:dt.nf])
     offs = np.asarray(dt.offsets[:dt.nf + 1]).astype(np.int64)
     n = dt.num_locations
@@ -1056,11 +1093,37 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     maxt = int(ltgt.max()) if n else 0
     slot_bits = slot_pack_bits(maxw, maxt)
 
+    wide = uniq_host.dtype == np.uint64
+    brows_ready = None
+    bits_ready = 0
+    if wide:
+        # u64 features: fused rows carry [flo, fhi, ...] meta; the
+        # bucket index matches low-32 in-lane (exactness guaranteed by
+        # make_bucket_index64's collision check — None means fall back
+        # to the searchsorted CSR probe)
+        from .probe import make_bucket_index64
+        if not slot_bits:
+            raise MemoryError("u64 device layout needs slot-packable "
+                              "locations")
+        bi = make_bucket_index64(uniq_host)
+        if bi is None:
+            raise MemoryError("u64 bucket index: low-32 collision "
+                              "within a bucket; using CSR probe")
+        brows_np, bits_ready = bi
+        brows_ready = jnp.asarray(brows_np)
+        fsent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        fsent = np.uint32(0xFFFFFFFF)
+
     # feature-range group boundaries (the CSR is feature-sorted)
     if gbits:
-        fb = np.searchsorted(
-            uniq_host, (np.arange(1, G, dtype=np.uint64)
-                        << np.uint64(32 - gbits)).astype(np.uint32))
+        if wide:
+            bounds = (np.arange(1, G, dtype=np.uint64)
+                      << np.uint64(64 - gbits))
+        else:
+            bounds = (np.arange(1, G, dtype=np.uint64)
+                      << np.uint64(32 - gbits)).astype(np.uint32)
+        fb = np.searchsorted(uniq_host, bounds)
         lo_f = np.concatenate([[0], fb, [nf]]).astype(np.int64)
     else:
         lo_f = np.asarray([0, nf], np.int64)
@@ -1072,7 +1135,7 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     hist = np.sum(hists, axis=0) if G > 1 else hists[0]
 
     uniq = jnp.asarray(np.pad(uniq_host, (0, nf_pad - nf),
-                              constant_values=0xFFFFFFFF))
+                              constant_values=fsent))
     sizes = jnp.asarray(np.pad(sizes_capped, (0, nf_pad - nf)))
 
     def get_mv(g):
@@ -1105,4 +1168,5 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
         get_mv, G, nf_offs, nf_gs, hists, sizes, uniq,
         nf=nf, nf_pad=nf_pad, spf=spf, hist=hist,
         slot_bits=slot_bits, maxw=maxw, budget_bytes=budget_bytes,
-        nch=nch, what="layout", allow_dense=allow_dense)
+        nch=nch, what="layout", allow_dense=allow_dense,
+        brows_ready=brows_ready, bits_ready=bits_ready)
