@@ -312,6 +312,50 @@ def _device_dense_tag(dtab):
             dtab.packed, dtab.ovf_packed, dtab.slot_bits)
 
 
+class _ShardedRowsEsc:
+    """Sharded escalation adapter (summary path: only cls_tax is read).
+
+    Phase 1 (head-only across shards) classifies every read; reads
+    whose OR-reduced over flags are set re-run through the full-depth
+    sharded step, padded to the mesh batch shape. The merge happens
+    lazily on first cls_tax access."""
+
+    def __init__(self, res1, over, redo, wmat, vmat, mwir, nd, nt):
+        self._r1 = _ShardedRows(res1, len(mwir), nd, nt)
+        self._over = over
+        self._redo = redo
+        self._w, self._v, self._m = wmat, vmat, mwir
+        self._nd, self._nt = nd, nt
+        self._cls = None
+
+    @property
+    def cls_tax(self):
+        if self._cls is None:
+            cls = np.asarray(self._r1.cls_tax).copy()
+            over = np.asarray(self._over)
+            # undo the data-major/table-subset row order of `over`
+            rows = len(self._m)
+            b_loc, bsub = rows // self._nd, rows // (self._nd * self._nt)
+            d, p, loc = np.meshgrid(
+                np.arange(self._nd), np.arange(self._nt),
+                np.arange(bsub), indexing="ij")
+            inv = np.empty(rows, np.int64)
+            inv[(d * b_loc + p * bsub + loc).reshape(-1)] = \
+                np.arange(rows)
+            over = over[inv]
+            idx = np.nonzero(over)[0]
+            if len(idx):
+                sel = np.resize(idx, rows)       # pad to the mesh shape
+                r2 = _ShardedRows(
+                    self._redo(self._w[sel], self._v[sel],
+                               self._m[sel]),
+                    rows, self._nd, self._nt)
+                cls[idx] = np.asarray(r2.cls_tax)[:len(idx)]
+            self._cls = cls
+            self._w = self._v = None
+        return self._cls
+
+
 class QueryRunner:
     """Holds device-resident database state across query runs."""
 
@@ -413,9 +457,12 @@ class QueryRunner:
         self._dense = []
         self._shard_table = None
         if self._tmesh is not None:
+            import os as _os_
             from ..parallel.rows_mesh import shard_row_table
             st = shard_row_table(db.parts[0], self._ntab,
-                                 db.max_locations_per_feature)
+                                 db.max_locations_per_feature,
+                                 layout=_os_.environ.get(
+                                     "MC_SHARD_LAYOUT", "auto"))
             put_t = lambda a: _jax.device_put(jnp.asarray(a),
                                               self._tm_table)
             self._shard_table = (
@@ -1468,16 +1515,38 @@ class QueryRunner:
                 jnp.float32(opt.classify.hits_diff_fraction),
                 jnp.int32(self.highest_rank), jnp.int32(self.merge_rank))
         if self._tmesh is not None:
-            from ..parallel.rows_mesh import sharded_query_step_rows
+            from ..parallel.rows_mesh import (
+                sharded_query_step_rows, sharded_query_step_rows_head)
             (tf, to, lt2, lw2, ps, spf, pbits, psteps, sbits, shsl) = \
                 self._shard_table
-            res = sharded_query_step_rows(
-                self._put(wmat), self._put(vmat), self._put(mwir),
-                tf, to, lt2, lw2, ps, *tail,
+            kw = dict(
                 mesh=self._tmesh, k=sk.kmerlen, sketchlen=sk.sketchlen,
                 slots_per_feature=spf, windows_per_query=wq,
                 max_candidates=k, prefix_bits=pbits,
                 prefix_steps=psteps, pack_bits=sbits, head_slots=shsl)
+            import os as _os
+            esc = (sbits > 0 and 0 < shsl < spf and wq == 1
+                   and self._summary_only()
+                   and _os.environ.get("MC_ESCALATE", "1") != "0")
+            if esc:
+                # head-only phase 1 across shards; flagged reads redo
+                # through the full-depth step (same two-phase structure
+                # as the single-chip summary loop)
+                res1, over = sharded_query_step_rows_head(
+                    self._put(wmat), self._put(vmat), self._put(mwir),
+                    tf, to, lt2, lw2, ps, *tail, **kw)
+
+                def redo(wsel, vsel, msel):
+                    return sharded_query_step_rows(
+                        self._put(wsel), self._put(vsel),
+                        self._put(msel), tf, to, lt2, lw2, ps, *tail,
+                        **kw)
+                return _ShardedRowsEsc(res1, over, redo,
+                                       wmat, vmat, mwir,
+                                       self._nrep, self._ntab)
+            res = sharded_query_step_rows(
+                self._put(wmat), self._put(vmat), self._put(mwir),
+                tf, to, lt2, lw2, ps, *tail, **kw)
             return _ShardedRows(res, len(mwir), self._nrep, self._ntab)
         if len(self._tables) == 1:
             from ..ops.rows import query_step_rows

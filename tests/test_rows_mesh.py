@@ -247,3 +247,47 @@ def test_sharded_escalation_head_plus_redo():
         merged = cls_head.copy()
         merged[idx] = cls_redo[:len(idx)]
         np.testing.assert_array_equal(merged, cls_full)
+
+
+def test_runner_sharded_escalation_summary(monkeypatch):
+    """-table-shards summary run with forced two-tier shards (the
+    escalation path: head-only phase 1 + full-depth redo inside the
+    runner) == the unsharded summary output."""
+    import io
+
+    from metacache_tpu.classify.runner import (ClassificationResults,
+                                               map_queries_to_targets)
+    from metacache_tpu.cli.main import Args, parse_query_options
+    from metacache_tpu.db.build import BuildOptions, build_database
+    db = build_database(BuildOptions(
+        infiles=[f"{DATA}/genomes.fa"], taxonomy_dir=f"{DATA}/taxonomy"))
+
+    # count head-step launches to prove the escalation path engaged
+    from metacache_tpu.parallel import rows_mesh as RM
+    calls = {"head": 0}
+    orig_head = RM.sharded_query_step_rows_head
+
+    def counting_head(*a, **kw):
+        calls["head"] += 1
+        return orig_head(*a, **kw)
+
+    monkeypatch.setattr(RM, "sharded_query_step_rows_head",
+                        counting_head)
+
+    def run(extra, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        opt, _, _ = parse_query_options(Args(
+            ["-no-map", "-no-query-params"] + extra))
+        out = io.StringIO()
+        map_queries_to_targets([f"{DATA}/reads_single.fa"], db, opt,
+                               ClassificationResults(out))
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+        return out.getvalue()
+
+    plain = run([], {})
+    sharded = run(["-table-shards", "4"],
+                  {"MC_SHARD_LAYOUT": "two_tier"})
+    assert sharded == plain
+    assert calls["head"] > 0, "escalation head step never launched"
