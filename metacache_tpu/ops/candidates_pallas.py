@@ -343,7 +343,7 @@ def _packed_kernel(p_ref, mwir_ref, out_ref, *, walk_elems, kk, l2,
     # segmented suffix max, which measured ~40% of the kernel at L=4096.
     key = hits * l2 + (l2 - 1 - lane)
     v = jnp.where(is_match, key, -1)
-    tq = jax.lax.shift_right_logical(p, wbits)
+    tq = jax.lax.shift_right_logical(p, jnp.int32(wbits))
     shift = int(l2).bit_length() - 1
     wmask = (1 << wbits) - 1
     cols = []
@@ -358,7 +358,9 @@ def _packed_kernel(p_ref, mwir_ref, out_ref, *, walk_elems, kk, l2,
         # bits) — 2 reductions per round instead of 4
         pbest = pick(p)
         tbest = jnp.where(ok[:, 0],
-                          jax.lax.shift_right_logical(pbest, wbits), -1)
+                          jax.lax.shift_right_logical(pbest,
+                                      jnp.int32(wbits)),
+                          -1)
         cols.append(jnp.stack([
             tbest,
             jnp.where(ok[:, 0], best[:, 0] >> shift, 0),

@@ -128,7 +128,7 @@ def probe_bucket64(flat: jax.Array, bucket_rows: jax.Array, bits: int):
         (flat & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
     match = row[:, 1:] == lo_i32[:, None]
     lanes = jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
-    local = jnp.where(match, lanes, 0).sum(axis=1)
+    local = jnp.where(match, lanes, 0).sum(axis=1, dtype=jnp.int32)
     idx = row[:, 0] + local
     found = match.any(axis=1) & \
         (flat != jnp.uint64(0xFFFFFFFFFFFFFFFF))
@@ -151,7 +151,7 @@ def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     flat_i32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
     match = row[:, 1:] == flat_i32[:, None]
     lanes = jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
-    local = jnp.where(match, lanes, 0).sum(axis=1)
+    local = jnp.where(match, lanes, 0).sum(axis=1, dtype=jnp.int32)
     idx = row[:, 0] + local
     found = match.any(axis=1) & (flat != jnp.uint32(0xFFFFFFFF))
     return idx, found
@@ -189,12 +189,13 @@ def probe_bucket_classed(flat: jax.Array, brows: jax.Array, bits: int):
     cls = jnp.zeros(flat.shape, jnp.int32)
     for m, c, _v, idx2 in halves:
         found = found | m.any(axis=1)
-        j = j + jnp.where(m, idx2, 0).sum(axis=1)
-        cls = cls + jnp.where(m, c, 0).sum(axis=1)
+        j = j + jnp.where(m, idx2, 0).sum(axis=1, dtype=jnp.int32)
+        cls = cls + jnp.where(m, c, 0).sum(axis=1, dtype=jnp.int32)
     pre = jnp.zeros(flat.shape, jnp.int32)
     for m, c, v, idx2 in halves:
+        # explicit i32: .sum() promotes to i64 under jax x64 mode
         pre = pre + (v & (c == cls[:, None]) &
-                     (idx2 < j[:, None])).sum(axis=1)
+                     (idx2 < j[:, None])).sum(axis=1, dtype=jnp.int32)
     w16 = jnp.where(cls == 0, 1, jnp.where(cls == 1, 2, 4))
     base = jnp.where(cls == 0, row[:, 0],
                      jnp.where(cls == 1, row[:, 1], row[:, 2]))

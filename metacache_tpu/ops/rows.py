@@ -323,7 +323,7 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
             ok = m[:, 0] != I32_MAX
             oks.append(ok)
             for key, arr in cols.items():
-                picked[key].append(jnp.where(pick, arr, 0).sum(axis=1))
+                picked[key].append(jnp.where(pick, arr, 0).sum(axis=1, dtype=jnp.int32))
             comp = jnp.where(pick, I32_MAX, comp)
         okc = jnp.stack(oks, axis=1)
         neg3 = jnp.stack(picked["neg"], axis=1)
@@ -1230,7 +1230,7 @@ def query_step_rows_scan_head_fused(windows_k, valid_k, mwir_k,
             emit_hits=False, presorted_runs=rl, pack_bits=pack_bits)
         ob = over.reshape(b // 32, 32).astype(jnp.int32)
         obits = (ob << jax.lax.broadcasted_iota(
-            jnp.int32, (b // 32, 32), 1)).sum(axis=1)
+            jnp.int32, (b // 32, 32), 1)).sum(axis=1, dtype=jnp.int32)
         return res.cls_tax, obits
 
     redo = _redo_body(table_feats, table_offsets, loc_tgt, loc_win,
@@ -1339,7 +1339,7 @@ def query_step_rows_scan_head(windows_k, valid_k, mwir_k,
         # pack the over flags 32/word so the d2h fetch stays tiny
         ob = over.reshape(b // 32, 32).astype(jnp.int32)
         obits = (ob << jax.lax.broadcasted_iota(
-            jnp.int32, (b // 32, 32), 1)).sum(axis=1)
+            jnp.int32, (b // 32, 32), 1)).sum(axis=1, dtype=jnp.int32)
         return res.cls_tax, obits
 
     if prefetch:

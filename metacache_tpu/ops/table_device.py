@@ -165,8 +165,9 @@ def _sort_group(bufF, bufV, g, presorted: bool, nkeys: int):
     identically to lexicographic (tgt, win))."""
     S = bufF.shape[1]
     V = bufV.shape[0]
-    fr = jax.lax.dynamic_slice(bufF, (g, 0), (1, S)).reshape(S)
-    vr = [jax.lax.dynamic_slice(bufV, (v, g, 0), (1, 1, S)).reshape(S)
+    fr = jax.lax.dynamic_slice(bufF, (g, jnp.int32(0)), (1, S)).reshape(S)
+    vr = [jax.lax.dynamic_slice(bufV, (jnp.int32(v), g, jnp.int32(0)),
+                            (1, 1, S)).reshape(S)
           for v in range(V)]
     if presorted:
         srt = jax.lax.sort((fr, *vr), dimension=0, num_keys=1,
@@ -179,10 +180,12 @@ def _sort_group(bufF, bufV, g, presorted: bool, nkeys: int):
     valid = fs != SENT
     nf_g = jnp.sum((newf & valid).astype(jnp.int32))
     maxb_g = jnp.max(jnp.where(valid, col, -1)) + 1
-    bufF = jax.lax.dynamic_update_slice(bufF, fs.reshape(1, S), (g, 0))
+    bufF = jax.lax.dynamic_update_slice(bufF, fs.reshape(1, S),
+                                        (g, jnp.int32(0)))
     for v in range(V):
         bufV = jax.lax.dynamic_update_slice(
-            bufV, srt[1 + v].reshape(1, 1, S), (v, g, 0))
+            bufV, srt[1 + v].reshape(1, 1, S),
+            (jnp.int32(v), g, jnp.int32(0)))
     return bufF, bufV, nf_g, maxb_g
 
 
@@ -194,7 +197,7 @@ def _group_meta(uniq, sizes, bufF, g, nf_off, cap: int, nch: int):
     -> (uniq, sizes, hist (cap+2,) group bucket-size histogram)."""
     S = bufF.shape[1]
     nf_pad = uniq.shape[0]
-    fs = jax.lax.dynamic_slice(bufF, (g, 0), (1, S)).reshape(S)
+    fs = jax.lax.dynamic_slice(bufF, (g, jnp.int32(0)), (1, S)).reshape(S)
     newf, r, col, size_el = _segments(fs)
     valid = fs != SENT
     capped = jnp.minimum(size_el, cap)
@@ -234,10 +237,10 @@ def _slice_marks_vals(marks, vals, g, vsel: int):
     (bool bucket-start marks) with g ignored."""
     if marks.ndim == 2:
         S = marks.shape[1]
-        marks = jax.lax.dynamic_slice(marks, (g, 0), (1, S)).reshape(S)
+        marks = jax.lax.dynamic_slice(marks, (g, jnp.int32(0)), (1, S)).reshape(S)
     if vals.ndim == 3:
         S = vals.shape[2]
-        vals = jax.lax.dynamic_slice(vals, (vsel, g, 0),
+        vals = jax.lax.dynamic_slice(vals, (jnp.int32(vsel), g, jnp.int32(0)),
                                      (1, 1, S)).reshape(S)
     return marks, vals
 
