@@ -105,32 +105,70 @@ def _segments(fs):
     return newf, r, col, size_el
 
 
-@functools.partial(jax.jit, static_argnames=("gbits",))
-def _chunk_stats(f, t, w, gbits: int):
-    """Per-chunk radix pass: -> (per-group element counts incl.
-    sentinels, max window, max target over valid elements)."""
+HIST_BITS = 12       # top-bits histogram resolution for boundary picks
+
+
+@jax.jit
+def _chunk_stats(f, t, w):
+    """Per-chunk pass: -> (top-HIST_BITS-bit value histogram of VALID
+    elements, sentinel count, max window, max target).
+
+    Min-hash features skew heavily toward SMALL hash values (every
+    sketch keeps its window's minima), so fixed-width top-bit radix
+    groups are pathologically unbalanced (~84% of a real stream lands
+    in group 0); the histogram lets the host pick QUANTILE group
+    boundaries instead."""
     f = f.astype(jnp.uint32)
     valid = f != SENT
-    if gbits:
-        grp = (f >> np.uint32(32 - gbits)).astype(jnp.int32)
-    else:
-        grp = jnp.zeros(f.shape, jnp.int32)
-    counts = jnp.bincount(grp, length=1 << gbits)
+    bins = jnp.where(valid,
+                     (f >> np.uint32(32 - HIST_BITS)).astype(jnp.int32),
+                     1 << HIST_BITS)
+    hist = jnp.bincount(bins, length=(1 << HIST_BITS) + 1)
     maxw = jnp.max(jnp.where(valid, w, 0))
     maxt = jnp.max(jnp.where(valid, t, 0))
-    return counts, maxw, maxt
+    return hist[:1 << HIST_BITS], hist[1 << HIST_BITS], maxw, maxt
 
 
-@functools.partial(jax.jit, static_argnames=("gbits", "slot_bits"),
+def _group_bounds(hist: np.ndarray, nsent: int, G: int):
+    """Quantile group boundaries (G-1 ascending u32 values, bin-
+    aligned, < SENT) over the REAL feature mass; group g = features in
+    [bounds[g-1], bounds[g]); sentinels always land in the last group.
+    -> (bounds (G-1,) u32, per-group element counts (G,))."""
+    nb = len(hist)
+    csum = np.cumsum(hist)
+    total = int(csum[-1])
+    edges = [0]
+    for g in range(1, G):
+        b = int(np.searchsorted(csum, g * total / G)) + 1
+        edges.append(max(min(b, nb - 1), edges[-1]))
+    edges.append(nb)
+    bnds = (np.asarray(edges[1:G], np.uint64)
+            << np.uint64(32 - HIST_BITS)).astype(np.uint32)
+    counts = np.asarray(
+        [int(hist[edges[g]:edges[g + 1]].sum()) for g in range(G)],
+        np.int64)
+    counts[G - 1] += int(nsent)
+    return bnds, counts
+
+
+def _grp_of(f, bnds):
+    """Group id per element: #boundaries <= f (bnds ascending u32)."""
+    if bnds.shape[0] == 0:
+        return jnp.zeros(f.shape, jnp.int32)
+    return (f[:, None] >= bnds[None, :]).sum(axis=1, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "slot_bits"),
                    donate_argnums=(0, 1))
-def _place_chunk(bufF, bufV, offs, f, t, w, gbits: int, slot_bits: int):
+def _place_chunk(bufF, bufV, offs, f, t, w, bnds, G: int,
+                 slot_bits: int):
     """Scatter one chunk's elements into the (G, S) group buffers at
-    the running per-group offsets (donated: updated in place).
+    the running per-group offsets (donated: updated in place); group =
+    quantile range of the feature value (bnds from _group_bounds).
 
     ``slot_bits > 0``: (tgt, win) packs to pk = (tgt << bits) | win in
     bufV[0] right here — the stream carries 8 B/element from this point
     on. Otherwise bufV[0] = tgt, bufV[1] = win."""
-    G = 1 << gbits
     S = bufF.shape[1]
     f = f.astype(jnp.uint32)
     t = t.astype(jnp.int32)
@@ -139,10 +177,7 @@ def _place_chunk(bufF, bufV, offs, f, t, w, gbits: int, slot_bits: int):
         vals = [(t << slot_bits) | w]
     else:
         vals = [t, w]
-    if gbits:
-        grp = (f >> np.uint32(32 - gbits)).astype(jnp.int32)
-    else:
-        grp = jnp.zeros(f.shape, jnp.int32)
+    grp = _grp_of(f, bnds)
     for g in range(G):
         m = grp == g
         rank = jnp.cumsum(m.astype(jnp.int32)) - 1
@@ -837,32 +872,54 @@ def build_device_table_chunked(chunks, *, cap: int = 254,
         gbits = _choose_gbits(total)
     G = 1 << gbits
 
-    # phase 1: radix stats (per-group counts + max window/target)
-    stats = [_chunk_stats(cf, ct, cw, gbits=gbits)
-             for (cf, ct, cw) in chunks]
-    counts = np.zeros(G, np.int64)
+    import os as _os
+    import time as _time
+    dbg = _os.environ.get("MC_BUILD_DEBUG") == "1"
+
+    def _note(msg):
+        if dbg:
+            print(f"[build {_time.strftime('%H:%M:%S')}] {msg}",
+                  flush=True)
+
+    _note(f"phase1 stats: {len(chunks)} chunks, G={G}")
+    # phase 1: value histogram (for quantile group boundaries) + max
+    # window/target
+    stats = [_chunk_stats(cf, ct, cw) for (cf, ct, cw) in chunks]
+    hist0 = np.zeros(1 << HIST_BITS, np.int64)
+    nsent = 0
     maxw = maxt = 0
-    for cd, wd, td in stats:
-        counts += np.asarray(cd)
+    for hd, sd, wd, td in stats:
+        hist0 += np.asarray(hd)
+        nsent += int(sd)
         maxw = max(maxw, int(wd))
         maxt = max(maxt, int(td))
     del stats
+    bnds_np, counts = _group_bounds(hist0, nsent, G)
+    bnds = jnp.asarray(bnds_np)
+    _note(f"phase1 done: counts={counts.tolist()}")
     slot_bits = slot_pack_bits(maxw, maxt)
     V = 1 if slot_bits else 2
 
     # phase 2: place chunks into the (G, S) group buffers; each source
     # chunk frees right after its placement scatter
     S = _quantize(int(max(counts.max(), 1)), 14)
+    _note(f"phase2 place: S={S} slot_bits={slot_bits}")
     bufF = jnp.full((G, S), SENT, jnp.uint32)
     bufV = jnp.zeros((V, G, S), jnp.int32)
     offs = jnp.zeros((G,), jnp.int32)
+    nplaced = 0
     while chunks:
         cf, ct, cw = chunks.pop(0)
         bufF, bufV, offs = _place_chunk(bufF, bufV, offs, cf, ct, cw,
-                                        gbits=gbits,
+                                        bnds, G=G,
                                         slot_bits=slot_bits)
         del cf, ct, cw
+        nplaced += 1
+        if dbg and nplaced % 64 == 0:
+            offs.block_until_ready()
+            _note(f"placed {nplaced}")
     del offs
+    _note("phase2 done")
 
     # phase 3: in-place per-group sorts
     nf_gs = []
@@ -872,6 +929,7 @@ def build_device_table_chunked(chunks, *, cap: int = 254,
             bufF, bufV, np.int32(g), presorted=presorted, nkeys=2)
         nf_gs.append(int(np.asarray(nf_g_d)))
         maxb = max(maxb, int(np.asarray(maxb_d)))
+        _note(f"sorted group {g}: nf_g={nf_gs[-1]}")
     nf = sum(nf_gs)
     nf_offs = np.concatenate([[0], np.cumsum(nf_gs)]).astype(np.int64)
     spf = max(min(maxb, cap), 1)
@@ -889,6 +947,7 @@ def build_device_table_chunked(chunks, *, cap: int = 254,
         hists.append(hist_d)
     hists = [np.asarray(h)[:spf + 1] for h in hists]  # drop junk bin
     hist = np.sum(hists, axis=0)
+    _note(f"meta done: nf={nf} spf={spf}; filling layouts")
 
     dt = _layout_and_fill(
         lambda g: (bufF, bufV), G, nf_offs, nf_gs, hists,
@@ -1118,21 +1177,21 @@ def device_layout_from_csr(uniq_host: np.ndarray, offsets_host,
     else:
         fsent = np.uint32(0xFFFFFFFF)
 
-    # feature-range group boundaries (the CSR is feature-sorted)
+    # feature-range group boundaries: equal-ELEMENT quantile cuts over
+    # the CSR (min-hash feature values skew small, so top-bit cuts
+    # would be pathologically unbalanced)
+    offs64 = np.asarray(offsets_host, np.int64)
     if gbits:
-        if wide:
-            bounds = (np.arange(1, G, dtype=np.uint64)
-                      << np.uint64(64 - gbits))
-        else:
-            bounds = (np.arange(1, G, dtype=np.uint64)
-                      << np.uint64(32 - gbits)).astype(np.uint32)
-        fb = np.searchsorted(uniq_host, bounds)
-        lo_f = np.concatenate([[0], fb, [nf]]).astype(np.int64)
+        targets = np.asarray([n * g // G for g in range(1, G)],
+                             np.int64)
+        fb = np.searchsorted(offs64[1:], targets, side="left") + 1
+        lo_f = np.concatenate([[0], np.minimum(fb, nf),
+                               [nf]]).astype(np.int64)
+        lo_f = np.maximum.accumulate(lo_f)
     else:
         lo_f = np.asarray([0, nf], np.int64)
     nf_gs = np.diff(lo_f)
     nf_offs = lo_f
-    offs64 = np.asarray(offsets_host, np.int64)
     hists = [np.bincount(sizes_capped[lo_f[g]:lo_f[g + 1]],
                          minlength=spf + 1) for g in range(G)]
     hist = np.sum(hists, axis=0) if G > 1 else hists[0]
