@@ -108,10 +108,12 @@ def _segments(fs):
 HIST_BITS = 12       # top-bits histogram resolution for boundary picks
 
 
-@jax.jit
-def _chunk_stats(f, t, w):
-    """Per-chunk pass: -> (top-HIST_BITS-bit value histogram of VALID
-    elements, sentinel count, max window, max target).
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _chunk_stats(acc, f, t, w):
+    """Per-chunk pass accumulating into `acc` (donated:
+    [hist(2^HIST_BITS) | nsent | maxw | maxt] i64) — device-side
+    accumulation means ONE d2h fetch for the whole phase instead of
+    per-chunk syncs (each small fetch costs ~40 ms on this link).
 
     Min-hash features skew heavily toward SMALL hash values (every
     sketch keeps its window's minima), so fixed-width top-bit radix
@@ -120,13 +122,17 @@ def _chunk_stats(f, t, w):
     boundaries instead."""
     f = f.astype(jnp.uint32)
     valid = f != SENT
+    nb = 1 << HIST_BITS
     bins = jnp.where(valid,
                      (f >> np.uint32(32 - HIST_BITS)).astype(jnp.int32),
-                     1 << HIST_BITS)
-    hist = jnp.bincount(bins, length=(1 << HIST_BITS) + 1)
-    maxw = jnp.max(jnp.where(valid, w, 0))
-    maxt = jnp.max(jnp.where(valid, t, 0))
-    return hist[:1 << HIST_BITS], hist[1 << HIST_BITS], maxw, maxt
+                     nb)
+    hist = jnp.bincount(bins, length=nb + 1).astype(acc.dtype)
+    maxw = jnp.max(jnp.where(valid, w, 0)).astype(acc.dtype)
+    maxt = jnp.max(jnp.where(valid, t, 0)).astype(acc.dtype)
+    acc = acc.at[:nb + 1].add(hist)
+    acc = acc.at[nb + 1].max(maxw)
+    acc = acc.at[nb + 2].max(maxt)
+    return acc
 
 
 def _group_bounds(hist: np.ndarray, nsent: int, G: int):
@@ -884,16 +890,15 @@ def build_device_table_chunked(chunks, *, cap: int = 254,
     _note(f"phase1 stats: {len(chunks)} chunks, G={G}")
     # phase 1: value histogram (for quantile group boundaries) + max
     # window/target
-    stats = [_chunk_stats(cf, ct, cw) for (cf, ct, cw) in chunks]
-    hist0 = np.zeros(1 << HIST_BITS, np.int64)
-    nsent = 0
-    maxw = maxt = 0
-    for hd, sd, wd, td in stats:
-        hist0 += np.asarray(hd)
-        nsent += int(sd)
-        maxw = max(maxw, int(wd))
-        maxt = max(maxt, int(td))
-    del stats
+    acc = jnp.zeros((1 << HIST_BITS) + 3, jnp.int32)
+    for (cf, ct, cw) in chunks:
+        acc = _chunk_stats(acc, cf, ct, cw)
+    acc_h = np.asarray(acc)
+    hist0 = acc_h[:1 << HIST_BITS].astype(np.int64)
+    nsent = int(acc_h[(1 << HIST_BITS)])
+    maxw = int(acc_h[(1 << HIST_BITS) + 1])
+    maxt = int(acc_h[(1 << HIST_BITS) + 2])
+    del acc
     bnds_np, counts = _group_bounds(hist0, nsent, G)
     bnds = jnp.asarray(bnds_np)
     _note(f"phase1 done: counts={counts.tolist()}")
