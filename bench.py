@@ -31,10 +31,12 @@ import numpy as np
 
 READ_LEN = 100
 BATCH_READS = 8192
-SCAN_K = 64         # batches fused per device dispatch (lax.scan) —
-                    # measured sweep (tools/profile_query.py): 16 -> 64
-                    # amortizes the ~1 ms fixed per-iteration cost;
-                    # B=32768 regresses (probe gathers lose locality)
+SCAN_K = 128        # batches fused per device dispatch (lax.scan) —
+                    # measured sweep: 16 -> 64 amortizes the ~1 ms
+                    # fixed per-iteration cost; 128 measured another
+                    # +1.7% in the round-5 toy A/B (tools/
+                    # profile_toy_ab.py); B=32768 regresses (probe
+                    # gathers lose locality)
 WARMUP = 2
 ITERS = 6
 
