@@ -108,32 +108,30 @@ def main():
     valid = np.full((B, 1), RLEN, np.int32)
     mwir = np.full(B, 2, np.int32)
     use_pallas = jax.devices()[0].platform not in ("cpu",)
-    dense = ("packed" if dt.packed else True) if dt.dense else \
-        ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed)
+    if dt.dense:
+        dense = (f"pk{dt.slot_bits}" + ("p" if dt.packed else "")) \
+            if dt.slot_bits else ("packed" if dt.packed else True)
+    elif getattr(dt, "classed", False):
+        dense = ("classed", dt.head_slots, False, dt.ovf_packed,
+                 dt.slot_bits)
+    else:
+        dense = ("two_tier", dt.head_slots, dt.packed, dt.ovf_packed,
+                 dt.slot_bits)
     spf, bbits = dt.spf, dt.bbits
+    from metacache_tpu.ops.rows import query_step_rows_scan
 
-    @jax.jit
     def query_scan(wk, vk, mk, tf, to, la, lb, ps, mt, lg):
-        def body(c, xs):
-            w, v, m = xs
-            fx = _sketch_dispatch(w.reshape(B, opt.winlen),
-                                  v.reshape(B), opt.kmerlen,
-                                  opt.sketchlen, use_pallas)
-            from metacache_tpu.ops.rows import _alt_runs
-            alt = _alt_runs(use_pallas, True, 2 * opt.sketchlen, 0,
-                            opt.sketchlen, spf)
-            tt, wn = probe_rows(fx.reshape(B, opt.sketchlen), tf, to,
-                                la, lb, spf, ps, bbits, 0, dense=dense,
-                                alt_runs=alt)
-            res = rows_to_result(
-                tt, wn, m, mt, lg, jnp.int32(5), jnp.float32(1.0),
-                jnp.int32(19), jnp.int32(0), max_candidates=2,
-                walk_elems=2 * opt.sketchlen, fast_top2=True,
-                fused_candidates=use_pallas, emit_hits=False,
-                presorted_runs=alt)
-            return c, res.cls_tax
-        _, out = jax.lax.scan(body, 0, (wk, vk, mk))
-        return out
+        return query_step_rows_scan(
+            wk, vk, mk, tf, to, la, lb, mt, lg,
+            jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+            jnp.int32(0), ps,
+            k=opt.kmerlen, sketchlen=opt.sketchlen,
+            slots_per_feature=spf, windows_per_query=1,
+            max_candidates=2, prefix_bits=bbits, prefix_steps=0,
+            dense=dense, use_pallas_sketch=use_pallas,
+            walk_elems=2 * opt.sketchlen, fast_top2=True,
+            fused_candidates=use_pallas, pack_bits=dt.slot_bits,
+            prefetch=bool(dt.dense))
 
     wk = jnp.asarray(np.broadcast_to(
         wins[None], (SCAN_K,) + wins.shape).copy())
