@@ -272,6 +272,14 @@ ENVIRONMENT
     MC_PREFETCH=0           disable the software-pipelined scan.
     MC_SKETCH_MODE=extract  swap the Pallas sketcher's in-kernel sort
                             for iterative min-extraction (bit-exact).
+    MC_SPLIT_CAND=<0|1>     run the candidates sort as its own kernel
+                            (default: on for rows <= 2048 lanes).
+    MC_BUILD_GBITS=<g>      force 2^g feature-range groups in the
+                            bounded-memory device build (default:
+                            auto-sized to ~48M elements per group).
+    MC_BUILD_DEBUG=1        print per-phase device-build progress.
+    MC_SHARD_LAYOUT=<auto|dense|two_tier>
+                            force the -table-shards shard layout.
 """,
     "build+query": """\
 metacache_tpu build+query — build a database in memory and query it
