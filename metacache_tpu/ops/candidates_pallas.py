@@ -35,7 +35,13 @@ I32_MAX = np.int32(2**31 - 1)
 
 
 def _roll(x, shift, l):
-    return pltpu.roll(x, shift % l, 1)
+    s = shift % l
+    if jax.config.jax_enable_x64:
+        # under x64 the python-int shift lowers to an i64 constant,
+        # which tpu.dynamic_rotate rejects — pin i32 (k>16 u64 DBs
+        # enable x64 process-wide)
+        s = jnp.int32(s)
+    return pltpu.roll(x, s, 1)
 
 
 def _sort2_lanes(t, w, presorted: int = 0):
@@ -284,10 +290,12 @@ def candidates_pallas(tgt: jax.Array, win: jax.Array, mwir: jax.Array,
     import contextlib
     ctx = pltpu.force_tpu_interpret_mode() \
         if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    x32 = jax.enable_x64(False) if jax.config.jax_enable_x64 \
+        else contextlib.nullcontext()
     if presorted:
         assert l % presorted == 0 and l == l2, \
             "presorted runs must tile the padded row exactly"
-    with ctx:
+    with ctx, x32:
         out = _call(tgt, win, mwir, walk_elems, kk, l2, tile, grid, b,
                     dedup_walk, presorted)
     k4 = 4 * kk
@@ -395,7 +403,9 @@ def sort_pallas_packed(pk: jax.Array, tile: int = 0,
     import contextlib
     ctx = pltpu.force_tpu_interpret_mode() \
         if jax.default_backend() == "cpu" else contextlib.nullcontext()
-    with ctx:
+    x32 = jax.enable_x64(False) if jax.config.jax_enable_x64 \
+        else contextlib.nullcontext()
+    with ctx, x32:
         return pl.pallas_call(
             functools.partial(_sort_kernel, presorted=presorted),
             out_shape=jax.ShapeDtypeStruct((b, l2), jnp.int32),
@@ -442,13 +452,18 @@ def candidates_pallas_packed(pk: jax.Array, mwir: jax.Array,
     import contextlib
     ctx = pltpu.force_tpu_interpret_mode() \
         if jax.default_backend() == "cpu" else contextlib.nullcontext()
+    # the kernel is a pure-i32 program: trace it with x64 semantics off
+    # (k>16 u64 DBs enable x64 process-wide, which makes in-kernel weak
+    # literals i64 and breaks the Mosaic lowering)
+    x32 = jax.enable_x64(False) if jax.config.jax_enable_x64 \
+        else contextlib.nullcontext()
     if presorted:
         assert l % presorted == 0 and l == l2, \
             "presorted runs must tile the padded row exactly"
     if split:
         pk = sort_pallas_packed(pk, presorted=presorted)
         presorted = l2     # phase start 2*l2 > l2: sort becomes a no-op
-    with ctx:
+    with ctx, x32:
         out = pl.pallas_call(
             functools.partial(_packed_kernel, walk_elems=walk_elems,
                               kk=kk, l2=l2, wbits=pack_bits,

@@ -36,7 +36,12 @@ def _lane_ids(shape):
 
 def _roll(x, shift, l=LANES):
     # pltpu.roll requires a non-negative shift; negatives wrap cyclically
-    return pltpu.roll(x, shift % l, 1)
+    s = shift % l
+    if jax.config.jax_enable_x64:
+        # x64 mode lowers python-int shifts to i64 constants, which
+        # tpu.dynamic_rotate rejects
+        s = jnp.int32(s)
+    return pltpu.roll(x, s, 1)
 
 
 def _bitonic_sort_lanes(x):
@@ -252,6 +257,15 @@ def sketch_windows_pallas(codes: jax.Array, valid_lens: jax.Array,
     assert l == LANES, f"pallas sketcher expects {LANES}-char windows"
     assert n % tile == 0
     grid = (n // tile,)
+    import contextlib
+    x32 = jax.enable_x64(False) if jax.config.jax_enable_x64 \
+        else contextlib.nullcontext()
+    with x32:
+        return _sketch_call(codes, valid_lens, k, sketchlen, tile,
+                            mode, n, grid)
+
+
+def _sketch_call(codes, valid_lens, k, sketchlen, tile, mode, n, grid):
     return pl.pallas_call(
         functools.partial(_sketch_kernel, k=k, sketchlen=sketchlen,
                           mode=mode),
