@@ -150,12 +150,10 @@ def rows_to_result(tgt, win, mwir, merge_tax_of_target, lineages,
             import os as _os
             from .candidates_pallas import candidates_pallas_packed
             # split sort/sweep kernels measured +3% on the toy bench
-            # (L<=256); default ON for shallow rows, OFF at deep-bucket
-            # widths until the HBM-round-trip cost is measured there.
-            # MC_SPLIT_CAND=0/1 overrides.
-            _sc = _os.environ.get("MC_SPLIT_CAND")
-            l2_ = 1 << max(int(tgt.shape[1] - 1).bit_length(), 7)
-            split = _sc == "1" or (_sc is None and l2_ <= 2048)
+            # (L=256) and +5% on the 944 Mbp deep bench (L=4096, fused
+            # escalation 10.9 -> 10.35 ms/batch) — default ON at every
+            # width; MC_SPLIT_CAND=0 restores the single fused kernel.
+            split = _os.environ.get("MC_SPLIT_CAND") != "0"
             cand_tgt, cand_hits, cand_beg, cand_end = \
                 candidates_pallas_packed(
                     tgt, mwir, pack_bits,
