@@ -186,13 +186,20 @@ def main():
             mwir[None], (SCAN_K,) + mwir.shape).copy())
         targs = (dt.uniq, dt.offsets, dt.head, dt.ovf, dt.brows, mt, lg)
 
+        # timed loop fetches a device-side REDUCTION (the production
+        # summary path reduces classifications to rank histograms on
+        # device too) — fetching the raw (K, B) cls matrix costs
+        # ~250 ms/iter of pure d2h on this link and would swamp the
+        # device time being measured
+        import jax as _jax
+        qsum = _jax.jit(lambda *a: query_scan(*a).sum())
         cls = np.asarray(query_scan(wk, vk, mk, *targs))
         for _ in range(WARMUP):
-            np.asarray(query_scan(wk, vk, mk, *targs))
+            np.asarray(qsum(wk, vk, mk, *targs))
         t0 = time.time()
         prev = None
         for _ in range(iters):
-            r = query_scan(wk, vk, mk, *targs)
+            r = qsum(wk, vk, mk, *targs)
             if prev is not None:
                 np.asarray(prev)
             prev = r
@@ -235,10 +242,14 @@ def main():
                 nb.view(np.uint8), bitorder="little").astype(bool)
             frac = float(mask.sum() / (SCAN_K * B))
             np.asarray(cls1)
+            hsum = _jax.jit(lambda *a: (
+                lambda r: (r[0].sum(), r[1], r[2], r[3]))(
+                    query_scan_head(*a)))
+            np.asarray(hsum(wk, vk, mk, *targs)[0])
             t0 = time.time()
             prev = None
             for _ in range(iters):
-                r = query_scan_head(wk, vk, mk, *targs)
+                r = hsum(wk, vk, mk, *targs)
                 if prev is not None:
                     np.asarray(prev[0])
                 prev = r
@@ -258,9 +269,12 @@ def main():
             msel = mk.reshape(SCAN_K * B)[selj].reshape(SCAN_K, B)
             tf, to, la, lb, ps, mt, lg = targs
 
-            def redo(fs, is_, ms):
+            def redo(fs, is_, ms, *tbl):
+                # tables arrive as ARGS (a closure-captured table would
+                # bake into the wrapper jit as a multi-GB constant)
+                tf_, to_, la_, lb_, mt_, lg_ = tbl
                 return query_step_rows_redo_scan(
-                    fs, is_, ms, tf, to, la, lb, mt, lg,
+                    fs, is_, ms, tf_, to_, la_, lb_, mt_, lg_,
                     jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
                     jnp.int32(0),
                     sketchlen=opt.sketchlen, slots_per_feature=spf,
@@ -268,11 +282,13 @@ def main():
                     walk_elems=2 * opt.sketchlen,
                     fused_candidates=use_pallas, pack_bits=pkb)
 
-            np.asarray(redo(fsel, isel, msel))
+            tbl6 = (tf, to, la, lb, mt, lg)
+            rsum = _jax.jit(lambda *a: redo(*a).sum())
+            np.asarray(rsum(fsel, isel, msel, *tbl6))
             t0 = time.time()
             prev = None
             for _ in range(iters):
-                r = redo(fsel, isel, msel)
+                r = rsum(fsel, isel, msel, *tbl6)
                 if prev is not None:
                     np.asarray(prev)
                 prev = r
@@ -294,11 +310,13 @@ def main():
             ris = ik.reshape(-1, F)[sel2].reshape(SCAN_K, b2, F)
             rms = mk.reshape(-1)[sel2].reshape(SCAN_K, b2)
 
-            def fused(wk_, vk_, mk_, rf, ri, rm):
+            def fused(wk_, vk_, mk_, rf, ri, rm, tf_, to_, la_,
+                      lb_, mt_, lg_, ps_):
                 return query_step_rows_scan_head_fused(
-                    wk_, vk_, mk_, rf, ri, rm, tf, to, la, lb, mt, lg,
+                    wk_, vk_, mk_, rf, ri, rm, tf_, to_, la_, lb_,
+                    mt_, lg_,
                     jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
-                    jnp.int32(0), ps,
+                    jnp.int32(0), ps_,
                     k=opt.kmerlen, sketchlen=opt.sketchlen,
                     slots_per_feature=spf, max_candidates=2,
                     prefix_bits=bbits, dense=dense,
@@ -306,11 +324,15 @@ def main():
                     walk_elems=2 * opt.sketchlen,
                     fused_candidates=use_pallas, pack_bits=pkb)
 
-            np.asarray(fused(wk, vk, mk, rfs, ris, rms)[0])
+            fsum = _jax.jit(lambda *a: (
+                lambda r: (r[0].sum(),) + tuple(r[1:]))(fused(*a)))
+            fargs = (wk, vk, mk, rfs, ris, rms, tf, to, la, lb, mt,
+                     lg, ps)
+            np.asarray(fsum(*fargs)[0])
             t0 = time.time()
             prev = None
             for _ in range(iters):
-                r = fused(wk, vk, mk, rfs, ris, rms)
+                r = fsum(*fargs)
                 if prev is not None:
                     np.asarray(prev[0])
                 prev = r
@@ -379,12 +401,15 @@ def main():
         lmk = jnp.asarray(np.broadcast_to(
             lmwir[None], (k,) + lmwir.shape).copy())
         targs = (dt.uniq, dt.offsets, dt.head, dt.ovf, dt.brows, mt, lg)
+        import jax as _jax
         lcls = np.asarray(query_scan_long(lwk, lvk, lmk, *targs))
+        lsum = _jax.jit(lambda *a: query_scan_long(*a).sum())
+        np.asarray(lsum(lwk, lvk, lmk, *targs))
         t0 = time.time()
         prev = None
         it = max(ITERS // 2, 2)
         for _ in range(it):
-            r = query_scan_long(lwk, lvk, lmk, *targs)
+            r = lsum(lwk, lvk, lmk, *targs)
             if prev is not None:
                 np.asarray(prev)
             prev = r
@@ -445,11 +470,17 @@ def main():
             devnull.close()
             return round(n / dt * 60), dt
 
-        # warm the compile caches on a small prefix file
+        # warm the compile caches (summary, per-read tophits AND
+        # default-mapping shapes — the per-read paths run 65536-read
+        # batches, so the warm file must reach that batch shape or the
+        # compile lands inside the timed run)
         wfa = os.path.join(tmp, "warm.fa")
         with open(rfa, "rb") as src, open(wfa, "wb") as dst:
-            dst.write(src.read(1 << 20))
+            for _ in range(2 * 66000):
+                dst.write(src.readline())
         run(["-no-map", "-no-summary", "-no-query-params"], wfa, 1)
+        run(["-tophits", "-no-summary", "-no-query-params"], wfa, 1)
+        run(["-no-summary", "-no-query-params"], wfa, 1)
 
         rpm_sum, dt_sum = run(
             ["-no-map", "-no-summary", "-no-query-params"], rfa, nreads)
@@ -568,11 +599,13 @@ def main():
         dense = dense_tag(dt)
         wide = popt.kmerlen > 16
 
-        def qscan(wk, vk, mk):
+        def qscan(wk, vk, mk, tf, to, la, lb, ps, mt_, lg_):
+            # tables as ARGS — closure-captured tables would bake into
+            # the qs wrapper jit as constants
             return query_step_rows_scan(
-                wk, vk, mk, dt.uniq, dt.offsets, dt.head, dt.ovf,
-                mt, lg, jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
-                jnp.int32(0), dt.brows,
+                wk, vk, mk, tf, to, la, lb, mt_, lg_,
+                jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+                jnp.int32(0), ps,
                 k=popt.kmerlen, sketchlen=popt.sketchlen,
                 slots_per_feature=dt.spf, windows_per_query=1,
                 max_candidates=2, prefix_bits=dt.bbits, prefix_steps=0,
@@ -587,12 +620,16 @@ def main():
             valid[None], (scan_k,) + valid.shape).copy())
         mk = jnp.asarray(np.broadcast_to(
             mwir[None], (scan_k,) + mwir.shape).copy())
-        cls = np.asarray(qscan(wk, vk, mk))
-        np.asarray(qscan(wk, vk, mk))
+        targs = (dt.uniq, dt.offsets, dt.head, dt.ovf, dt.brows,
+                 mt, lg)
+        import jax as _jax
+        cls = np.asarray(qscan(wk, vk, mk, *targs))
+        qs = _jax.jit(lambda *a: qscan(*a).sum())
+        np.asarray(qs(wk, vk, mk, *targs))
         t0 = time.time()
         prev = None
         for _ in range(iters):
-            r = qscan(wk, vk, mk)
+            r = qs(wk, vk, mk, *targs)
             if prev is not None:
                 np.asarray(prev)
             prev = r

@@ -831,8 +831,9 @@ class QueryRunner:
             # per-read output path: one packed result matrix is fetched
             # per dispatched batch and each fetch pays the link's fixed
             # cost — amortize it with larger batches (the device loop is
-            # not the bottleneck on this path)
-            batch_reads = max(batch_reads, 16384)
+            # not the bottleneck on this path; 64k reads = ~2 MB h2d
+            # and <= 1.8 MB d2h per cycle)
+            batch_reads = max(batch_reads, 65536)
         scan_k = 0
         if (self._summary_only() and len(self._tables) == 1
                 and self._mesh is None):
