@@ -118,8 +118,13 @@ def main():
                   walk_elems=2 * opt.sketchlen,
                   fused_candidates=True, pack_bits=dt.slot_bits)
 
-    for scan_k in (64, 128):
-        for split in ("0", "1"):
+    if os.environ.get("MC_DEEP_AB_QUICK") == "1":
+        matrix = [(128, "1")]
+    else:
+        matrix = [(sk_, sp_) for sk_ in (64, 128)
+                  for sp_ in ("0", "1")]
+    for scan_k, split in matrix:
+        if True:
             os.environ["MC_SPLIT_CAND"] = split
             jax.clear_caches()
             wk, vk, mk = stacks(scan_k)
