@@ -395,9 +395,14 @@ def _sort_kernel(p_ref, out_ref, *, presorted):
 def sort_pallas_packed(pk: jax.Array, tile: int = 0,
                        presorted: int = 0) -> jax.Array:
     """(B, L2) packed slots -> lane-sorted rows (Pallas, own tile)."""
+    import os
     b, l2 = pk.shape
     if tile <= 0:
-        tile = max(8, min(256, (1 << 20) // (l2 * 4)))
+        try:
+            budget = int(os.environ.get("MC_SORT_TILE_B", 1 << 20))
+        except ValueError:
+            budget = 1 << 20
+        tile = max(8, min(256, budget // (l2 * 4)))
     while b % tile:
         tile //= 2
     import contextlib
