@@ -131,3 +131,26 @@ def test_reference_binary_queries_our_build(tmp_path):
         + QUERY_FLAGS, capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert _strip(r.stdout.decode()) == _golden("refdb_import.txt")
+
+
+def test_writer_multipart_roundtrip(tmp_path):
+    """A multi-part database writes one .cacheN per part and loads
+    back with identical content per part."""
+    from metacache_tpu.db.build import BuildOptions, build_database
+    from metacache_tpu.db.mcformat import (load_reference_db,
+                                           save_reference_db)
+    db = build_database(BuildOptions(
+        infiles=[f"{DATA}/genomes.fa"],
+        taxonomy_dir=f"{DATA}/taxonomy", parts=2))
+    assert len(db.parts) == 2
+    out = str(tmp_path / "mp")
+    save_reference_db(db, out)
+    assert os.path.exists(out + ".cache0")
+    assert os.path.exists(out + ".cache1")
+    db2 = load_reference_db(out)
+    assert len(db2.parts) == 2
+    for p, q in zip(db.parts, db2.parts):
+        np.testing.assert_array_equal(p.unique_features,
+                                      q.unique_features)
+        np.testing.assert_array_equal(p.offsets, q.offsets)
+        np.testing.assert_array_equal(p.locations, q.locations)

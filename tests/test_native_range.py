@@ -92,3 +92,42 @@ def test_threads_summary_parity():
         return out.getvalue()
 
     assert run(4) == run(1)
+
+
+def test_threads_gz_fallback():
+    """-threads on a compressed input cannot byte-range seek: must fall
+    back to one reader and produce identical output."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from metacache_tpu.classify.runner import (ClassificationResults,
+                                               map_queries_to_targets)
+    from metacache_tpu.cli.main import Args, parse_query_options
+    from metacache_tpu.db.build import BuildOptions, build_database
+    db = build_database(BuildOptions(
+        infiles=[f"{DATA}/genomes.fa"],
+        taxonomy_dir=f"{DATA}/taxonomy"))
+    tmp = tempfile.mkdtemp(prefix="mc_gz_")
+    gzpath = os.path.join(tmp, "reads.fa.gz")
+    with open(f"{DATA}/reads_single.fa", "rb") as src, \
+            gzip.open(gzpath, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+
+    def run(path, threads):
+        opt, _, _ = parse_query_options(Args(
+            ["-no-map", "-no-query-params", "-threads", str(threads)]))
+        import io
+        out = io.StringIO()
+        map_queries_to_targets([path], db, opt,
+                               ClassificationResults(out))
+        return out.getvalue()
+
+    def strip_paths(t):
+        return [l for l in t.splitlines()
+                if DATA not in l and "/tmp" not in l]
+
+    plain = strip_paths(run(f"{DATA}/reads_single.fa", 1))
+    gz4 = strip_paths(run(gzpath, 4))
+    shutil.rmtree(tmp, ignore_errors=True)
+    assert gz4 == plain
