@@ -144,6 +144,12 @@ def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     h = (flat >> (32 - bits)).astype(jnp.int32)
     if bucket_rows.shape[1] == 128:
         row2 = bucket_rows[h >> 1]
+        from .probe_pallas import bucket_decode, probe_pallas_enabled
+        if probe_pallas_enabled():
+            # one-pass VMEM decode: XLA lowers the 63-lane slice +
+            # half-select below as lane-rotate relayouts (measured
+            # 0.97 ms/131k probes of pure decode on chip)
+            return bucket_decode(row2, h & 1, flat)
         row = jnp.where((h & 1)[:, None] == 1, row2[:, 64:],
                         row2[:, :64])
     else:

@@ -584,6 +584,19 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
         else:
             idx_c, _ = probe_bucket(flat, prefix_starts, prefix_bits)
             idx_c = jnp.clip(idx_c, 0, None)
+        rl_k = alt_runs if alt_runs else hsl
+        if (hpack and not wide and hsl <= 61 and rl_k >= 64
+                and alt_runs):
+            from .probe_pallas import head_decode, probe_pallas_enabled
+            if probe_pallas_enabled():
+                # one-pass VMEM decode of the gathered head rows
+                # (half-select + meta match + count mask + odd-run
+                # reversal); bit-identical to the XLA path below
+                r2 = loc_tgt[idx_c >> 1]
+                pk, cnt = head_decode(r2, idx_c & 1, flat, hsl, rl_k,
+                                      f)
+                over = jnp.any((cnt > hsl).reshape(b, f), axis=1)
+                return pk.reshape(b, f * rl_k), over
         if hpack:
             r2 = loc_tgt[idx_c >> 1]
             rows = jnp.where((idx_c & 1)[:, None] == 1, r2[:, 64:],
@@ -700,6 +713,25 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
         opack = len(dense) > 3 and dense[3]
         slot_bits = dense[4] if len(dense) > 4 else 0
         nx = 2 if wide else 1
+        if (hpack and not opack and not wide and slot_bits
+                and slot_bits == pack_bits and hsl <= 61
+                and alt_runs and alt_runs >= c):
+            from .probe_pallas import (full_decode,
+                                       probe_pallas_enabled)
+            if probe_pallas_enabled():
+                # kernel decode of head + overflow rows in one VMEM
+                # pass; only the ovf-id extraction stays XLA (it must
+                # precede the overflow gather)
+                r2 = loc_tgt[idx_c >> 1]
+                halfr = jnp.where((idx_c & 1)[:, None] == 1,
+                                  r2[:, 64:], r2[:, :64])
+                fnd = _meta_match(halfr, flat, False)
+                oidx = jnp.where(fnd, halfr[:, nx + 1], 0)
+                orow = loc_win[oidx]
+                pk = full_decode(r2, orow, idx_c & 1, flat, hsl, c,
+                                 alt_runs, f)
+                pk = pk.reshape(b, f * alt_runs)
+                return pk, pk
         rows = half_gather(loc_tgt, idx_c) if hpack else loc_tgt[idx_c]
         found = _meta_match(rows, flat, wide)
         cnt = jnp.where(found, rows[:, nx], 0)

@@ -57,25 +57,40 @@ def mix(g):
     return jnp.sum(g ^ i, dtype=jnp.int32)
 
 
-def scan_timed(name, body, xs, iters=6):
-    """body(x) -> i32 scalar; xs pytree with leading dim K."""
+KSUB = 8
+
+
+def scan_timed(name, body, xs, consts=(), iters=3):
+    """body(x, consts) -> i32 scalar; xs pytree with leading dim K.
+
+    Timing protocol for this relay backend (tools/
+    profile_dispatch_cache*.py): block_until_ready does NOT reliably
+    wait, so every timed call ends in a host FETCH, and the ~50 ms
+    per-dispatch tunnel overhead is cancelled by differencing two scan
+    lengths (K-slope). Big tables MUST ride in `consts` (jit args) —
+    closing over them embeds them as constants in the remote-compile
+    payload (HTTP 413 at 1 GiB)."""
     @jax.jit
-    def run(xs):
+    def run(xs, consts):
         def f(c, x):
-            return c + body(x), ()
+            return c + body(x, consts), ()
         return jax.lax.scan(f, jnp.int32(0), xs)[0]
 
-    r = run(xs)
-    jax.block_until_ready(r)
-    r = run(xs)
-    jax.block_until_ready(r)
-    t0 = time.time()
+    sub = jax.tree_util.tree_map(lambda a: a[:KSUB], xs)
+    np.asarray(run(sub, consts))
+    np.asarray(run(xs, consts))
+    t8 = tk = 1e9
     for _ in range(iters):
-        r = run(xs)
-    jax.block_until_ready(r)
-    t = (time.time() - t0) / (iters * K)
+        t0 = time.time()
+        np.asarray(run(sub, consts))
+        t8 = min(t8, time.time() - t0)
+        t0 = time.time()
+        np.asarray(run(xs, consts))
+        tk = min(tk, time.time() - t0)
+    t = (tk - t8) / (K - KSUB)
     print(f"{name:12s}: {t*1e3:7.3f} ms/batch "
-          f"({B/t*60/1e6:7.1f}M reads/min-equiv)", flush=True)
+          f"({B/t*60/1e6:7.1f}M reads/min-equiv) "
+          f"[K{KSUB}={t8*1e3:.1f} K{K}={tk*1e3:.1f}]", flush=True)
     return t
 
 
@@ -162,40 +177,50 @@ def main():
     jax.block_until_ready(fk)
 
     @jax.jit
-    def bidx_of(f):
-        i, _ = probe_bucket(f.reshape(-1), dt.brows, dt.bbits)
+    def bidx_of(f, brows):
+        i, _ = probe_bucket(f.reshape(-1), brows, dt.bbits)
         return jnp.clip(i, 0, None).reshape(B, F)
 
-    ik = jnp.stack([bidx_of(fk[i]) for i in range(K)])
+    ik = jnp.stack([bidx_of(fk[i], dt.brows) for i in range(K)])
     jax.block_until_ready(ik)
 
-    # --- stage timings
-    scan_timed("sketch", lambda x: mix(feats_of(x[0], x[1])), (wk, vk))
-    scan_timed("bucket", lambda f: mix(bidx_of(f)), fk)
+    # --- stage timings (MC_DECOMP_TAIL=1 skips the already-measured
+    # early stages and goes straight to the step/redo timings)
+    tail_only = os.environ.get("MC_DECOMP_TAIL") == "1"
+    if not tail_only:
+        scan_timed("sketch", lambda x, c: mix(feats_of(x[0], x[1])),
+                   (wk, vk))
+        scan_timed("bucket", lambda f, c: mix(bidx_of(f, c[0])), fk,
+                   (dt.brows,))
 
     hpack = dt.packed
 
-    def headgather(i):
+    def headgather(i, c):
+        head, = c
         flat = i.reshape(-1)
         if hpack:
-            r2 = dt.head[flat >> 1]
+            r2 = head[flat >> 1]
             rows = jnp.where((flat & 1)[:, None] == 1, r2[:, 64:],
                              r2[:, :64])
         else:
-            rows = dt.head[flat]
+            rows = head[flat]
         return mix(rows)
 
-    scan_timed("headgather", headgather, ik)
+    if not tail_only:
+        scan_timed("headgather", headgather, ik, (dt.head,))
 
-    def probe_head_full(x):
+    def probe_head_full(x, c):
+        head, brows = c
         f, i = x
         pk, over = probe_rows_head(
-            f, dt.head, dt.brows, dt.bbits, dense,
+            f, head, brows, dt.bbits, dense,
             alt_runs=rl_head, pack_bits=dt.slot_bits,
             idx_pre=i.reshape(-1))
         return mix(pk) + mix(over.astype(jnp.int32))
 
-    scan_timed("probe_head", probe_head_full, (fk, ik))
+    if not tail_only:
+        scan_timed("probe_head", probe_head_full, (fk, ik),
+                   (dt.head, dt.brows))
 
     # candidates kernel alone at phase-1 width
     pk1, _ = probe_rows_head(
@@ -206,82 +231,121 @@ def main():
     pkk1 = jnp.stack([jnp.roll(pk1, i, axis=0) for i in range(K)])
     mk1 = mk[0]
 
-    def cand_head(pk):
+    def cand_head(pk, c):
+        mk1_, mt_, lg_ = c
         res = rows_to_result(
-            pk, pk, mk1, mt, lg, jnp.int32(5), jnp.float32(1.0),
+            pk, pk, mk1_, mt_, lg_, jnp.int32(5), jnp.float32(1.0),
             jnp.int32(19), jnp.int32(0), max_candidates=2,
             walk_elems=2 * F, fast_top2=True, fused_candidates=True,
             emit_hits=False, presorted_runs=rl_head,
             pack_bits=dt.slot_bits)
         return mix(res.cls_tax)
 
-    scan_timed("cand_head", cand_head, pkk1)
+    if not tail_only:
+        scan_timed("cand_head", cand_head, pkk1, (mk1, mt, lg))
 
     common = dict(k=opt.kmerlen, sketchlen=F, slots_per_feature=dt.spf,
                   max_candidates=2, prefix_bits=dt.bbits, dense=dense,
                   walk_elems=2 * F, fused_candidates=True,
                   pack_bits=dt.slot_bits)
 
-    def timeit_raw(name, fn, first, iters=4):
-        np.asarray(first(fn()))
-        t0 = time.time()
+    def timeit_raw(name, fn, first, iters=3):
+        """fn(kslice) runs the step over kslice scan iterations;
+        K-slope protocol as in scan_timed. The step output is reduced
+        to ONE scalar on device before fetching — fetching the (K, B)
+        result itself would add K-dependent tunnel d2h time to the
+        slope."""
+        def red(r):
+            return np.asarray(jnp.sum(first(r).astype(jnp.int32)))
+        red(fn(KSUB))
+        red(fn(K))
+        t8 = tk = 1e9
         for _ in range(iters):
-            r = fn()
-        np.asarray(first(r))
-        t = (time.time() - t0) / (iters * K)
+            t0 = time.time()
+            red(fn(KSUB))
+            t8 = min(t8, time.time() - t0)
+            t0 = time.time()
+            red(fn(K))
+            tk = min(tk, time.time() - t0)
+        t = (tk - t8) / (K - KSUB)
         print(f"{name:12s}: {t*1e3:7.3f} ms/batch "
-              f"({B/t*60/1e6:7.1f}M reads/min-equiv)", flush=True)
+              f"({B/t*60/1e6:7.1f}M reads/min-equiv) "
+              f"[K{KSUB}={t8*1e3:.1f} K{K}={tk*1e3:.1f}]", flush=True)
         return t
 
-    def head_step():
+    def composed(x, c):
+        head, brows = c
+        w, v, mw = x
+        f = feats_of(w, v)
+        i = bidx_of(f, brows)
+        pk, over = probe_rows_head(
+            f, head, brows, dt.bbits, dense, alt_runs=rl_head,
+            pack_bits=dt.slot_bits, idx_pre=i.reshape(-1))
+        res = rows_to_result(
+            pk, pk, mw, mt, lg, jnp.int32(5), jnp.float32(1.0),
+            jnp.int32(19), jnp.int32(0), max_candidates=2,
+            walk_elems=2 * F, fast_top2=True, fused_candidates=True,
+            emit_hits=False, presorted_runs=rl_head,
+            pack_bits=dt.slot_bits)
+        return mix(res.cls_tax) + mix(over.astype(jnp.int32))
+
+    scan_timed("composed", composed, (wk, vk, mk),
+               (dt.head, dt.brows))
+
+    def head_step(kk):
         return query_step_rows_scan_head(
-            wk, vk, mk, dt.uniq, dt.offsets, dt.head, dt.ovf,
-            mt, lg, jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
-            jnp.int32(0), dt.brows, windows_per_query=1,
-            prefix_steps=0, use_pallas_sketch=True, fast_top2=True,
+            wk[:kk], vk[:kk], mk[:kk], dt.uniq, dt.offsets, dt.head,
+            dt.ovf, mt, lg, jnp.int32(5), jnp.float32(1.0),
+            jnp.int32(19), jnp.int32(0), dt.brows,
+            use_pallas_sketch=True, fast_top2=True,
             prefetch=True, return_feats=True, **common)
 
     timeit_raw("head_step", head_step, lambda r: r[0])
 
     # redo stages (full batch = per-batch cost of an all-escalated set)
-    def redo_gather(x):
+    def redo_gather(x, c):
+        uniq, offsets, head, ovf = c
         f, i = x
         pk, _ = probe_rows(
-            f, dt.uniq, dt.offsets, dt.head, dt.ovf, dt.spf,
-            prefix_starts=dt.brows, prefix_bits=dt.bbits,
+            f, uniq, offsets, head, ovf, dt.spf,
+            prefix_starts=None, prefix_bits=dt.bbits,
             dense=dense, alt_runs=rl_redo, pack_bits=dt.slot_bits,
             idx_pre=i.reshape(-1))
         return mix(pk)
 
-    scan_timed("redo_gather", redo_gather, (fk, ik))
+    scan_timed("redo_gather", redo_gather, (fk, ik),
+               (dt.uniq, dt.offsets, dt.head, dt.ovf))
 
     pk2, _ = probe_rows(
         fk[0], dt.uniq, dt.offsets, dt.head, dt.ovf, dt.spf,
         prefix_starts=dt.brows, prefix_bits=dt.bbits, dense=dense,
         alt_runs=rl_redo, pack_bits=dt.slot_bits,
         idx_pre=ik[0].reshape(-1))
-    pk2 = jax.block_until_ready(pk2)
+    pk2 = jax.block_until_ready(pk2[:2048])
     pkk2 = jnp.stack([jnp.roll(pk2, i, axis=0) for i in range(K)])
+    mk_red = mk1[:2048]
 
-    def cand_redo(pk):
+    def cand_redo(pk, c):
+        # B=2048 rows; ms/batch printed is 1/4 of the 8192-read cost
+        mk1_, mt_, lg_ = c
         res = rows_to_result(
-            pk, pk, mk1, mt, lg, jnp.int32(5), jnp.float32(1.0),
+            pk, pk, mk1_, mt_, lg_, jnp.int32(5), jnp.float32(1.0),
             jnp.int32(19), jnp.int32(0), max_candidates=2,
             walk_elems=2 * F, fast_top2=True, fused_candidates=True,
             emit_hits=False, presorted_runs=rl_redo,
             pack_bits=dt.slot_bits)
         return mix(res.cls_tax)
 
-    scan_timed("cand_redo", cand_redo, pkk2)
+    scan_timed("cand_redo", cand_redo, pkk2, (mk_red, mt, lg))
 
-    def redo_step():
+    def redo_step(kk):
         return query_step_rows_redo_scan(
-            fk, ik, mk, dt.uniq, dt.offsets, dt.head, dt.ovf,
-            mt, lg, jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
-            jnp.int32(0), sketchlen=F, slots_per_feature=dt.spf,
-            max_candidates=2, prefix_bits=dt.bbits, dense=dense,
-            walk_elems=2 * F, fused_candidates=True,
-            pack_bits=dt.slot_bits)
+            fk[:kk], ik[:kk], mk[:kk], dt.uniq, dt.offsets, dt.head,
+            dt.ovf, mt, lg, jnp.int32(5), jnp.float32(1.0),
+            jnp.int32(19), jnp.int32(0), sketchlen=F,
+            slots_per_feature=dt.spf, max_candidates=2,
+            prefix_bits=dt.bbits, dense=dense, walk_elems=2 * F,
+            fused_candidates=True, pack_bits=dt.slot_bits)
 
     timeit_raw("redo_step", redo_step, lambda r: r)
 
@@ -291,12 +355,12 @@ def main():
     ris = ik[:, :b2]
     rms = mk[:, :b2]
 
-    def fused_step():
+    def fused_step(kk):
         return query_step_rows_scan_head_fused(
-            wk, vk, mk, rfs, ris, rms, dt.uniq, dt.offsets, dt.head,
-            dt.ovf, mt, lg, jnp.int32(5), jnp.float32(1.0),
-            jnp.int32(19), jnp.int32(0), dt.brows,
-            use_pallas_sketch=True, **common)
+            wk[:kk], vk[:kk], mk[:kk], rfs[:kk], ris[:kk], rms[:kk],
+            dt.uniq, dt.offsets, dt.head, dt.ovf, mt, lg,
+            jnp.int32(5), jnp.float32(1.0), jnp.int32(19),
+            jnp.int32(0), dt.brows, use_pallas_sketch=True, **common)
 
     timeit_raw("fused_step", fused_step, lambda r: r[0])
 
