@@ -274,6 +274,12 @@ ENVIRONMENT
                             for iterative min-extraction (bit-exact).
     MC_SPLIT_CAND=<0|1>     run the candidates sort as its own kernel
                             (default: on for rows <= 2048 lanes).
+    MC_PROBE_PALLAS=<0|1|list>
+                            Pallas probe-decode kernels: 0 none,
+                            1 all, or a comma list of stages from
+                            bucket,head,full (default on device
+                            backends: head,full — the bucket kernel
+                            measured as a net loss in composed steps).
     MC_BUILD_GBITS=<g>      force 2^g feature-range groups in the
                             bounded-memory device build (default:
                             auto-sized to ~48M elements per group).

@@ -145,10 +145,11 @@ def probe_bucket(flat: jax.Array, bucket_rows: jax.Array, bits: int):
     if bucket_rows.shape[1] == 128:
         row2 = bucket_rows[h >> 1]
         from .probe_pallas import bucket_decode, probe_pallas_enabled
-        if probe_pallas_enabled():
+        if probe_pallas_enabled("bucket"):
             # one-pass VMEM decode: XLA lowers the 63-lane slice +
             # half-select below as lane-rotate relayouts (measured
-            # 0.97 ms/131k probes of pure decode on chip)
+            # 0.97 ms/131k probes of pure decode on chip; OFF by
+            # default — composed-step A/B measured a net loss)
             return bucket_decode(row2, h & 1, flat)
         row = jnp.where((h & 1)[:, None] == 1, row2[:, 64:],
                         row2[:, :64])

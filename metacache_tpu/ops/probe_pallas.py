@@ -40,17 +40,25 @@ I32_MAX = 2**31 - 1     # python int: a jnp scalar would be
                         # captured as a kernel constant
 
 
-def probe_pallas_enabled() -> bool:
-    """MC_PROBE_PALLAS: 0 = never, 1 = always (interpret on CPU),
-    unset = on for device backends only (the CPU golden lane keeps the
-    XLA decode; dedicated parity tests cover the kernels)."""
+def probe_pallas_enabled(stage: str = "full") -> bool:
+    """Per-stage kernel gate. MC_PROBE_PALLAS: 0 = never, 1 = all
+    stages (interpret on CPU), or a comma list of stage names
+    ("bucket,head,full"). Unset = device-backend default: head+full on,
+    bucket OFF — the chip A/B (tools/profile_probe_ab.py) measured the
+    bucket kernel as a net loss in composed steps (~+0.6 ms/batch; its
+    (T,128) row load cannot overlap the next scan iteration's gather
+    the way the XLA decode does) while full_decode wins −0.95 ms on the
+    redo step and head_decode −0.26 on the head probe. The CPU golden
+    lane keeps the XLA decode; parity tests cover the kernels."""
     import os
     v = os.environ.get("MC_PROBE_PALLAS", "")
     if v == "0":
         return False
     if v == "1":
         return True
-    return jax.default_backend() != "cpu"
+    if v:
+        return stage in {s.strip() for s in v.split(",")}
+    return jax.default_backend() != "cpu" and stage in ("head", "full")
 
 
 def _roll(x, shift, l):

@@ -588,7 +588,7 @@ def probe_rows_head(feats, loc_tgt, prefix_starts, prefix_bits: int,
         if (hpack and not wide and hsl <= 61 and rl_k >= 64
                 and alt_runs):
             from .probe_pallas import head_decode, probe_pallas_enabled
-            if probe_pallas_enabled():
+            if probe_pallas_enabled("head"):
                 # one-pass VMEM decode of the gathered head rows
                 # (half-select + meta match + count mask + odd-run
                 # reversal); bit-identical to the XLA path below
@@ -718,7 +718,7 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                 and alt_runs and alt_runs >= c):
             from .probe_pallas import (full_decode,
                                        probe_pallas_enabled)
-            if probe_pallas_enabled():
+            if probe_pallas_enabled("full"):
                 # kernel decode of head + overflow rows in one VMEM
                 # pass; only the ovf-id extraction stays XLA (it must
                 # precede the overflow gather)
