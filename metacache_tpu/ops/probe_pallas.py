@@ -173,6 +173,65 @@ def bucket_decode(row2: jax.Array, par: jax.Array, flat: jax.Array,
     return idx[:n, 0], fnd[:n, 0] != 0
 
 
+def _oidx_kernel(row2_ref, par_ref, f32_ref, oidx_ref):
+    row2 = row2_ref[:]                       # (T, 128)
+    par = par_ref[:]                         # (T, 1)
+    f32 = f32_ref[:]                         # (T, 1)
+    t = row2.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
+    inhalf = (lane >> 6) == (par & 1)
+    l6 = lane & 63
+    meta_f = jnp.sum(jnp.where(inhalf & (l6 == 0), row2, 0), axis=1,
+                     keepdims=True)
+    ov = jnp.sum(jnp.where(inhalf & (l6 == 2), row2, 0), axis=1,
+                 keepdims=True)
+    found = (meta_f == f32) & (f32 != -1)
+    oidx_ref[:] = jnp.where(found, ov, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _oidx_call(row2, par, f32, tile):
+    n = row2.shape[0]
+    grid = (n // tile,)
+    spec1 = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _oidx_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  spec1, spec1],
+        out_specs=spec1,
+    )(row2, par, f32)
+
+
+def oidx_decode(row2: jax.Array, par: jax.Array, flat: jax.Array,
+                tile: int = 512):
+    """Overflow-row-id extraction for the two-tier full-depth probe
+    (slot-packed u32 rows: meta = [feat, cnt, ovf_idx]).
+
+    row2: (N, 128) i32 gathered pair-packed head rows; par: (N,) i32;
+    flat: (N,) u32 features. Returns oidx (N,) i32 = ovf_idx where the
+    row's feature matches, else 0 — bit-identical to the XLA
+    half-select + _meta_match + lane-3 pick in probe_rows. The XLA
+    lowering of that sequence is another lane-rotate relayout over the
+    134 MB gathered-rows buffer; this is one VMEM pass that must
+    PRECEDE the overflow gather (full_decode then re-reads row2)."""
+    n = row2.shape[0]
+    f32 = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    pad = (-n) % tile
+    if pad:
+        row2 = jnp.pad(row2, ((0, pad), (0, 0)))
+        par = jnp.pad(par, (0, pad))
+        f32 = jnp.pad(f32, (0, pad), constant_values=-1)
+    ctx, x32 = _ctx()
+    with ctx, x32:
+        oidx = _oidx_call(row2, par.reshape(-1, 1),
+                          f32.reshape(-1, 1), tile)
+    return oidx[:n, 0]
+
+
 def _head_kernel(row2_ref, par_ref, f32_ref, pk_ref, cnt_ref, *,
                  hsl, rl, f):
     row2 = row2_ref[:]                       # (T, 128)

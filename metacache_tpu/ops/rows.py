@@ -723,10 +723,14 @@ def probe_rows(feats, table_feats, table_offsets, loc_tgt, loc_win,
                 # pass; only the ovf-id extraction stays XLA (it must
                 # precede the overflow gather)
                 r2 = loc_tgt[idx_c >> 1]
-                halfr = jnp.where((idx_c & 1)[:, None] == 1,
-                                  r2[:, 64:], r2[:, :64])
-                fnd = _meta_match(halfr, flat, False)
-                oidx = jnp.where(fnd, halfr[:, nx + 1], 0)
+                if probe_pallas_enabled("oidx"):
+                    from .probe_pallas import oidx_decode
+                    oidx = oidx_decode(r2, idx_c & 1, flat)
+                else:
+                    halfr = jnp.where((idx_c & 1)[:, None] == 1,
+                                      r2[:, 64:], r2[:, :64])
+                    fnd = _meta_match(halfr, flat, False)
+                    oidx = jnp.where(fnd, halfr[:, nx + 1], 0)
                 orow = loc_win[oidx]
                 pk = full_decode(r2, orow, idx_c & 1, flat, hsl, c,
                                  alt_runs, f)

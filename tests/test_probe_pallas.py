@@ -128,6 +128,26 @@ def test_full_decode_parity(layout):
         np.asarray(pk_k.reshape(-1, F * 256)), np.asarray(pk_ref))
 
 
+def test_oidx_decode_parity(layout):
+    _, brows, bits, head, _, flat = layout
+    from metacache_tpu.ops.probe_pallas import oidx_decode
+    os.environ["MC_PROBE_PALLAS"] = "0"
+    try:
+        idx_ref, _ = probe_bucket(flat, brows, bits)
+    finally:
+        del os.environ["MC_PROBE_PALLAS"]
+    idx_c = jnp.clip(idx_ref, 0, None)
+    r2 = head[idx_c >> 1]
+    half = jnp.where(((idx_c & 1) == 1)[:, None], r2[:, 64:],
+                     r2[:, :64])
+    fnd = ((half[:, 0] == jax.lax.bitcast_convert_type(
+        flat, jnp.int32)) & (flat != jnp.uint32(0xFFFFFFFF)))
+    oidx_ref = jnp.where(fnd, half[:, 2], 0)
+    oidx_k = oidx_decode(r2, idx_c & 1, flat, tile=64)
+    np.testing.assert_array_equal(np.asarray(oidx_k),
+                                  np.asarray(oidx_ref))
+
+
 def test_integrated_probe_rows_kernel_path(layout):
     """probe_rows/probe_rows_head with MC_PROBE_PALLAS=1 (interpret on
     CPU) match the MC_PROBE_PALLAS=0 XLA path end to end."""
